@@ -1,0 +1,207 @@
+package graft.compiler
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.parser._
+
+/** Compiles a parsed PQL program into a Spark [[DataFrame]].
+  *
+  * Where the reference emits one SQL CTE per pipeline stage
+  * (/root/reference/pql.go:120-530), graft folds each tabular operator
+  * directly onto the DataFrame, producing a single declarative Catalyst
+  * plan — predicate pushdown, column pruning, join strategy selection
+  * and AQE all apply to the whole pipeline. `sort | take` pairs become
+  * `orderBy().limit()`, which Spark plans as TakeOrderedAndProject
+  * (per-partition top-K + merge; no global sort).
+  *
+  * @param source  original query text (for error positions and naming
+  *                unnamed computed columns after their source text).
+  * @param catalog resolves a table name to a DataFrame.
+  * @param params  external parameter bindings (name → Column).
+  */
+private[graft] final class Compiler(
+    source: String,
+    catalog: String => DataFrame,
+    params: Map[String, Column]
+) {
+
+  private val exprs = new Exprs(source)
+  import exprs.{attr, compile, fail, sourceText}
+
+  /** `let` bindings + params, visible to scalar expressions. */
+  private val scope = mutable.LinkedHashMap[String, Column]() ++= params
+  /** AST forms of `let` bindings, for constant row-count evaluation. */
+  private val letAsts = mutable.Map[String, Expr]()
+  /** Pipeline stages named via `| as Name`. */
+  private val namedResults = mutable.Map[String, DataFrame]()
+
+  private def env: ExprEnv = ExprEnv(scope)
+
+  def run(stmts: List[Statement]): DataFrame = {
+    var tabular: Option[TabularExpr] = None
+    stmts.foreach {
+      case let: LetStatement =>
+        // Let statements after the query are out of scope (reference
+        // behavior: /root/reference/pql.go:57-62).
+        if (tabular.isEmpty) {
+          scope(let.name.name) = compile(let.x, env.copy(letMode = true))
+          letAsts(let.name.name) = let.x
+        }
+      case t: TabularExpr =>
+        if (tabular.isDefined) fail("batch queries not supported", t.span)
+        tabular = Some(t)
+    }
+    tabular match {
+      case Some(t) => compileTabular(t)
+      case None    => throw new PqlCompileException("missing tabular query", Span.none, source)
+    }
+  }
+
+  private def resolveTable(name: Ident): DataFrame =
+    namedResults.get(name.name) match {
+      case Some(df) => df
+      case None =>
+        try catalog(name.name)
+        catch {
+          case e: Exception => fail(s"unknown table ${name.name}: ${e.getMessage}", name.span)
+        }
+    }
+
+  def compileTabular(t: TabularExpr): DataFrame =
+    t.operators.foldLeft(resolveTable(t.source.table))(applyOp)
+
+  // ---- operators -----------------------------------------------------
+
+  private def applyOp(df: DataFrame, op: TabularOperator): DataFrame = op match {
+    case WhereOp(pred, _) => df.filter(compile(pred, env))
+
+    case ProjectOp(cols, _) =>
+      df.select(cols.map { c =>
+        c.x match {
+          case Some(x) => compile(x, env).as(c.name.name)
+          case None    => attr(c.name.name).as(c.name.name)
+        }
+      }: _*)
+
+    case ExtendOp(cols, _) =>
+      df.select(col("*") +: cols.map(computed): _*)
+
+    case SummarizeOp(aggs, by, _) =>
+      val keyCols = by.map(computed)
+      val aggCols = aggs.map(computed)
+      if (aggCols.isEmpty) df.select(keyCols: _*).distinct()
+      else if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    case SortOp(terms, _) => df.orderBy(terms.map(sortColumn): _*)
+
+    case TakeOp(n, _) => df.limit(rowCount(n))
+
+    case TopOp(n, term, _) => df.orderBy(sortColumn(term)).limit(rowCount(n))
+
+    case CountOp(_) => df.agg(count(lit(1)).as("count()"))
+
+    case j: JoinOp => compileJoin(df, j)
+
+    case AsOp(name, _) =>
+      namedResults(name.name) = df
+      df
+
+    case RenderOp(chartType, props, _) =>
+      val withType = df.withColumn("render_type", lit(chartType.name))
+      props.foldLeft(withType) { (acc, p) =>
+        acc.withColumn(s"render_prop_${p.name.name}", lit(renderValue(p.value)))
+      }
+  }
+
+  /** Render property values are presentation instructions: literals
+    * stringify to their text, identifiers to their name.
+    */
+  private def renderValue(e: Expr): String = e match {
+    case BasicLit(_, v, _)     => v
+    case QualifiedIdent(parts) => parts.head.name
+    case other                 => sourceText(other.span)
+  }
+
+  private def rowCount(e: Expr): Int = {
+    val n = exprs.evalRowCount(e, letAsts)
+    if (n < 0 || n > Int.MaxValue) fail(s"row count $n out of range", e.span)
+    n.toInt
+  }
+
+  private def computed(c: ComputedColumn): Column = {
+    val name = c.name.map(_.name).getOrElse(sourceText(c.x.span))
+    compile(c.x, env).as(name)
+  }
+
+  private def sortColumn(t: SortTerm): Column = {
+    val c = compile(t.x, env)
+    (t.asc, t.nullsFirst) match {
+      case (true, true)   => c.asc_nulls_first
+      case (true, false)  => c.asc_nulls_last
+      case (false, true)  => c.desc_nulls_first
+      case (false, false) => c.desc_nulls_last
+    }
+  }
+
+  // ---- join ----------------------------------------------------------
+
+  /** Join semantics follow the reference (/root/reference/pql.go:186-361):
+    *
+    *   - default flavor `innerunique` deduplicates the left side
+    *     (`SELECT DISTINCT *`) before an inner join;
+    *   - a bare column condition `on Col` means
+    *     `\$left.Col == \$right.Col`;
+    *   - output keeps every column of both sides; right-side columns
+    *     whose name collides with a left column are renamed
+    *     `\$right.<name>` (the engine-assigned disambiguation the
+    *     reference relies on).
+    *
+    * Equality conditions across sides compile to plain `===` conjuncts
+    * so Catalyst recognizes the equi-join (broadcast/sort-merge + AQE
+    * skew handling at scale).
+    */
+  private def compileJoin(df: DataFrame, j: JoinOp): DataFrame = {
+    val left = if (j.flavor == "innerunique") df.dropDuplicates() else df
+    val right = compileTabular(j.right)
+    val joinType = j.flavor match {
+      case "inner" | "innerunique" => "inner"
+      case "leftouter"             => "left"
+      case other                   => fail(s"unhandled join type \"$other\"", j.span)
+    }
+
+    val joinEnv = env.copy(join = Some((left, right)))
+    val cond = j.conditions
+      .map(c => compileJoinCondition(c, joinEnv))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+    val joined = left.join(right, cond, joinType)
+
+    val leftNames = left.columns
+    val taken = leftNames.toSet
+    val out = leftNames.map(n => left.col(quoted(n))) ++
+      right.columns.map { n =>
+        val c = right.col(quoted(n))
+        if (taken(n)) c.as(s"$$right.$n") else c
+      }
+    joined.select(out.toIndexedSeq: _*)
+  }
+
+  private def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** A bare unqualified identifier as a join condition is shorthand for
+    * `\$left.Col == \$right.Col`.
+    */
+  private def compileJoinCondition(c: Expr, joinEnv: ExprEnv): Column = c match {
+    case QualifiedIdent(List(p))
+        if !p.quoted && !scope.contains(p.name) &&
+          p.name != "true" && p.name != "false" && p.name != "null" =>
+      val (l, r) = joinEnv.join.get
+      l.col(quoted(p.name)) === r.col(quoted(p.name))
+    case other => compile(other, joinEnv)
+  }
+}

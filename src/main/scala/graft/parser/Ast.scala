@@ -1,0 +1,124 @@
+package graft.parser
+
+/** PQL abstract syntax tree.
+  *
+  * Shapes mirror the reference language's grammar
+  * (/root/reference/parser/ast.go:13-600) but are plain Scala case
+  * classes; every node keeps a [[Span]] so the compiler can name
+  * unnamed computed columns after their exact source text.
+  */
+sealed trait Node { def span: Span }
+
+sealed trait Statement extends Node
+
+sealed trait Expr extends Node
+
+/** An identifier; `quoted` marks backtick-quoted identifiers, which are
+  * never treated as keywords, scope references, or builtins.
+  */
+final case class Ident(name: String, span: Span, quoted: Boolean = false) extends Node {
+  def asQualified: QualifiedIdent = QualifiedIdent(List(this))
+}
+
+/** Dot-separated identifier chain (`a.b.c`, `$left.Col`). */
+final case class QualifiedIdent(parts: List[Ident]) extends Expr {
+  def span: Span = parts.head.span.union(parts.last.span)
+}
+
+/** Literal; `kind` is [[TokenKind.Number]] or [[TokenKind.Str]] and
+  * `value` the normalized token text.
+  */
+final case class BasicLit(kind: TokenKind, value: String, span: Span) extends Expr {
+  def isInteger: Boolean =
+    kind == TokenKind.Number && !value.exists(c => c == '.' || c == 'e' || c == 'E')
+}
+
+final case class UnaryExpr(op: TokenKind, x: Expr, span: Span) extends Expr
+
+final case class BinaryExpr(x: Expr, op: TokenKind, opSpan: Span, y: Expr) extends Expr {
+  def span: Span = x.span.union(y.span)
+}
+
+final case class InExpr(x: Expr, vals: List[Expr], span: Span) extends Expr
+
+final case class ParenExpr(x: Expr, span: Span) extends Expr
+
+final case class CallExpr(func: Ident, args: List[Expr], span: Span) extends Expr
+
+final case class IndexExpr(x: Expr, index: Expr, span: Span) extends Expr
+
+/** `let name = expr;` — binds a scalar expression for later queries. */
+final case class LetStatement(name: Ident, x: Expr, span: Span) extends Statement
+
+final case class TableRef(table: Ident) { def span: Span = table.span }
+
+/** A pipeline: source table followed by `|`-chained operators. */
+final case class TabularExpr(source: TableRef, operators: List[TabularOperator]) extends Statement {
+  def span: Span =
+    operators.lastOption.fold(source.span)(op => source.span.union(op.span))
+}
+
+sealed trait TabularOperator extends Node
+
+/** `| count` — single row, column named `count()`. */
+final case class CountOp(span: Span) extends TabularOperator
+
+/** `| where predicate` (alias `filter`). */
+final case class WhereOp(predicate: Expr, span: Span) extends TabularOperator
+
+/** One term of a sort: default ordering is `desc` with nulls last;
+  * `asc` implies nulls first. Explicit `nulls first|last` overrides.
+  */
+final case class SortTerm(x: Expr, asc: Boolean, nullsFirst: Boolean)
+
+/** `| sort by t1, t2, ...` (alias `order`). */
+final case class SortOp(terms: List[SortTerm], span: Span) extends TabularOperator
+
+/** `| take n` (alias `limit`). */
+final case class TakeOp(rowCount: Expr, span: Span) extends TabularOperator
+
+/** `| top n by term`. */
+final case class TopOp(rowCount: Expr, col: SortTerm, span: Span) extends TabularOperator
+
+/** One `project` column: bare `Name` or `Name = expr`. */
+final case class ProjectColumn(name: Ident, x: Option[Expr])
+
+/** `| project col1, col2 = expr, ...` — keeps only the listed columns. */
+final case class ProjectOp(cols: List[ProjectColumn], span: Span) extends TabularOperator
+
+/** One `extend`/`summarize` column: `Name = expr` or a bare expression
+  * (then the output column is named after the expression source text).
+  */
+final case class ComputedColumn(name: Option[Ident], x: Expr)
+
+/** `| extend c1 = expr, ...` — appends computed columns. */
+final case class ExtendOp(cols: List[ComputedColumn], span: Span) extends TabularOperator
+
+/** `| summarize aggs by keys`. */
+final case class SummarizeOp(
+    aggs: List[ComputedColumn],
+    by: List[ComputedColumn],
+    span: Span
+) extends TabularOperator
+
+/** `| join kind=flavor (right) on conds`; flavor defaults to
+  * `innerunique` (left side deduplicated before an inner join).
+  */
+final case class JoinOp(
+    flavor: String,
+    right: TabularExpr,
+    conditions: List[Expr],
+    span: Span
+) extends TabularOperator
+
+/** `| as Name` — names the intermediate result for later reference. */
+final case class AsOp(name: Ident, span: Span) extends TabularOperator
+
+final case class RenderProperty(name: Ident, value: Expr)
+
+/** `| render charttype with (k = v, ...)` — appends literal metadata
+  * columns `render_type` and `render_prop_<k>` for the presentation
+  * layer.
+  */
+final case class RenderOp(chartType: Ident, props: List[RenderProperty], span: Span)
+    extends TabularOperator

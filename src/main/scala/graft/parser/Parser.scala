@@ -1,0 +1,426 @@
+package graft.parser
+
+/** Recursive-descent parser for PQL with precedence-climbing
+  * expressions.
+  *
+  * Grammar follows the reference language
+  * (/root/reference/parser/parser.go:139-1220): a pipeline is
+  * `Table | op | op ...`; operator precedence (low→high) is
+  * `or < and < comparisons/in < additive < multiplicative`.
+  */
+object Parser {
+
+  /** Parse a full source text into statements (`let` bindings and at
+    * most one tabular query per statement, `;`-separated).
+    */
+  def parse(source: String): List[Statement] =
+    new Parser(source, Lexer.scan(source)).parseProgram()
+
+  private[parser] val joinFlavors = Set("inner", "innerunique", "leftouter")
+}
+
+private final class Parser(source: String, tokens: Vector[Token]) {
+  import TokenKind._
+
+  private var pos = 0
+
+  // ---- token helpers -------------------------------------------------
+
+  private def fail(msg: String, span: Span): Nothing =
+    throw new PqlParseException(msg, span, source)
+
+  private def eofSpan: Span = Span.at(source.length)
+
+  private def hasNext: Boolean = pos < tokens.length
+
+  private def peek: Option[Token] = if (hasNext) Some(tokens(pos)) else None
+
+  private def next(): Token = {
+    if (!hasNext) fail("unexpected EOF", eofSpan)
+    val t = tokens(pos)
+    pos += 1
+    t
+  }
+
+  private def describe(t: Token): String = t.kind match {
+    case Identifier       => s"'${t.value}'"
+    case QuotedIdentifier => s"quoted identifier '${t.value}'"
+    case Number           => s"number ${t.value}"
+    case Str              => "string"
+    case k                => k.display
+  }
+
+  private def expect(kind: TokenKind, what: String): Token = peek match {
+    case Some(t) if t.kind == kind => next()
+    case Some(t)                   => fail(s"expected $what, got ${describe(t)}", t.span)
+    case None                      => fail(s"expected $what, got EOF", eofSpan)
+  }
+
+  private def at(kind: TokenKind): Boolean = peek.exists(_.kind == kind)
+
+  private def atKeywordIdent(name: String): Boolean =
+    peek.exists(t => t.kind == Identifier && t.value == name)
+
+  /** End of an operator clause: the next token must start a new pipe
+    * stage or close the enclosing context.
+    */
+  private def atClauseEnd: Boolean = peek match {
+    case None    => true
+    case Some(t) => t.kind == Pipe || t.kind == RParen || t.kind == Semi
+  }
+
+  private def requireClauseEnd(): Unit =
+    if (!atClauseEnd) {
+      val t = tokens(pos)
+      fail(s"unexpected ${describe(t)}", t.span)
+    }
+
+  // ---- statements ----------------------------------------------------
+
+  def parseProgram(): List[Statement] = {
+    val stmts = List.newBuilder[Statement]
+    while (hasNext) {
+      if (at(Semi)) next()
+      else {
+        stmts += parseStatement()
+        peek match {
+          case Some(t) if t.kind == Semi => next()
+          case Some(t)                   => fail(s"unexpected ${describe(t)}", t.span)
+          case None                      =>
+        }
+      }
+    }
+    val out = stmts.result()
+    if (out.isEmpty) fail("empty query", eofSpan)
+    out
+  }
+
+  private def parseStatement(): Statement =
+    if (atKeywordIdent("let")) parseLet() else parseTabularExpr()
+
+  private def parseLet(): LetStatement = {
+    val kw = next() // 'let'
+    val name = parseIdent("identifier after 'let'")
+    expect(Assign, "'='")
+    val x = parseExpr()
+    LetStatement(name, x, kw.span.union(x.span))
+  }
+
+  // ---- tabular expressions -------------------------------------------
+
+  private def parseTabularExpr(): TabularExpr = {
+    val table = parseIdent("table name")
+    val ops = List.newBuilder[TabularOperator]
+    while (at(Pipe)) {
+      val pipe = next()
+      val opTok = peek match {
+        case Some(t) if t.kind == Identifier => next()
+        case Some(t) => fail(s"expected operator name, got ${describe(t)}", t.span)
+        case None    => fail("missing operator name after pipe", pipe.span)
+      }
+      ops += parseOperator(pipe, opTok)
+      requireClauseEnd()
+    }
+    TabularExpr(TableRef(table), ops.result())
+  }
+
+  private def parseOperator(pipe: Token, opTok: Token): TabularOperator = {
+    val start = pipe.span
+    def spanTo(end: Span): Span = start.union(end)
+    opTok.value match {
+      case "count" => CountOp(spanTo(opTok.span))
+      case "where" | "filter" =>
+        val p = parseExpr()
+        WhereOp(p, spanTo(p.span))
+      case "sort" | "order" =>
+        expectKeywordIdentOr(By, "'by'")
+        val terms = parseSortTerms()
+        SortOp(terms, spanTo(terms.last.x.span))
+      case "take" | "limit" =>
+        val n = parseRowCount()
+        TakeOp(n, spanTo(n.span))
+      case "top" =>
+        val n = parseRowCount()
+        expectKeywordIdentOr(By, "'by'")
+        val term = parseSortTerm()
+        TopOp(n, term, spanTo(term.x.span))
+      case "project" =>
+        val cols = parseProjectColumns()
+        ProjectOp(cols, spanTo(opTok.span))
+      case "extend" =>
+        val cols = parseComputedColumns()
+        ExtendOp(cols, spanTo(opTok.span))
+      case "summarize" =>
+        parseSummarize(spanTo(opTok.span))
+      case "join" =>
+        parseJoin(spanTo(opTok.span))
+      case "as" =>
+        val name = parseIdent("name after 'as'")
+        AsOp(name, spanTo(name.span))
+      case "render" =>
+        parseRender(spanTo(opTok.span))
+      case other =>
+        fail(s"unknown operator name \"$other\"", opTok.span)
+    }
+  }
+
+  private def expectKeywordIdentOr(kind: TokenKind, what: String): Unit = peek match {
+    case Some(t) if t.kind == kind => next(); ()
+    case Some(t)                   => fail(s"expected $what, got ${describe(t)}", t.span)
+    case None                      => fail(s"expected $what, got EOF", eofSpan)
+  }
+
+  private def parseSortTerms(): List[SortTerm] = {
+    val terms = List.newBuilder[SortTerm]
+    terms += parseSortTerm()
+    while (at(Comma)) { next(); terms += parseSortTerm() }
+    terms.result()
+  }
+
+  private def parseSortTerm(): SortTerm = {
+    val x = parseExpr()
+    // Defaults: descending, nulls last. `asc` flips to nulls first.
+    var asc = false
+    var nullsFirst = false
+    peek match {
+      case Some(t) if t.kind == Identifier && t.value == "asc" =>
+        next(); asc = true; nullsFirst = true
+      case Some(t) if t.kind == Identifier && t.value == "desc" =>
+        next()
+      case _ =>
+    }
+    if (atKeywordIdent("nulls")) {
+      val nullsTok = next()
+      peek match {
+        case Some(t) if t.kind == Identifier && t.value == "first" => next(); nullsFirst = true
+        case Some(t) if t.kind == Identifier && t.value == "last"  => next(); nullsFirst = false
+        case Some(t) => fail(s"expected 'first' or 'last', got ${describe(t)}", t.span)
+        case None    => fail("expected 'first' or 'last', got EOF", nullsTok.span)
+      }
+    }
+    SortTerm(x, asc, nullsFirst)
+  }
+
+  private def parseRowCount(): Expr = {
+    val x = parseExpr()
+    x match {
+      case lit: BasicLit if !lit.isInteger =>
+        fail(s"expected integer, got ${lit.value}", lit.span)
+      case _ =>
+    }
+    x
+  }
+
+  private def parseProjectColumns(): List[ProjectColumn] = {
+    val cols = List.newBuilder[ProjectColumn]
+    var done = false
+    while (!done) {
+      val name = parseIdent("column name")
+      if (at(Assign)) {
+        next()
+        cols += ProjectColumn(name, Some(parseExpr()))
+      } else cols += ProjectColumn(name, None)
+      if (at(Comma)) next() else done = true
+    }
+    cols.result()
+  }
+
+  /** `Name = expr` or a bare expression (for extend/summarize). */
+  private def parseComputedColumn(): ComputedColumn = {
+    val save = pos
+    if (at(Identifier) || at(QuotedIdentifier)) {
+      val name = parseIdent("column name")
+      if (at(Assign)) {
+        next()
+        return ComputedColumn(Some(name), parseExpr())
+      }
+      pos = save
+    }
+    ComputedColumn(None, parseExpr())
+  }
+
+  private def parseComputedColumns(): List[ComputedColumn] = {
+    val cols = List.newBuilder[ComputedColumn]
+    cols += parseComputedColumn()
+    while (at(Comma)) { next(); cols += parseComputedColumn() }
+    cols.result()
+  }
+
+  private def parseSummarize(span0: Span): SummarizeOp = {
+    val aggs =
+      if (at(By)) Nil
+      else parseComputedColumns()
+    val by =
+      if (at(By)) { next(); parseComputedColumns() }
+      else Nil
+    if (aggs.isEmpty && by.isEmpty)
+      fail("summarize requires aggregates or a 'by' clause", span0)
+    SummarizeOp(aggs, by, span0)
+  }
+
+  private def parseJoin(span0: Span): JoinOp = {
+    var flavor = "innerunique"
+    if (atKeywordIdent("kind")) {
+      next()
+      expect(Assign, "'='")
+      val f = peek match {
+        case Some(t) if t.kind == Identifier => next()
+        case Some(t) => fail(s"expected join flavor, got ${describe(t)}", t.span)
+        case None    => fail("expected join flavor, got EOF", eofSpan)
+      }
+      if (!Parser.joinFlavors.contains(f.value))
+        fail(
+          s"expected join flavor (one of ${Parser.joinFlavors.toList.sorted.mkString(", ")}), got ${f.value}",
+          f.span
+        )
+      flavor = f.value
+    }
+    expect(LParen, "'('")
+    val right = parseTabularExpr()
+    expect(RParen, "')'")
+    peek match {
+      case Some(t) if t.kind == Identifier && t.value == "on" => next()
+      case Some(t) => fail(s"expected 'on', got ${describe(t)}", t.span)
+      case None    => fail("expected 'on', got EOF", eofSpan)
+    }
+    val conds = parseExprList()
+    JoinOp(flavor, right, conds, span0)
+  }
+
+  private def parseRender(span0: Span): RenderOp = {
+    val chartType = parseIdent("chart type after render")
+    val props = List.newBuilder[RenderProperty]
+    if (atKeywordIdent("with")) {
+      next()
+      expect(LParen, "'(' after with")
+      var done = false
+      while (!done) {
+        val name = parseIdent("property name")
+        expect(Assign, "'=' after property name")
+        props += RenderProperty(name, parseExpr())
+        peek match {
+          case Some(t) if t.kind == RParen => next(); done = true
+          case Some(t) if t.kind == Comma  => next()
+          case Some(t) => fail(s"expected ',' or ')', got ${describe(t)}", t.span)
+          case None    => fail("expected ',' or ')', got EOF", eofSpan)
+        }
+      }
+    }
+    RenderOp(chartType, props.result(), span0)
+  }
+
+  private def parseIdent(what: String): Ident = peek match {
+    case Some(t) if t.kind == Identifier || t.kind == QuotedIdentifier =>
+      next()
+      Ident(t.value, t.span, quoted = t.kind == QuotedIdentifier)
+    case Some(t) => fail(s"expected $what, got ${describe(t)}", t.span)
+    case None    => fail(s"expected $what, got EOF", eofSpan)
+  }
+
+  // ---- expressions ---------------------------------------------------
+
+  private def parseExprList(): List[Expr] = {
+    val out = List.newBuilder[Expr]
+    out += parseExpr()
+    while (at(Comma)) { next(); out += parseExpr() }
+    out.result()
+  }
+
+  def parseExpr(): Expr = binaryTrail(parseUnary(), 0)
+
+  private def precedence(kind: TokenKind): Int = kind match {
+    case Star | Slash | Mod                          => 4
+    case Plus | Minus                                => 3
+    case Eq | NE | LT | LE | GT | GE | CiEq | CiNE | In => 2
+    case And                                         => 1
+    case Or                                          => 0
+    case _                                           => -1
+  }
+
+  private def binaryTrail(x0: Expr, minPrecedence: Int): Expr = {
+    var x = x0
+    var continue = true
+    while (continue && hasNext) {
+      val opTok = tokens(pos)
+      val prec1 = precedence(opTok.kind)
+      if (prec1 < 0 || prec1 < minPrecedence) continue = false
+      else {
+        next()
+        if (opTok.kind == In) {
+          expect(LParen, "'('")
+          val vals = parseExprList()
+          val rp = expect(RParen, "')'")
+          x = InExpr(x, vals, x.span.union(rp.span))
+        } else {
+          var y = parseUnary()
+          // Bind tighter operators to the right operand first.
+          var inner = true
+          while (inner && hasNext) {
+            val prec2 = precedence(tokens(pos).kind)
+            if (prec2 < 0 || prec2 <= prec1) inner = false
+            else y = binaryTrail(y, prec1 + 1)
+          }
+          x = BinaryExpr(x, opTok.kind, opTok.span, y)
+        }
+      }
+    }
+    x
+  }
+
+  private def parseUnary(): Expr = peek match {
+    case Some(t) if t.kind == Plus || t.kind == Minus =>
+      next()
+      val x = parsePrimary()
+      UnaryExpr(t.kind, x, t.span.union(x.span))
+    case _ => parsePrimary()
+  }
+
+  private def parsePrimary(): Expr = {
+    var x = parseInnerPrimary()
+    // A single optional index suffix, e.g. `a["key"]`.
+    if (at(LBracket)) {
+      next()
+      val idx = parseExpr()
+      val rb = expect(RBracket, "']'")
+      x = IndexExpr(x, idx, x.span.union(rb.span))
+    }
+    x
+  }
+
+  private def parseInnerPrimary(): Expr = peek match {
+    case None => fail("expected expression, got EOF", eofSpan)
+    case Some(t) =>
+      t.kind match {
+        case Number | Str =>
+          next()
+          BasicLit(t.kind, t.value, t.span)
+        case Identifier =>
+          val qid = parseQualifiedIdent()
+          if (qid.parts.lengthCompare(1) == 0 && at(LParen)) {
+            next()
+            val args = if (at(RParen)) Nil else parseExprList()
+            val rp = expect(RParen, "')'")
+            CallExpr(qid.parts.head, args, qid.span.union(rp.span))
+          } else qid
+        case QuotedIdentifier =>
+          parseQualifiedIdent()
+        case LParen =>
+          next()
+          val x = parseExpr()
+          val rp = expect(RParen, "')'")
+          ParenExpr(x, t.span.union(rp.span))
+        case _ =>
+          fail(s"expected expression, got ${describe(t)}", t.span)
+      }
+  }
+
+  private def parseQualifiedIdent(): QualifiedIdent = {
+    val parts = List.newBuilder[Ident]
+    parts += parseIdent("identifier")
+    while (at(TokenKind.Dot)) {
+      next()
+      parts += parseIdent("identifier after '.'")
+    }
+    QualifiedIdent(parts.result())
+  }
+}

@@ -1,0 +1,148 @@
+package graft.parser
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ParserSpec extends AnyFunSuite {
+
+  private def tabular(src: String): TabularExpr =
+    Parser.parse(src).collectFirst { case t: TabularExpr => t }.get
+
+  test("bare table") {
+    val t = tabular("StormEvents")
+    assert(t.source.table.name == "StormEvents")
+    assert(t.operators.isEmpty)
+  }
+
+  test("quoted table name") {
+    assert(tabular("`Storm Events`").source.table.name == "Storm Events")
+  }
+
+  test("where with precedence") {
+    val t = tabular("T | where a > 5 and b == \"x\" or c < 2")
+    val WhereOp(BinaryExpr(l, TokenKind.Or, _, r), _) = t.operators.head: @unchecked
+    val BinaryExpr(_, TokenKind.And, _, _) = l: @unchecked
+    val BinaryExpr(_, TokenKind.LT, _, _) = r: @unchecked
+  }
+
+  test("multiplication binds tighter than addition") {
+    val t = tabular("T | where a + b * c == 7")
+    val WhereOp(BinaryExpr(sum, TokenKind.Eq, _, _), _) = t.operators.head: @unchecked
+    val BinaryExpr(_, TokenKind.Plus, _, prod) = sum: @unchecked
+    val BinaryExpr(_, TokenKind.Star, _, _) = prod: @unchecked
+  }
+
+  test("in expression") {
+    val t = tabular("""T | where State in ("A", "B")""")
+    val WhereOp(InExpr(_, vals, _), _) = t.operators.head: @unchecked
+    assert(vals.length == 2)
+  }
+
+  test("project forms") {
+    val t = tabular("T | project a, b = x + 1, `c d`")
+    val ProjectOp(cols, _) = t.operators.head: @unchecked
+    assert(cols.map(_.name.name) == List("a", "b", "c d"))
+    assert(cols(1).x.isDefined && cols(0).x.isEmpty)
+  }
+
+  test("extend named and unnamed") {
+    val t = tabular("T | extend x = a + 1, 42")
+    val ExtendOp(cols, _) = t.operators.head: @unchecked
+    assert(cols.head.name.map(_.name).contains("x"))
+    assert(cols(1).name.isEmpty)
+  }
+
+  test("summarize with by") {
+    val t = tabular("T | summarize n = count(), s = sum(v) by k1, k2 = f(x)")
+    val SummarizeOp(aggs, by, _) = t.operators.head: @unchecked
+    assert(aggs.length == 2 && by.length == 2)
+    assert(by(1).name.map(_.name).contains("k2"))
+  }
+
+  test("summarize by only") {
+    val SummarizeOp(aggs, by, _) = tabular("T | summarize by k").operators.head: @unchecked
+    assert(aggs.isEmpty && by.length == 1)
+  }
+
+  test("sort terms with asc/desc/nulls") {
+    val SortOp(terms, _) =
+      tabular("T | sort by a, b asc, c desc nulls first, d asc nulls last").operators.head: @unchecked
+    assert(terms.map(t => (t.asc, t.nullsFirst)) ==
+      List((false, false), (true, true), (false, true), (true, false)))
+  }
+
+  test("top") {
+    val TopOp(_, col, _) = tabular("T | top 3 by x").operators.head: @unchecked
+    assert(!col.asc) // default descending
+  }
+
+  test("take requires integer literal") {
+    assertThrows[PqlParseException](Parser.parse("T | take 3.5"))
+    Parser.parse("T | take 3")
+  }
+
+  test("join flavors and right pipeline") {
+    val JoinOp(flavor, right, conds, _) =
+      tabular("L | join kind=leftouter (R | where x > 1) on k, $left.a == $right.b").operators.head: @unchecked
+    assert(flavor == "leftouter")
+    assert(right.operators.length == 1)
+    assert(conds.length == 2)
+  }
+
+  test("join defaults to innerunique") {
+    val JoinOp(flavor, _, _, _) = tabular("L | join (R) on k").operators.head: @unchecked
+    assert(flavor == "innerunique")
+  }
+
+  test("join rejects unknown flavor") {
+    assertThrows[PqlParseException](Parser.parse("L | join kind=full (R) on k"))
+  }
+
+  test("let statements") {
+    val stmts = Parser.parse("let n = 3; let s = \"x\"; T | take n")
+    assert(stmts.collect { case l: LetStatement => l.name.name } == List("n", "s"))
+  }
+
+  test("as and render") {
+    val t = tabular("T | as X | render barchart with (title=\"Hi\", x=col)")
+    val AsOp(name, _) = t.operators.head: @unchecked
+    assert(name.name == "X")
+    val RenderOp(chart, props, _) = t.operators(1): @unchecked
+    assert(chart.name == "barchart" && props.length == 2)
+  }
+
+  test("count operator takes no clause") {
+    assertThrows[PqlParseException](Parser.parse("T | count 5"))
+    Parser.parse("T | count")
+  }
+
+  test("unknown operator") {
+    assertThrows[PqlParseException](Parser.parse("T | frobnicate x"))
+  }
+
+  test("index expression") {
+    val WhereOp(BinaryExpr(IndexExpr(_, BasicLit(_, "key2", _), _), TokenKind.GT, _, _), _) =
+      tabular("""M | where a["key2"] > 10""").operators.head: @unchecked
+  }
+
+  test("qualified ident as struct path") {
+    val WhereOp(BinaryExpr(QualifiedIdent(parts), _, _, _), _) =
+      tabular("T | where a.b.c == 1").operators.head: @unchecked
+    assert(parts.map(_.name) == List("a", "b", "c"))
+  }
+
+  test("call with no args and nested calls") {
+    val ProjectOp(cols, _) =
+      tabular("T | project t = now(), u = strcat(tolower(a), \"-\")").operators.head: @unchecked
+    val CallExpr(f0, args0, _) = cols(0).x.get: @unchecked
+    assert(f0.name == "now" && args0.isEmpty)
+  }
+
+  test("trailing garbage after operator clause fails") {
+    assertThrows[PqlParseException](Parser.parse("T | count x"))
+    assertThrows[PqlParseException](Parser.parse("T | where a == 1 b"))
+  }
+
+  test("batch of statements splits on semicolons") {
+    assert(Parser.parse("T; U").length == 2)
+  }
+}
