@@ -266,6 +266,43 @@ private[graft] final class Exprs(source: String) {
       case "toupper" =>
         val List(x) = arity(call, 1)
         upper(c(x))
+      // KQL conversion functions (exact decimal arithmetic matters for
+      // reproducible money aggregates at scale).
+      case "toint" =>
+        val List(x) = arity(call, 1)
+        c(x).cast("int")
+      case "tolong" =>
+        val List(x) = arity(call, 1)
+        c(x).cast("long")
+      case "todouble" | "toreal" =>
+        val List(x) = arity(call, 1)
+        c(x).cast("double")
+      case "tostring" =>
+        val List(x) = arity(call, 1)
+        c(x).cast("string")
+      case "tobool" | "toboolean" =>
+        val List(x) = arity(call, 1)
+        c(x).cast("boolean")
+      case "todatetime" =>
+        val List(x) = arity(call, 1)
+        c(x).cast("timestamp")
+      case "todecimal" =>
+        call.args match {
+          case List(x) => c(x).cast("decimal(18,2)")
+          case List(x, BasicLit(TokenKind.Number, scale, _)) =>
+            c(x).cast(s"decimal(18,$scale)")
+          case _ => fail("todecimal(x[, scale]) takes 1 or 2 arguments", call.span)
+        }
+      case "strlen" =>
+        val List(x) = arity(call, 1)
+        length(c(x))
+      case "substring" =>
+        // KQL substring is 0-based; Spark's is 1-based.
+        call.args match {
+          case List(x, start)      => c(x).substr(c(start) + lit(1), lit(Int.MaxValue))
+          case List(x, start, len) => c(x).substr(c(start) + lit(1), c(len))
+          case _                   => fail("substring(s, start[, length])", call.span)
+        }
       case "bin" | "floor" if call.args.lengthCompare(2) == 0 =>
         // KQL bin(): bucket value to multiples of the size. A string
         // size ("1h", "15m", "30s", "2d") buckets a timestamp.
