@@ -79,10 +79,15 @@ private[graft] final class Compiler(
     case WhereOp(pred, _) => df.filter(compile(pred, env))
 
     case ProjectOp(cols, _) =>
+      // A bare unquoted name resolves through the expression path so
+      // `let`/parameter bindings and builtins shadow table columns,
+      // matching the reference (/root/reference/pql.go:374-384,603-610);
+      // quoted names are always plain column references.
       df.select(cols.map { c =>
         c.x match {
-          case Some(x) => compile(x, env).as(c.name.name)
-          case None    => attr(c.name.name).as(c.name.name)
+          case Some(x)                 => compile(x, env).as(c.name.name)
+          case None if c.name.quoted   => attr(c.name.name).as(c.name.name)
+          case None                    => compile(c.name.asQualified, env).as(c.name.name)
         }
       }: _*)
 
@@ -164,34 +169,44 @@ private[graft] final class Compiler(
     * so Catalyst recognizes the equi-join (broadcast/sort-merge + AQE
     * skew handling at scale).
     */
+  /** Unique per-join alias counter (nested joins must not collide). */
+  private var joinSeq = 0
+
   private def compileJoin(df: DataFrame, j: JoinOp): DataFrame = {
-    val left = if (j.flavor == "innerunique") df.dropDuplicates() else df
-    val right = compileTabular(j.right)
+    // Alias both sides and reference columns by qualified name
+    // (`alias.col`): a self-join (`T | join (T) on k`) otherwise trips
+    // Spark's AMBIGUOUS_SELF_JOIN detection because both legs share one
+    // Dataset lineage. With string-qualified references, Catalyst's
+    // DeduplicateRelations regenerates the right side's expression ids
+    // and resolution goes through the subquery aliases — the pattern
+    // the Spark docs prescribe (df.as("a").join(df.as("b"), $"a.x"...)).
+    joinSeq += 1
+    val leftRaw = if (j.flavor == "innerunique") df.dropDuplicates() else df
     val joinType = j.flavor match {
       case "inner" | "innerunique" => "inner"
       case "leftouter"             => "left"
       case other                   => fail(s"unhandled join type \"$other\"", j.span)
     }
+    val ctx = JoinCtx(leftRaw, compileTabular(j.right), s"__graft_l$joinSeq", s"__graft_r$joinSeq")
 
-    val joinEnv = env.copy(join = Some((left, right)))
+    val joinEnv = env.copy(join = Some(ctx))
     val cond = j.conditions
       .map(c => compileJoinCondition(c, joinEnv))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
 
-    val joined = left.join(right, cond, joinType)
+    val joined = ctx.left.as(ctx.leftAlias).join(ctx.right.as(ctx.rightAlias), cond, joinType)
 
-    val leftNames = left.columns
-    val taken = leftNames.toSet
-    val out = leftNames.map(n => left.col(quoted(n))) ++
-      right.columns.map { n =>
-        val c = right.col(quoted(n))
-        if (taken(n)) c.as(s"$$right.$n") else c
+    val taken = ctx.left.columns.toSet
+    val out = ctx.left.columns.map(n => ctx.leftCol(n).as(n)) ++
+      ctx.right.columns.map { n =>
+        // Right-side name collisions are disambiguated `$right.<name>`,
+        // the engine-assigned naming the reference relies on
+        // (/root/reference/pql.go:330-361).
+        ctx.rightCol(n).as(if (taken(n)) s"$$right.$n" else n)
       }
     joined.select(out.toIndexedSeq: _*)
   }
-
-  private def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
 
   /** A bare unqualified identifier as a join condition is shorthand for
     * `\$left.Col == \$right.Col`.
@@ -200,8 +215,8 @@ private[graft] final class Compiler(
     case QualifiedIdent(List(p))
         if !p.quoted && !scope.contains(p.name) &&
           p.name != "true" && p.name != "false" && p.name != "null" =>
-      val (l, r) = joinEnv.join.get
-      l.col(quoted(p.name)) === r.col(quoted(p.name))
+      val ctx = joinEnv.join.get
+      ctx.leftCol(p.name) === ctx.rightCol(p.name)
     case other => compile(other, joinEnv)
   }
 }

@@ -18,17 +18,32 @@ object PqlCompileException {
     }
 }
 
+/** Join-condition compilation context: the two sides plus the unique
+  * subquery aliases they are joined under. Columns are referenced by
+  * qualified name (`alias.col`) so self-joins resolve unambiguously.
+  */
+private[graft] final case class JoinCtx(
+    left: DataFrame,
+    right: DataFrame,
+    leftAlias: String,
+    rightAlias: String
+) {
+  private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
+  def leftCol(name: String): Column = col(s"$leftAlias.${quote(name)}")
+  def rightCol(name: String): Column = col(s"$rightAlias.${quote(name)}")
+}
+
 /** Expression environment.
   *
   * @param scope   `let`-bound and parameter columns, keyed by name.
   * @param join    when compiling a join condition, the left/right
-  *                DataFrames for `\$left.X` / `\$right.X` resolution.
+  *                context for `\$left.X` / `\$right.X` resolution.
   * @param letMode `let` bodies may only reference scope names and
   *                builtins (no table columns).
   */
 private[graft] final case class ExprEnv(
     scope: collection.Map[String, Column],
-    join: Option[(DataFrame, DataFrame)] = None,
+    join: Option[JoinCtx] = None,
     letMode: Boolean = false
 )
 
@@ -71,9 +86,14 @@ private[graft] final class Exprs(source: String) {
     case lit0 @ BasicLit(kind, value, span) =>
       kind match {
         case TokenKind.Number =>
+          // Integral literals are Int when they fit (like Spark SQL's
+          // own parser — some builtins, e.g. floor(x, scale), require a
+          // foldable IntegerType argument), then Long, then Decimal.
           if (lit0.isInteger)
-            try lit(value.toLong)
-            catch { case _: NumberFormatException => lit(BigDecimal(value)) }
+            try {
+              val l = value.toLong
+              if (l >= Int.MinValue && l <= Int.MaxValue) lit(l.toInt) else lit(l)
+            } catch { case _: NumberFormatException => lit(BigDecimal(value)) }
           else lit(value.toDouble)
         case TokenKind.Str => lit(value)
         case other         => fail(s"unhandled ${other.display} literal", span)
@@ -131,10 +151,11 @@ private[graft] final class Exprs(source: String) {
     // $left.X / $right.X inside join conditions.
     if (!head.quoted && (head.name == leftAlias || head.name == rightAlias)) {
       env.join match {
-        case Some((l, r)) =>
-          val side = if (head.name == leftAlias) l else r
+        case Some(ctx) =>
           val rest = parts.tail
-          var c = side.col(quotePart(rest.head.name))
+          var c =
+            if (head.name == leftAlias) ctx.leftCol(rest.head.name)
+            else ctx.rightCol(rest.head.name)
           rest.tail.foreach(p => c = c.getField(p.name))
           return c
         case None =>
@@ -155,9 +176,9 @@ private[graft] final class Exprs(source: String) {
     */
   private def resolveColumn(name: String, span: Span, env: ExprEnv): Column =
     env.join match {
-      case Some((l, r)) =>
-        if (l.columns.contains(name)) l.col(quotePart(name))
-        else if (r.columns.contains(name)) r.col(quotePart(name))
+      case Some(ctx) =>
+        if (ctx.left.columns.contains(name)) ctx.leftCol(name)
+        else if (ctx.right.columns.contains(name)) ctx.rightCol(name)
         else fail(s"unknown column $name in join condition", span)
       case None => attr(name)
     }
@@ -296,21 +317,22 @@ private[graft] final class Exprs(source: String) {
       case "strlen" =>
         val List(x) = arity(call, 1)
         length(c(x))
-      case "substring" =>
-        // KQL substring is 0-based; Spark's is 1-based.
-        call.args match {
-          case List(x, start)      => c(x).substr(c(start) + lit(1), lit(Int.MaxValue))
-          case List(x, start, len) => c(x).substr(c(start) + lit(1), c(len))
-          case _                   => fail("substring(s, start[, length])", call.span)
-        }
-      case "bin" | "floor" if call.args.lengthCompare(2) == 0 =>
-        // KQL bin(): bucket value to multiples of the size. A string
-        // size ("1h", "15m", "30s", "2d") buckets a timestamp.
-        val List(x, size) = call.args
+      // NOTE: `substring` and 2-arg `floor` deliberately pass through
+      // (below) — the reference forwards both to ClickHouse
+      // (/root/reference/pql.go:834-850 lists the only 11 intercepted
+      // functions), and Spark's builtins share ClickHouse's semantics
+      // (1-based substring; floor(x, scale) truncates to `scale`
+      // decimal places).
+      case "bin" =>
+        // graft extension beyond the reference: KQL bin() — bucket a
+        // value to multiples of the size. A string size ("1h", "15m",
+        // "500ms", "2d") buckets a timestamp; millisecond precision is
+        // kept exactly (integer arithmetic on epoch millis).
+        val List(x, size) = arity(call, 2)
         size match {
           case BasicLit(TokenKind.Str, dur, span) =>
-            val secs = parseDurationSeconds(dur, span)
-            timestamp_seconds(floor(unix_timestamp(c(x)).cast("double") / secs) * secs)
+            val ms = parseDurationMillis(dur, span)
+            timestamp_millis((unix_millis(c(x)) - pmod(unix_millis(c(x)), lit(ms))).cast("long"))
           case _ =>
             val s = c(size)
             floor(c(x).cast("double") / s) * s
@@ -319,8 +341,8 @@ private[graft] final class Exprs(source: String) {
         val List(d) = arity(call, 1)
         d match {
           case BasicLit(TokenKind.Str, dur, span) =>
-            val secs = parseDurationSeconds(dur, span)
-            current_timestamp() - expr(s"INTERVAL $secs SECOND")
+            val ms = parseDurationMillis(dur, span)
+            current_timestamp() - make_dt_interval(lit(0), lit(0), lit(0), lit(ms / 1e3))
           case _ => fail("ago() takes a duration string like \"1h\"", call.span)
         }
       case _ =>
@@ -329,19 +351,23 @@ private[graft] final class Exprs(source: String) {
     }
   }
 
-  private[graft] def parseDurationSeconds(s: String, span: Span): Long = {
-    val m = "^([0-9]+)(ms|s|m|h|d)$".r
+  /** Duration string → whole milliseconds ("500ms", "1.5h", "7d"). */
+  private[graft] def parseDurationMillis(s: String, span: Span): Long = {
+    val m = "^([0-9]+(?:\\.[0-9]+)?)(ms|s|m|h|d)$".r
     s.trim match {
       case m(n, unit) =>
-        val v = n.toLong
-        unit match {
-          case "s"  => v
-          case "m"  => v * 60
-          case "h"  => v * 3600
-          case "d"  => v * 86400
-          case "ms" => math.max(v / 1000, 1)
+        val v = BigDecimal(n)
+        val unitMs = unit match {
+          case "ms" => 1L
+          case "s"  => 1000L
+          case "m"  => 60000L
+          case "h"  => 3600000L
+          case "d"  => 86400000L
         }
-      case _ => fail(s"invalid duration \"$s\" (expected e.g. \"90s\", \"15m\", \"1h\", \"7d\")", span)
+        val ms = (v * unitMs).toLong
+        if (ms <= 0) fail(s"duration \"$s\" is below 1ms resolution", span)
+        ms
+      case _ => fail(s"invalid duration \"$s\" (expected e.g. \"500ms\", \"90s\", \"15m\", \"1.5h\", \"7d\")", span)
     }
   }
 

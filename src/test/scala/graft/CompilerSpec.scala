@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+/** Semantics unit tests for the corners the reference golden corpus
+  * doesn't reach: null-safe equality, case-insensitive operators with
+  * nulls, sort null placement, innerunique multiplicity, let/param
+  * scoping and shadowing, self-joins, and duration parsing.
+  *
+  * Reference behaviors cited per test (e.g. null handling of `==`:
+  * /root/reference/pql.go:700-723 emits `coalesce(x = y, FALSE)`).
+  */
+class CompilerSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.functions._
+
+  private lazy val t: DataFrame = {
+    val session = spark
+    import session.implicits._
+    Seq[(Integer, String)](
+      (1, "a"),
+      (2, null),
+      (null.asInstanceOf[Integer], "b"),
+      (4, "B"),
+      (4, "B")
+    ).toDF("id", "s")
+  }
+
+  private def cat(name: String): DataFrame = name match {
+    case "T" => t
+    case other => sys.error(s"no table $other")
+  }
+
+  private def run(q: String): DataFrame = Pql.query(spark, q, cat)
+
+  private def ids(q: String): Seq[Any] =
+    run(q).collect().toSeq.map(_.get(0))
+
+  // ---- null-safe == / != (reference: coalesce(x = y, FALSE)) --------
+
+  test("== with null column value is false, not null") {
+    assert(ids("T | where s == \"a\" | project id") == Seq(1L).map(_.toInt).map(identity))
+  }
+
+  test("== between two null values is false (null == null)") {
+    // null == null → coalesce(NULL, FALSE) → row dropped.
+    assert(run("T | where s == null | count").collect()(0).getLong(0) == 0L)
+  }
+
+  test("!= with null column value is false (null != 'a' drops row)") {
+    // Rows: s = a, null, b, B, B → != "a" keeps b, B, B (null dropped).
+    assert(run("T | where s != \"a\" | count").collect()(0).getLong(0) == 3L)
+  }
+
+  test("=~ is case-insensitive; null never matches") {
+    assert(run("T | where s =~ \"b\" | count").collect()(0).getLong(0) == 3L)
+  }
+
+  // ---- sort null placement (asc → nulls first, desc → nulls last) ---
+
+  test("sort asc puts nulls first") {
+    val got = ids("T | sort by id asc | project id")
+    assert(got.head == null && got.tail == Seq(1, 2, 4, 4))
+  }
+
+  test("sort desc (default) puts nulls last") {
+    val got = ids("T | sort by id | project id")
+    assert(got.last == null && got.init == Seq(4, 4, 2, 1))
+  }
+
+  // ---- innerunique multiplicity --------------------------------------
+
+  test("default join flavor innerunique dedups the LEFT side only") {
+    // Left has (4, B) twice; right T also has it twice. innerunique
+    // dedups left → each left-distinct row joins all right matches.
+    val n = run("T | where id == 4 | join (T | where id == 4) on id | count")
+      .collect()(0).getLong(0)
+    assert(n == 2L) // 1 distinct left row × 2 right rows
+  }
+
+  test("join kind=inner keeps left multiplicity") {
+    val n = run("T | where id == 4 | join kind=inner (T | where id == 4) on id | count")
+      .collect()(0).getLong(0)
+    assert(n == 4L) // 2 left × 2 right
+  }
+
+  test("plain self-join works (no AMBIGUOUS_SELF_JOIN)") {
+    val df = run("T | join kind=inner (T) on id")
+    assert(df.count() == 6L) // ids 1,2 match once each; 4 matches 2x2
+    // Right-side collision columns are disambiguated like the reference.
+    assert(df.columns.toSeq == Seq("id", "s", "$right.id", "$right.s"))
+  }
+
+  test("join kind=leftouter keeps unmatched left rows") {
+    val n = run("T | join kind=leftouter (T | where id == 1) on id | count")
+      .collect()(0).getLong(0)
+    assert(n == 5L)
+  }
+
+  // ---- let / params scoping ------------------------------------------
+
+  test("let binding is usable in where and project") {
+    assert(ids("let v = 2; T | where id == v | project id") == Seq(2))
+  }
+
+  test("bare project name resolves let binding (shadowing table columns)") {
+    // Reference resolves bare project columns through the expression
+    // scope (pql.go:374-384): `project id, v` emits the binding for v.
+    val got = run("let v = 5; T | where id == 1 | project id, v").collect()(0)
+    assert(got.getInt(0) == 1 && got.getInt(1) == 5)
+  }
+
+  test("let binding shadows a table column of the same name") {
+    val got = ids("let id = 99; T | take 1 | project id")
+    assert(got == Seq(99))
+  }
+
+  test("quoted bare project name is always a column reference") {
+    val got = ids("let id = 99; T | where id == 99 | project `id` | take 1")
+    // where uses the binding (99 == 99 → all rows); project `id` is the column.
+    assert(got.size == 1 && got.head != 99)
+  }
+
+  test("external parameters resolve like let bindings") {
+    val df = Pql.query(spark, "T | where id == minId | project id", cat,
+      params = Map("minId" -> lit(2)))
+    assert(df.collect().map(_.get(0)).toSeq == Seq(2))
+  }
+
+  test("let may reference earlier let") {
+    assert(ids("let a = 1; let b = a + 1; T | where id == b | project id") == Seq(2))
+  }
+
+  test("take count may be a let-bound constant expression") {
+    assert(run("let n = 1 + 1; T | take n").count() == 2L)
+  }
+
+  // ---- durations ------------------------------------------------------
+
+  test("bin with sub-second duration buckets at millisecond resolution") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(Timestamp.valueOf("2024-01-01 00:00:00.750"))
+      .toDF("ts")
+    val got = Pql.query(spark, "E | project b = bin(ts, \"500ms\")",
+      { case "E" => df }: PartialFunction[String, DataFrame])
+      .collect()(0).getTimestamp(0)
+    assert(got == Timestamp.valueOf("2024-01-01 00:00:00.5"))
+  }
+
+  test("bin with numeric size truncates to multiples") {
+    val got = run("T | where id == 4 | take 1 | project b = bin(id + 3, 5)")
+      .collect()(0).get(0)
+    assert(got == 5.0)
+  }
+
+  test("floor(x, scale) passes through to Spark (decimal truncation)") {
+    val got = run("T | take 1 | project f = floor(3.14159, 2)").collect()(0)
+    assert(got.getDecimal(0).doubleValue() == 3.14)
+  }
+
+  test("substring passes through 1-based like ClickHouse") {
+    val got = run("T | take 1 | project s2 = substring(\"hello\", 2, 3)")
+      .collect()(0).getString(0)
+    assert(got == "ell")
+  }
+}
