@@ -1,13 +1,272 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+import graft.sources.Tables
+
+/** Driver contract: one entry per implemented operator from SURVEY.md §2,
+  * each with a DuckDB-equivalent oracle where SQL can express it.
+  *
+  * Determinism conventions (the driver hash-compares values):
+  *   - money aggregates go through exact decimal arithmetic
+  *     (`todecimal(expr, s)` per row, exact sum, one final `todouble`) so
+  *     the result is independent of partial-aggregation order;
+  *   - unordered `take` is always preceded by a total-order `sort`;
+  *   - timestamps in outputs are epoch seconds (bigint), avoiding
+  *     tz-aware vs naive representation drift between engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private final case class Entry(
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+
+  private def q(pql: String, sql: String): Entry =
+    Entry((s, dir) => Pql.query(s, pql, Tables.parquetDir(s, dir)), Some(sql))
+
+  // ---- §2.1 tabular operators + §2.2 expressions ----------------------
+
+  private val pqlEntries: ListMap[String, Entry] = ListMap(
+    "pql_where" -> q(
+      """lineitem | where l_returnflag == "R" and l_quantity > 45
+        | | project l_orderkey, l_linenumber, l_quantity""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45""".stripMargin
+    ),
+    "pql_project" -> q(
+      "lineitem | project l_orderkey, l_linenumber, disc_price = l_extendedprice * (1 - l_discount)",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS disc_price FROM lineitem"
+    ),
+    "pql_extend" -> q(
+      """part | extend margin = p_retailprice * 0.1, upper_brand = toupper(p_brand)
+        | | project p_partkey, margin, upper_brand""".stripMargin,
+      "SELECT p_partkey, p_retailprice * 0.1 AS margin, upper(p_brand) AS upper_brand FROM part"
+    ),
+    "pql_summarize" -> q(
+      """lineitem | summarize sum_qty = sum(l_quantity),
+        |  sum_base = todouble(sum(todecimal(l_extendedprice, 2))),
+        |  n = count() by l_returnflag, l_linestatus""".stripMargin,
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ),
+    "pql_summarize_distinct" -> q(
+      "lineitem | summarize by l_returnflag, l_linestatus",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    ),
+    "pql_sort" -> q(
+      "customer | sort by c_acctbal, c_custkey asc | take 20 | project c_custkey, c_acctbal",
+      "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20"
+    ),
+    "pql_take" -> q(
+      """lineitem | sort by l_orderkey asc, l_linenumber asc | take 5
+        | | project l_orderkey, l_linenumber, l_quantity""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 5""".stripMargin
+    ),
+    "pql_top" -> q(
+      "orders | top 10 by o_totalprice | project o_orderkey, o_totalprice",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+    ),
+    "pql_count" -> q(
+      "lineitem | count",
+      "SELECT count(*) AS \"count()\" FROM lineitem"
+    ),
+    "pql_join_inner" -> q(
+      """orders | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | | where o_totalprice > 400000
+        | | project o_orderkey, c_name, o_totalprice""".stripMargin,
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+        |JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000""".stripMargin
+    ),
+    "pql_join_left" -> q(
+      """customer | join kind=leftouter (orders | where o_totalprice > 450000)
+        |   on $left.c_custkey == $right.o_custkey
+        | | project c_custkey, o_orderkey, o_totalprice""".stripMargin,
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |ON c_custkey = o_custkey""".stripMargin
+    ),
+    "pql_join_iu" -> q(
+      """lineitem | project l_orderkey
+        | | join (orders) on $left.l_orderkey == $right.o_orderkey
+        | | project l_orderkey, o_totalprice""".stripMargin,
+      """SELECT l.l_orderkey, o.o_totalprice
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+    ),
+    "pql_as" -> q(
+      "nation | as N | join kind=inner (N) on n_nationkey | project n_nationkey, n_name",
+      "SELECT n_nationkey, n_name FROM nation"
+    ),
+    "pql_let" -> q(
+      "let minbal = 9000; customer | where c_acctbal > minbal | project c_custkey, c_acctbal",
+      "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000"
+    ),
+    "pql_render" -> q(
+      "region | render barchart with (title=regions)",
+      """SELECT r_regionkey, r_name, 'barchart' AS render_type,
+        |  'regions' AS render_prop_title FROM region""".stripMargin
+    ),
+    // ---- §2.2 expression language ------------------------------------
+    "pql_nullsafe" -> q(
+      """customer | extend seg = iff(c_acctbal > 5000, c_mktsegment, null)
+        | | where seg != "FURNITURE" | summarize n = count()""".stripMargin,
+      """SELECT count(*) AS n FROM customer
+        |WHERE (CASE WHEN c_acctbal > 5000 THEN c_mktsegment END) IS NOT NULL
+        |  AND (CASE WHEN c_acctbal > 5000 THEN c_mktsegment END) <> 'FURNITURE'""".stripMargin
+    ),
+    "pql_ci_eq" -> q(
+      "part | where p_brand =~ \"brand#12\" | project p_partkey, p_brand",
+      "SELECT p_partkey, p_brand FROM part WHERE lower(p_brand) = lower('brand#12')"
+    ),
+    "pql_in" -> q(
+      "nation | where n_name in (\"NATION_1\", \"NATION_3\") | project n_nationkey, n_name",
+      "SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('NATION_1', 'NATION_3')"
+    ),
+    "pql_mapkey" -> q(
+      """events | extend m = from_json(props, "map<string,int>")
+        | | project event_id, v = m["k"]""".stripMargin,
+      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS v FROM events"
+    ),
+    "pql_scalar_fns" -> q(
+      """customer | project c_custkey, lo = tolower(c_name), up = toupper(c_mktsegment),
+        |  cat = strcat(c_name, "-", c_mktsegment), flag = iff(c_acctbal > 0, 1, 0),
+        |  ln = strlen(c_name), has_bal = isnotnull(c_acctbal)""".stripMargin,
+      """SELECT c_custkey, lower(c_name) AS lo, upper(c_mktsegment) AS up,
+        |  c_name || '-' || c_mktsegment AS cat,
+        |  CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS flag,
+        |  length(c_name) AS ln, c_acctbal IS NOT NULL AS has_bal
+        |FROM customer""".stripMargin
+    ),
+    "pql_summarize_countif" -> q(
+      """lineitem | summarize n_hi = countif(l_quantity > 40), n = count() by l_returnflag""",
+      """SELECT l_returnflag, count(*) FILTER (WHERE l_quantity > 40) AS n_hi,
+        |  count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin
+    ),
+    "pql_passthrough_fns" -> q(
+      """customer | project c_custkey, a = abs(c_acctbal), f = tolong(floor(c_acctbal)),
+        |  cl = tolong(ceiling(c_acctbal)), s = sqrt(abs(c_acctbal))""".stripMargin,
+      """SELECT c_custkey, abs(c_acctbal) AS a, CAST(floor(c_acctbal) AS BIGINT) AS f,
+        |  CAST(ceiling(c_acctbal) AS BIGINT) AS cl, sqrt(abs(c_acctbal)) AS s
+        |FROM customer""".stripMargin
+    ),
+    "pql_strings" -> q(
+      """customer | project c_custkey, s1 = substring(c_name, 10), s2 = substring(c_name, 1, 8),
+        |  r = reverse(c_mktsegment), t = trim(c_name)""".stripMargin,
+      """SELECT c_custkey, substr(c_name, 10) AS s1, substr(c_name, 1, 8) AS s2,
+        |  reverse(c_mktsegment) AS r, trim(c_name) AS t FROM customer""".stripMargin
+    ),
+    "pql_arith" -> q(
+      """lineitem | project l_orderkey, l_linenumber,
+        |  v = (l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 100,
+        |  m = l_linenumber % 2, neg = -l_quantity""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 100 AS v,
+        |  l_linenumber % 2 AS m, -l_quantity AS neg FROM lineitem""".stripMargin
+    ),
+    "pql_hex_literal" -> q(
+      "lineitem | where l_linenumber == 0x2 | summarize n = count()",
+      "SELECT count(*) AS n FROM lineitem WHERE l_linenumber = 2"
+    ),
+    "pql_datetime_bin" -> q(
+      """events | summarize n = count() by hb = bin(ts, "1h")
+        | | project hs = unix_seconds(hb), n""".stripMargin,
+      """SELECT CAST(epoch_us(ts::TIMESTAMP) // 1000 // 3600000 * 3600 AS BIGINT) AS hs,
+        |  count(*) AS n FROM events GROUP BY 1""".stripMargin
+    )
+  )
+
+  // ---- §2.5 headline queries (also benchmarked) -----------------------
+
+  private val headlineEntries: ListMap[String, Entry] = ListMap(
+    "q1_agg" -> q(
+      """lineitem | where l_shipdate <= todatetime("1998-09-01")
+        | | summarize sum_qty = sum(l_quantity),
+        |     sum_base = todouble(sum(todecimal(l_extendedprice, 2))),
+        |     sum_disc_price = todouble(sum(todecimal(l_extendedprice * (1 - l_discount), 4))),
+        |     sum_charge = todouble(sum(todecimal(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6))),
+        |     avg_qty = sum(l_quantity) / count(),
+        |     n = count()
+        |   by l_returnflag, l_linestatus""".stripMargin,
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    ),
+    "q3_shipping" -> q(
+      """customer | where c_mktsegment == "BUILDING"
+        | | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
+        | | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+        | | where o_orderdate < todatetime("1998-01-01") and l_shipdate > todatetime("1998-01-01")
+        | | summarize revenue = todouble(sum(todecimal(l_extendedprice * (1 - l_discount), 4)))
+        |   by l_orderkey, od = unix_seconds(todatetime(o_orderdate))
+        | | top 10 by revenue""".stripMargin,
+      """SELECT l_orderkey, CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS od,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, od
+        |ORDER BY revenue DESC LIMIT 10""".stripMargin
+    ),
+    "q5_local" -> q(
+      """region | where r_name == "ASIA"
+        | | join kind=inner (nation) on $left.r_regionkey == $right.n_regionkey
+        | | join kind=inner (customer) on $left.n_nationkey == $right.c_nationkey
+        | | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
+        | | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
+        | | summarize revenue = todouble(sum(todecimal(l_extendedprice * (1 - l_discount), 4)))
+        |   by n_name""".stripMargin,
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin
+    ),
+    "events_windowed" -> q(
+      """events | where event_type in ("click", "purchase")
+        | | summarize n = count(), total = todouble(sum(todecimal(value, 2)))
+        |   by tb = bin(ts, "15m"), event_type
+        | | project ts_bucket = unix_seconds(tb), event_type, n, total""".stripMargin,
+      """SELECT CAST(epoch_us(ts::TIMESTAMP) // 1000 // 900000 * 900 AS BIGINT) AS ts_bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2""".stripMargin
+    )
+  )
+
+  private val entries: ListMap[String, Entry] = pqlEntries ++ headlineEntries
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    entries("q1_agg").run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (k, e) => k -> e.run }
+
+  /** DuckDB-equivalent SQL for every oracle-expressible query. */
+  def oracleSql: Map[String, String] =
+    entries.collect { case (k, Entry(_, Some(sql))) => k -> sql }
+
+  /** Keys benchmarked by [[Bench]] (headline §2.5 queries). */
+  def benchKeys: Seq[String] = headlineEntries.keys.toSeq
 }

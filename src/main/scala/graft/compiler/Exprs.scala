@@ -332,7 +332,10 @@ private[graft] final class Exprs(source: String) {
         size match {
           case BasicLit(TokenKind.Str, dur, span) =>
             val ms = parseDurationMillis(dur, span)
-            timestamp_millis((unix_millis(c(x)) - pmod(unix_millis(c(x)), lit(ms))).cast("long"))
+            // Cast first: parquet often yields TIMESTAMP_NTZ, which
+            // unix_millis rejects (in a UTC session the cast is exact).
+            val epochMs = unix_millis(c(x).cast("timestamp"))
+            timestamp_millis((epochMs - pmod(epochMs, lit(ms))).cast("long"))
           case _ =>
             val s = c(size)
             floor(c(x).cast("double") / s) * s

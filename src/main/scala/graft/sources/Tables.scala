@@ -1,0 +1,82 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table catalog (`<dir>/<name>.parquet` → DataFrame).
+  *
+  * Unlike a bare `spark.read.parquet`, this catalog transparently
+  * handles parquet `TIMESTAMP(NANOS)` columns (written by e.g. pyarrow
+  * with ns-precision pandas timestamps), which Spark otherwise refuses
+  * to read (`PARQUET_TYPE_ILLEGAL`). Nano columns are read as epoch
+  * nanos (via `spark.sql.legacy.parquet.nanosAsLong`) and converted to
+  * micro-precision timestamps with exact integer arithmetic
+  * (`timestamp_micros(x div 1000)`) — the same floor-truncation other
+  * engines (DuckDB, ClickHouse) apply when narrowing ns to µs.
+  *
+  * The footer inspection reads ONE file's metadata on the driver; the
+  * data path stays a plain distributed parquet scan with pushdown and
+  * pruning intact (the conversion is a per-row projection on top).
+  */
+object Tables {
+
+  /** Catalog function over a directory of parquet tables; each table is
+    * resolved once per catalog instance (plans are reused).
+    */
+  def parquetDir(spark: SparkSession, dir: String): String => DataFrame = {
+    val cache = TrieMap.empty[String, DataFrame]
+    name => cache.getOrElseUpdate(name, load(spark, s"$dir/$name.parquet"))
+  }
+
+  /** Load one parquet file/directory, converting any TIMESTAMP(NANOS)
+    * columns to micro-precision timestamps.
+    */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val nanoCols = nanoTimestampColumns(spark, path)
+    if (nanoCols.isEmpty) spark.read.parquet(path)
+    else {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      nanoCols.foldLeft(spark.read.parquet(path)) { (df, c) =>
+        val q = "`" + c.replace("`", "``") + "`"
+        df.withColumn(c, timestamp_micros(expr(s"$q div 1000")))
+      }
+    }
+  }
+
+  /** Names of top-level TIMESTAMP(NANOS) primitive columns, from the
+    * footer of one representative file (driver-side, metadata only).
+    */
+  private def nanoTimestampColumns(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val fileOpt =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath).find(_.getName.endsWith(".parquet"))
+      else Some(p)
+    fileOpt match {
+      case None => Nil
+      case Some(file) =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+            case f
+                if f.isPrimitive && (f.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+                  case _ => false
+                }) =>
+              f.getName
+          }.toSeq
+        } finally reader.close()
+    }
+  }
+}
