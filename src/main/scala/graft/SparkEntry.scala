@@ -5,6 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
 
+import graft.ops.{Dedup, TextOps}
 import graft.sources.Tables
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -253,7 +254,83 @@ object SparkEntry {
     )
   )
 
-  private val entries: ListMap[String, Entry] = pqlEntries ++ headlineEntries
+  // ---- §2.4 LLM-pipeline ops ------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parquetDir(s, dir)("documents")
+
+  /** DuckDB equivalent of [[TextOps.normalize]]. */
+  private val sqlNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def stopList(lang: String): String =
+    TextOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def stopHits(lang: String): String =
+    s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      s"x -> list_contains(${stopList(lang)}, x))) AS DOUBLE)"
+
+  private val opsEntries: ListMap[String, Entry] = ListMap(
+    "text_tokens" -> Entry(
+      (s, dir) => TextOps.tokenStats(docs(s, dir), "text", "doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_lex,
+          |  CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents""".stripMargin
+      )
+    ),
+    "text_quality" -> Entry(
+      (s, dir) => TextOps.qualityScore(docs(s, dir), "text", "doc_id"),
+      Some {
+        val nChars = "CAST(length(text) AS DOUBLE)"
+        val nWords = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
+        val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+        val stops = stopHits("en")
+        s"""SELECT doc_id,
+           |  CAST($nChars AS BIGINT) AS n_chars,
+           |  CAST($nWords AS BIGINT) AS n_words,
+           |  $punct / greatest($nChars, 1.0) AS punct_ratio,
+           |  $stops / greatest($nWords, 1.0) AS stop_ratio,
+           |  ($nChars - ($nWords - 1.0)) / greatest($nWords, 1.0) AS mean_word_len,
+           |  least($nWords / 100.0, 1.0) * 0.4
+           |    + least(($stops / greatest($nWords, 1.0)) * 5.0, 1.0) * 0.4
+           |    + (1.0 - least(($punct / greatest($nChars, 1.0)) * 10.0, 1.0)) * 0.2 AS q_score
+           |FROM documents""".stripMargin
+      }
+    ),
+    "text_langid" -> Entry(
+      (s, dir) => TextOps.languageId(docs(s, dir), "text", "doc_id"),
+      Some {
+        val zh = "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) * 0.5"
+        s"""WITH s AS (SELECT doc_id,
+           |  ${stopHits("en")} AS s_en, ${stopHits("es")} AS s_es,
+           |  ${stopHits("de")} AS s_de, ${stopHits("fr")} AS s_fr,
+           |  $zh AS s_zh FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+           |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END AS lang_pred,
+           |  m AS lang_score
+           |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM s)""".stripMargin
+      }
+    ),
+    "text_fingerprint" -> Entry(
+      (s, dir) => TextOps.fingerprint(docs(s, dir), "text", "doc_id"),
+      Some(
+        s"""SELECT doc_id, md5($sqlNorm) AS fp_md5,
+           |  substr(md5($sqlNorm), 1, 16) AS fp64 FROM documents""".stripMargin
+      )
+    ),
+    "dedup_exact" -> Entry(
+      (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id"),
+      Some(
+        s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+           |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+      )
+    )
+  )
+
+  private val entries: ListMap[String, Entry] = pqlEntries ++ headlineEntries ++ opsEntries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines.
+  *
+  * All pure `Column` composition over Spark builtins — no UDFs, so
+  * every transform stays inside whole-stage codegen and scales as a
+  * narrow per-row projection (no shuffle). Regexes stay within the
+  * RE2-compatible subset so DuckDB/ClickHouse oracles can replicate
+  * results bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace-collapse + lowercase + trim: the canonical form used
+    * for fingerprinting and exact dedup.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexical token pattern: runs of letters, runs of digits,
+    * or single non-alphanumeric marks — the usual pre-tokenizer shape.
+    */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens and lexical (BPE-ish) tokens.
+    * Output: `idCol, n_ws, n_lex, n_chars`.
+    */
+  def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_ws"),
+      regexp_count(col(textCol), lit(TokenPattern)).cast("long").as("n_lex"),
+      length(col(textCol)).cast("long").as("n_chars")
+    )
+
+  /** Shared mini stopword lexicon (per language) for quality/langid. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "un", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "zu", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"),
+    "zh" -> Seq.empty // scored by CJK character presence instead
+  )
+
+  /** Count of tokens appearing in `words` (case-insensitive). */
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    if (words.isEmpty) lit(0)
+    else
+      size(filter(tokens(lower(text)), t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Heuristic quality scoring: length, punctuation ratio, stopword
+    * ratio, mean word length, and a composite score. Per-row double
+    * arithmetic only (deterministic, engine-portable).
+    * Output: `idCol, n_chars, n_words, punct_ratio, stop_ratio,
+    * mean_word_len, q_score`.
+    */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val nWords = size(tokens(t)).cast("double")
+    val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val stops = stopwordHits(t, Stopwords("en")).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val stopRatio = stops / greatest(nWords, lit(1.0))
+    val meanWordLen = (nChars - (nWords - lit(1.0))) / greatest(nWords, lit(1.0))
+    // Heuristic blend: long enough, some stopwords, not punctuation soup.
+    val score =
+      least(nWords / lit(100.0), lit(1.0)) * lit(0.4) +
+        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4) +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+    df.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars"),
+      nWords.cast("long").as("n_words"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"),
+      meanWordLen.as("mean_word_len"),
+      score.as("q_score")
+    )
+  }
+
+  /** n-gram/stopword-heuristic language ID over the built-in lexicon;
+    * CJK scored by character-class presence. Deterministic argmax with
+    * fixed priority order on ties. Output: `idCol, lang_pred, lang_score`.
+    */
+  def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val langs = Seq("en", "es", "de", "fr")
+    val scores: Seq[(String, Column)] =
+      langs.map(l => l -> stopwordHits(t, Stopwords(l)).cast("double")) :+
+        // CJK: weight characters since they don't whitespace-tokenize.
+        ("zh" -> (regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") * lit(0.5)))
+    val best = greatest(scores.map(_._2): _*)
+    // First language (in declaration order) reaching the max wins.
+    val pred = scores.tail.foldLeft(when(scores.head._2 === best, scores.head._1)) {
+      case (acc, (l, s)) => acc.when(s === best, l)
+    }
+    df.select(
+      col(idCol),
+      coalesce(pred, lit("und")).as("lang_pred"),
+      best.as("lang_score")
+    )
+  }
+
+  /** Document fingerprinting over normalized text: full 128-bit md5 hex
+    * plus a 64-bit prefix form — identical in any engine with md5().
+    * Output: `idCol, fp_md5, fp64`.
+    */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = md5(normalize(col(textCol)).cast("binary"))
+    df.select(
+      col(idCol),
+      fp.as("fp_md5"),
+      substring(fp, 1, 16).as("fp64")
+    )
+  }
+}
