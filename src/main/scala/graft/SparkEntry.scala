@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
 
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Dedup, NearDup, TextOps}
 import graft.sources.Tables
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -330,7 +330,137 @@ object SparkEntry {
     )
   )
 
-  private val entries: ListMap[String, Entry] = pqlEntries ++ headlineEntries ++ opsEntries
+  // ---- §2.4 near-dup / ANN oracle SQL (mirrors NearDup's pipelines) ----
+
+  /** DuckDB token array (mirrors [[NearDup.tokens]]). */
+  private val sqlTokens = s"regexp_split_to_array($sqlNorm, ' ')"
+
+  /** DuckDB 3-gram shingles over token array `w`. */
+  private val sqlShingles =
+    """CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |     ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))
+      |END""".stripMargin
+
+  /** DuckDB MinHash signature of list column `s` with `k` components. */
+  private def sqlMinhashSig(k: Int): String =
+    s"list_transform(generate_series(0, ${k - 1}), j -> " +
+      "list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || ':' || x))))"
+
+  /** UNION ALL arms exploding signature `sig` into bands of `r`. */
+  private def sqlBands(k: Int, r: Int): String =
+    (0 until k / r).map { j =>
+      val key =
+        if (r == 1) s"sig[${j + 1}]"
+        else s"array_to_string(sig[${j * r + 1}:${j * r + r}], '|')"
+      s"SELECT doc_id, $j AS bi, $key AS bk FROM sg"
+    }.mkString("\nUNION ALL ")
+
+  private def sqlMinhashOracle: String = {
+    val k = 32
+    val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
+       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM sh),
+       |bd AS (${sqlBands(k, 2)}),
+       |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, $est AS est_sim
+       |FROM cd JOIN sg s1 ON cd.id_a = s1.doc_id JOIN sg s2 ON cd.id_b = s2.doc_id
+       |WHERE $est >= 0.25""".stripMargin
+  }
+
+  private def sqlNgramOracle: String = {
+    val k = 8
+    val jac = "CAST(len(list_intersect(h1.s, h2.s)) AS DOUBLE) / len(list_distinct(list_concat(h1.s, h2.s)))"
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct($sqlShingles) AS s FROM t),
+       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM sh),
+       |bd AS (${sqlBands(k, 1)}),
+       |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, $jac AS jaccard
+       |FROM cd JOIN sh h1 ON cd.id_a = h1.doc_id JOIN sh h2 ON cd.id_b = h2.doc_id
+       |WHERE $jac >= 0.2""".stripMargin
+  }
+
+  private def sqlSimhashOracle: String = {
+    // ±1 contribution of token x to bit i: nibble i/4 of md5(x), mask 2^(3-i%4).
+    def contrib(i: Int): String = {
+      val pos = i / 4 + 1
+      val mask = Seq(8, 4, 2, 1)(i % 4)
+      val nib = s"(CASE WHEN ascii(substr(md5(x), $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(md5(x), $pos, 1)) - 87 ELSE ascii(substr(md5(x), $pos, 1)) - 48 END)"
+      s"CASE WHEN ($nib // $mask) % 2 = 1 THEN 1 ELSE -1 END"
+    }
+    val bitSums = (0 until 32)
+      .map(i => s"list_sum(list_transform(w, x -> ${contrib(i)})) AS s$i")
+      .mkString(",\n  ")
+    val sim = (0 until 32).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val bands = (0 until 4)
+      .map(j => s"SELECT doc_id, $j AS bi, (sim // ${1L << (8 * j)}) % 256 AS bk FROM sm")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |bs AS (SELECT doc_id,
+       |  $bitSums
+       |FROM t),
+       |sm AS (SELECT doc_id, CAST($sim AS BIGINT) AS sim FROM bs),
+       |bd AS ($bands),
+       |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(m1.sim, m2.sim)) AS INT) AS hamming
+       |FROM cd JOIN sm m1 ON cd.id_a = m1.doc_id JOIN sm m2 ON cd.id_b = m2.doc_id
+       |WHERE bit_count(xor(m1.sim, m2.sim)) <= 3""".stripMargin
+  }
+
+  private def sqlEmbedOracle: String = {
+    val dim = 64
+    // LCG hyperplane component for flat index expression `idx` (exact
+    // integer arithmetic; same formula as NearDup.planeComponent).
+    def plane(idx: String): String =
+      s"(((1103515245 * ($idx) + 12345) % 2147483648) / 2147483648.0) - 0.5"
+    val sigBits = (0 until 16).map { p =>
+      val d = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
+        s"j -> v[j+1] * (${plane(s"$p * $dim + j")})), (x, y) -> x + y)"
+      s"CASE WHEN $d >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    val bands = (0 until 4)
+      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (4 * j)}) % 16 AS bk FROM sg")
+      .mkString("\nUNION ALL ")
+    val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_transform(generate_series(1, $dim), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+       |FROM e),
+       |sg AS (SELECT vec_id, v, nrm, CAST($sigBits AS BIGINT) AS sig FROM n),
+       |bd AS ($bands),
+       |cd AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, $dotAB / (e1.nrm * e2.nrm) AS cos_sim
+       |FROM cd JOIN sg e1 ON cd.id_a = e1.vec_id JOIN sg e2 ON cd.id_b = e2.vec_id
+       |WHERE $dotAB / (e1.nrm * e2.nrm) >= 0.4""".stripMargin
+  }
+
+  private val nearDupEntries: ListMap[String, Entry] = ListMap(
+    "dedup_minhash" -> Entry(
+      (s, dir) => NearDup.minhashPairs(docs(s, dir), "text", "doc_id"),
+      Some(sqlMinhashOracle)
+    ),
+    "dedup_ngram" -> Entry(
+      (s, dir) => NearDup.ngramJaccardPairs(docs(s, dir), "text", "doc_id"),
+      Some(sqlNgramOracle)
+    ),
+    "dedup_simhash" -> Entry(
+      (s, dir) => NearDup.simhashPairs(docs(s, dir), "text", "doc_id"),
+      Some(sqlSimhashOracle)
+    ),
+    "dedup_embed" -> Entry(
+      (s, dir) => NearDup.embedCosinePairs(Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
+      Some(sqlEmbedOracle)
+    )
+  )
+
+  private val entries: ListMap[String, Entry] =
+    pqlEntries ++ headlineEntries ++ opsEntries ++ nearDupEntries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
