@@ -3,9 +3,9 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{expr, lit}
 
-import graft.ops.{Dedup, NearDup, TextOps}
+import graft.ops.{Ann, Dedup, NearDup, TextOps}
 import graft.sources.Tables
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -412,25 +412,37 @@ object SparkEntry {
        |WHERE bit_count(xor(m1.sim, m2.sim)) <= 3""".stripMargin
   }
 
-  private def sqlEmbedOracle: String = {
-    val dim = 64
-    // LCG hyperplane component for flat index expression `idx` (exact
-    // integer arithmetic; same formula as NearDup.planeComponent).
-    def plane(idx: String): String =
-      s"(((1103515245 * ($idx) + 12345) % 2147483648) / 2147483648.0) - 0.5"
-    val sigBits = (0 until 16).map { p =>
+  /** LCG hyperplane component for flat index expression `idx` (exact
+    * integer arithmetic; same formula as NearDup.planeComponent).
+    */
+  private def sqlPlane(idx: String): String =
+    s"(((1103515245 * ($idx) + 12345) % 2147483648) / 2147483648.0) - 0.5"
+
+  /** 16-bit sign-LSH signature expression over double list `v` (dim 64);
+    * mirrors NearDup.signSignature.
+    */
+  private def sqlSignSig(dim: Int): String =
+    (0 until 16).map { p =>
       val d = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
-        s"j -> v[j+1] * (${plane(s"$p * $dim + j")})), (x, y) -> x + y)"
+        s"j -> v[j+1] * (${sqlPlane(s"$p * $dim + j")})), (x, y) -> x + y)"
       s"CASE WHEN $d >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
+
+  /** Shared CTE prefix: embeddings as double vectors with L2 norms. */
+  private def sqlEmbedBase(dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_reduce(list_transform(generate_series(1, $dim), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+       |FROM e)""".stripMargin
+
+  private def sqlEmbedOracle: String = {
+    val dim = 64
+    val sigBits = sqlSignSig(dim)
     val bands = (0 until 4)
       .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (4 * j)}) % 16 AS bk FROM sg")
       .mkString("\nUNION ALL ")
     val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v,
-       |  sqrt(list_reduce(list_transform(generate_series(1, $dim), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
-       |FROM e),
+    s"""${sqlEmbedBase(dim)},
        |sg AS (SELECT vec_id, v, nrm, CAST($sigBits AS BIGINT) AS sig FROM n),
        |bd AS ($bands),
        |cd AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -438,6 +450,43 @@ object SparkEntry {
        |SELECT id_a, id_b, $dotAB / (e1.nrm * e2.nrm) AS cos_sim
        |FROM cd JOIN sg e1 ON cd.id_a = e1.vec_id JOIN sg e2 ON cd.id_b = e2.vec_id
        |WHERE $dotAB / (e1.nrm * e2.nrm) >= 0.4""".stripMargin
+  }
+
+  // ---- §2.4 ANN oracle SQL (mirrors Ann.bruteTopK / Ann.lshTopK) -------
+
+  /** Every 50th vec_id is a probe: 10 queries at sf0.01, 40 at sf0.1. */
+  private val annQueryPred = "vec_id % 50 = 0"
+
+  private def sqlAnnBruteOracle: String = {
+    val dim = 64
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE $annQueryPred),
+       |sc AS (SELECT q.query_id, n.vec_id, $dotQ / (n.nrm * q.qn) AS cos_sim
+       |       FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  private def sqlAnnLshOracle: String = {
+    val dim = 64
+    val bands = (0 until 4)
+      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (4 * j)}) % 16 AS bk FROM sg")
+      .mkString("\nUNION ALL ")
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> s1.v[i] * qs.qv[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim)} AS BIGINT) AS sig FROM n),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig FROM sg WHERE $annQueryPred),
+       |bd AS ($bands),
+       |qb AS (SELECT vec_id AS query_id, bi, bk FROM bd WHERE $annQueryPred),
+       |cd AS (SELECT DISTINCT q.query_id, b.vec_id
+       |       FROM bd b JOIN qb q ON b.bi = q.bi AND b.bk = q.bk AND b.vec_id <> q.query_id),
+       |sc AS (SELECT cd.query_id, cd.vec_id, $dotQ / (s1.nrm * qs.qn) AS cos_sim
+       |       FROM cd JOIN sg s1 ON cd.vec_id = s1.vec_id JOIN qs ON cd.query_id = qs.query_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
   }
 
   private val nearDupEntries: ListMap[String, Entry] = ListMap(
@@ -456,6 +505,20 @@ object SparkEntry {
     "dedup_embed" -> Entry(
       (s, dir) => NearDup.embedCosinePairs(Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
       Some(sqlEmbedOracle)
+    ),
+    "ann_brute" -> Entry(
+      (s, dir) => {
+        val emb = Tables.parquetDir(s, dir)("embeddings")
+        Ann.bruteTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", k = 5)
+      },
+      Some(sqlAnnBruteOracle)
+    ),
+    "ann_lsh" -> Entry(
+      (s, dir) => {
+        val emb = Tables.parquetDir(s, dir)("embeddings")
+        Ann.lshTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+      },
+      Some(sqlAnnLshOracle)
     )
   )
 

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale posture (100 TB):
+  *   - The query set is small by construction (user-supplied probes);
+  *     it is ALWAYS `broadcast()` so the corpus side never shuffles —
+  *     brute-force is one narrow map stage over the corpus scan.
+  *   - Top-k is `row_number() <= k` over (query, score): Spark ≥3.5
+  *     plans this as WindowGroupLimit, which prunes to k rows per query
+  *     map-side BEFORE the shuffle, so the exchange carries
+  *     O(queries × k) rows, not O(corpus × queries).
+  *   - The LSH variant buckets the corpus by sign-signature bands
+  *     (equi-join on compact band keys instead of scoring every row);
+  *     rescoring touches only candidates. Same shape ClickHouse/Lucene
+  *     IVF indexes produce, expressed as a declarative Catalyst plan.
+  *
+  * Determinism: scores use a left-fold dot product (fixed summation
+  * order) and ties are broken by corpus id, so results hash-match an
+  * independent engine (DuckDB oracle) bit-for-bit.
+  */
+object Ann {
+
+  import NearDup.{dot, signSignature}
+
+  /** Corpus rows as (id, v, nrm) with double vectors. */
+  private def prep(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact brute-force cosine top-k: every corpus row is scored against
+    * every (broadcast) query; `row_number` keeps the k best per query.
+    * Self-matches (same id) are excluded.
+    * Output: `query_id, <idCol>, cos_sim, rank`.
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    val base = prep(corpus, vecCol, idCol)
+    val q = prep(queries, vecCol, idCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = base
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH ANN: corpus and queries get a `planes`-bit hyperplane
+    * signature split into bands; candidates share at least one band
+    * (equi-join on band keys — no full scoring pass), then exact cosine
+    * rescoring keeps the k best candidates per query.
+    * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int = 5,
+      planes: Int = 16,
+      bandBits: Int = 4
+  ): DataFrame = {
+    val base = prep(corpus, vecCol, idCol)
+      .withColumn("sig", signSignature(col("v"), dim, planes))
+    val q = prep(queries, vecCol, idCol)
+      .withColumn("sig", signSignature(col("v"), dim, planes))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
+    val nBands = planes / bandBits
+    def bandKeys(sig: org.apache.spark.sql.Column) = transform(
+      sequence(lit(0), lit(nBands - 1)),
+      j => (sig / pow(lit(2), j * bandBits).cast("long")).cast("long") % (1 << bandBits)
+    )
+    val baseBands = base.select(col(idCol), col("v"), col("nrm"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val qBands = q.select(col("query_id"), col("qv"), col("qn"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val cand = baseBands
+      .join(
+        broadcast(qBands),
+        baseBands("band_idx") === qBands("band_idx") &&
+          baseBands("band_key") === qBands("band_key") &&
+          col(idCol) =!= col("query_id")
+      )
+      .select(col("query_id"), col(idCol), col("v"), col("nrm"), col("qv"), col("qn"))
+      .dropDuplicates("query_id", idCol)
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
+    cand
+      .select(
+        col("query_id"),
+        col(idCol),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

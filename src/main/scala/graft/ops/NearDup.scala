@@ -198,12 +198,33 @@ object NearDup {
     * `idx`: LCG step mapped to [-0.5, 0.5). Exact in double arithmetic,
     * so any engine reproduces it.
     */
-  private def planeComponent(idx: Column): Column =
+  private[ops] def planeComponent(idx: Column): Column =
     (((lit(1103515245L) * idx + 12345L) % 2147483648L) / lit(2147483648.0)) - 0.5
 
   /** Left-fold double dot product (deterministic summation order). */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** `planes`-bit sign-LSH signature of double-array column `v`:
+    * bit p is the sign of the dot product with deterministic
+    * hyperplane p (components from [[planeComponent]]).
+    */
+  private[ops] def signSignature(v: Column, dim: Int, planes: Int): Column =
+    aggregate(
+      transform(
+        sequence(lit(0), lit(planes - 1)),
+        p => {
+          val d = aggregate(
+            sequence(lit(0), lit(dim - 1)),
+            lit(0.0),
+            (acc, j) => acc + element_at(v, j + 1) * planeComponent(p * dim + j)
+          )
+          when(d >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+        }
+      ),
+      lit(0L),
+      _ + _
+    )
 
   /** Embedding near-duplicate pairs via sign-LSH candidates + exact
     * cosine rescoring. `planes` random hyperplanes give a `planes`-bit
@@ -222,22 +243,7 @@ object NearDup {
     val vec = transform(col(vecCol), x => x.cast("double"))
     val base = df.select(col(idCol), vec.as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val sig = aggregate(
-      transform(
-        sequence(lit(0), lit(planes - 1)),
-        p => {
-          val d = aggregate(
-            sequence(lit(0), lit(dim - 1)),
-            lit(0.0),
-            (acc, j) => acc + element_at(col("v"), j + 1) * planeComponent(p * dim + j)
-          )
-          when(d >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-        }
-      ),
-      lit(0L),
-      _ + _
-    )
-    val sigs = base.withColumn("sig", sig)
+    val sigs = base.withColumn("sig", signSignature(col("v"), dim, planes))
     val nBands = planes / bandBits
     val bands = transform(
       sequence(lit(0), lit(nBands - 1)),

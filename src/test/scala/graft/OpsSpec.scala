@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, NearDup, TextOps}
+
+/** Behavior + plan-shape tests for the graft.ops layer.
+  *
+  * The plan-shape assertions are the 100-TB contract: candidate
+  * generation must be a banded equi-join (no cartesian product), the
+  * ANN query side must be broadcast (corpus never shuffles for
+  * brute-force), and top-k must use the rank-limit form Spark plans as
+  * WindowGroupLimit (per-group partial limit before the shuffle).
+  */
+class OpsSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick  brown fox jumps over the lazy dog"), // exact dup after normalize
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "el perro grande corre por la calle de la ciudad"),
+    (5L, "completely different text about spark query engines")
+  ).toDF("doc_id", "text")
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val vecs: DataFrame = {
+    // 8-dim unit-ish vectors: ids 0..9; id i and i+5 are near-parallel.
+    val rows = (0 until 10).map { i =>
+      val base = (0 until 8).map(j => math.sin(0.7 * (i % 5) + 0.3 * j).toFloat)
+      val jitter = if (i < 5) 0.0f else 0.01f
+      (i.toLong, base.map(x => x + jitter).toArray)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // ---- behavior --------------------------------------------------------
+
+  test("exact dedup keeps lowest id per normalized-text group") {
+    val out = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(out.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("minhash finds the planted near-dup pair and skips unrelated docs") {
+    val pairs = NearDup.minhashPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalize
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // 1-word edit
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngram jaccard of identical normalized docs is 1.0") {
+    val m = NearDup.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+  }
+
+  test("simhash of identical normalized docs has hamming 0") {
+    val m = NearDup.simhashPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) == 0)
+  }
+
+  test("brute-force ANN ranks the parallel vector first") {
+    val out = Ann.bruteTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(out.head == 5L) // id 5 = id 0 + tiny jitter → highest cosine
+    assert(out.length == 3)
+  }
+
+  test("LSH ANN finds the same top candidate as brute force") {
+    val brute = Ann.bruteTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", k = 1)
+      .select("vec_id").as[Long].collect().head
+    val lsh = Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", dim = 8, k = 1)
+      .select("vec_id").as[Long].collect().head
+    assert(lsh == brute)
+  }
+
+  test("token stats and fingerprint agree with direct computation") {
+    val t = TextOps.tokenStats(docs, "text", "doc_id").filter($"doc_id" === 1).head()
+    assert(t.getAs[Long]("n_ws") == 9L)
+    assert(t.getAs[Long]("n_chars") == 43L)
+    val fps = TextOps.fingerprint(docs, "text", "doc_id")
+      .select("doc_id", "fp_md5").as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L)) // same normalized text → same fingerprint
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("language id: english vs spanish") {
+    val m = TextOps.languageId(docs, "text", "doc_id")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(m(1L) == "en")
+    assert(m(4L) == "es")
+  }
+
+  // ---- plan shape (the 100-TB contract) --------------------------------
+
+  test("near-dup candidate generation is an equi-join, never a cartesian product") {
+    for (
+      df <- Seq(
+        NearDup.minhashPairs(docs, "text", "doc_id"),
+        NearDup.ngramJaccardPairs(docs, "text", "doc_id"),
+        NearDup.simhashPairs(docs, "text", "doc_id"),
+        NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim = 8)
+      )
+    ) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join in:\n$plan")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side and group-limits top-k") {
+    val plan = executedPlan(
+      Ann.bruteTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", k = 3)
+    )
+    // The only non-equi join is corpus × broadcast(queries) — by design.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("LSH ANN buckets via equi-join on band keys (no full scoring pass)") {
+    val plan = executedPlan(
+      Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", dim = 8, k = 3)
+    )
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+}

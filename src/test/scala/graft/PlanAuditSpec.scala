@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.Tables
+
+/** Physical-plan audits over real parquet (sf0.001): the properties
+  * that keep compiled queries efficient at 100 TB.
+  *
+  *   - filters reach the parquet scan (`PushedFilters` non-empty);
+  *   - `sort | take` plans as TakeOrderedAndProject (O(N) heap, no
+  *     full sort);
+  *   - star joins broadcast the small dimension side.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val cat = Tables.parquetDir(spark, sfDir)
+
+  private def plans(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("where over parquet pushes the comparison into the scan") {
+    val df = Pql.query(spark, "lineitem | where l_quantity > 45 | project l_orderkey, l_quantity", cat)
+    val plan = plans(df)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+  }
+
+  test("null-safe == with literal pushes an equality filter") {
+    val df = Pql.query(spark, """lineitem | where l_returnflag == "R" | project l_orderkey""", cat)
+    val plan = plans(df)
+    // literal RHS compiles to a pushdown-friendly form, not coalesce(...)
+    assert(plan.contains("l_returnflag"), plan)
+    assert(plan.contains("PushedFilters: [") && !plan.matches("(?s).*PushedFilters: \\[\\].*"), plan)
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = Pql.query(spark, "lineitem | project l_orderkey, l_quantity", cat)
+    val plan = plans(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), plan)
+    assert(!readSchema.contains("l_comment"), plan)
+  }
+
+  test("sort | take plans as TakeOrderedAndProject") {
+    val df = Pql.query(spark, "customer | sort by c_acctbal | take 10 | project c_custkey", cat)
+    assert(plans(df).contains("TakeOrderedAndProject"), plans(df))
+  }
+
+  test("top N by x plans as TakeOrderedAndProject") {
+    val df = Pql.query(spark, "orders | top 5 by o_totalprice | project o_orderkey", cat)
+    assert(plans(df).contains("TakeOrderedAndProject"), plans(df))
+  }
+
+  test("star join broadcasts the small dimension side") {
+    val df = Pql.query(
+      spark,
+      """orders | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | | summarize n = count() by c_mktsegment""".stripMargin,
+      cat
+    )
+    assert(plans(df).contains("BroadcastHashJoin"), plans(df))
+  }
+}
