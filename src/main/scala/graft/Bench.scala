@@ -1,24 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline-query benchmark (driver-run, one JSON line on stdout).
+  *
+  * Measures the §2.5 headline queries (SparkEntry.benchKeys) at the
+  * scale factor in SPARK_GRAFT_SF_DIR. Each query gets one warm-up
+  * execution (JIT + codegen + file-listing warmup), then one measured
+  * run. Results are fully materialized through the `noop` sink —
+  * every operator the user would pay for executes (projections, sorts,
+  * exchanges), with no collect-to-driver and no output cost.
+  *
+  * A failing query is reported in an `errors` object and EXCLUDED from
+  * `queries`; the total is the sum of successful queries only, so a
+  * failure can never improve the score silently.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // dimension tables broadcast: 64 MB covers every TPC-H dim at
+      // bench scale, the same call a real cluster tunes per-executor-mem
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val results = SparkEntry.benchKeys.map { name =>
+      try {
+        materialize(name) // warm-up: JIT, codegen, parquet footers
+        val t0 = System.nanoTime()
+        materialize(name)
+        name -> Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(m)) => k -> m }
+    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}"""
+    )
+    if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: ${errs.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

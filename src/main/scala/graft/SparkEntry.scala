@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, lit}
 
-import graft.ops.{Ann, Dedup, NearDup, TextOps}
+import graft.ops.{Ann, Dedup, Multimodal, NearDup, TextOps}
 import graft.sources.Tables
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -186,20 +186,24 @@ object SparkEntry {
   // ---- §2.5 headline queries (also benchmarked) -----------------------
 
   private val headlineEntries: ListMap[String, Entry] = ListMap(
+    // Money sums use the scaled-long trick: per-row `round(x * 10^s)`
+    // is an exact integer in double, the long sum is order-independent
+    // AND a primitive codegen aggregate (~2× faster than decimal sums).
+    // Long overflow headroom: 2^63 / 10^6-scaled values ≈ 9e12 rows.
     "q1_agg" -> q(
       """lineitem | where l_shipdate <= todatetime("1998-09-01")
         | | summarize sum_qty = sum(l_quantity),
-        |     sum_base = todouble(sum(todecimal(l_extendedprice, 2))),
-        |     sum_disc_price = todouble(sum(todecimal(l_extendedprice * (1 - l_discount), 4))),
-        |     sum_charge = todouble(sum(todecimal(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6))),
+        |     sum_base = todouble(sum(tolong(round(l_extendedprice * 100)))) / 100.0,
+        |     sum_disc_price = todouble(sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))) / 10000.0,
+        |     sum_charge = todouble(sum(tolong(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)))) / 1000000.0,
         |     avg_qty = sum(l_quantity) / count(),
         |     n = count()
         |   by l_returnflag, l_linestatus""".stripMargin,
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  count(*) AS n
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -210,11 +214,11 @@ object SparkEntry {
         | | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
         | | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
         | | where o_orderdate < todatetime("1998-01-01") and l_shipdate > todatetime("1998-01-01")
-        | | summarize revenue = todouble(sum(todecimal(l_extendedprice * (1 - l_discount), 4)))
+        | | summarize revenue = todouble(sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))) / 10000.0
         |   by l_orderkey, od = unix_seconds(todatetime(o_orderdate))
         | | top 10 by revenue""".stripMargin,
       """SELECT l_orderkey, CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS od,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -229,10 +233,10 @@ object SparkEntry {
         | | join kind=inner (customer) on $left.n_nationkey == $right.c_nationkey
         | | join kind=inner (orders) on $left.c_custkey == $right.o_custkey
         | | join kind=inner (lineitem) on $left.o_orderkey == $right.l_orderkey
-        | | summarize revenue = todouble(sum(todecimal(l_extendedprice * (1 - l_discount), 4)))
+        | | summarize revenue = todouble(sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))) / 10000.0
         |   by n_name""".stripMargin,
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM region
         |JOIN nation ON r_regionkey = n_regionkey
         |JOIN customer ON n_nationkey = c_nationkey
@@ -243,12 +247,12 @@ object SparkEntry {
     ),
     "events_windowed" -> q(
       """events | where event_type in ("click", "purchase")
-        | | summarize n = count(), total = todouble(sum(todecimal(value, 2)))
+        | | summarize n = count(), total = todouble(sum(tolong(round(value * 100)))) / 100.0
         |   by tb = bin(ts, "15m"), event_type
         | | project ts_bucket = unix_seconds(tb), event_type, n, total""".stripMargin,
       """SELECT CAST(epoch_us(ts::TIMESTAMP) // 1000 // 900000 * 900 AS BIGINT) AS ts_bucket,
         |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1, 2""".stripMargin
     )
@@ -326,6 +330,18 @@ object SparkEntry {
       Some(
         s"""SELECT doc_id, text, lang, source, n_chars FROM documents
            |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+      )
+    ),
+    "mm_meta" -> Entry(
+      (s, dir) => Multimodal.metadata(docs(s, dir), "text", "doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+          |  CAST(32 + length(text) % 64 AS INT) AS width,
+          |  CAST(32 + (length(text) * 7) % 64 AS INT) AS height,
+          |  CAST(octet_length(from_hex(md5(text) || md5(text || 'x'))) AS BIGINT) AS n_bytes,
+          |  sha256(md5(text) || md5(text || 'x')) AS payload_sha
+          |FROM documents""".stripMargin
       )
     )
   )

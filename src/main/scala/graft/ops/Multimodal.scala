@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, plus a batched decode/feature-extract path.
+  *
+  * The decode step itself is STUBBED (this environment has no
+  * image/audio codecs): [[stubDecode]] derives a deterministic fake
+  * feature vector from the payload bytes. Everything around it — the
+  * binary column representation, the typed-metadata schema, the
+  * `Dataset[T].mapPartitions` batch shape (fixed-size batches, one
+  * decoder init per partition), and the partitioning — is the real
+  * production plumbing a codec-backed decoder would drop into.
+  *
+  * Scale posture (100 TB): payloads stay opaque binary all the way to
+  * the decode stage (no driver collect, no per-row UDF dispatch);
+  * feature extraction is a narrow per-partition pass, so it pipelines
+  * with the scan and shuffles nothing.
+  */
+object Multimodal {
+
+  /** One multimodal record: typed metadata + opaque payload. */
+  final case class MMRecord(
+      doc_id: Long,
+      mime: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte]
+  )
+
+  /** Decoded record: metadata + fixed-length feature vector. */
+  final case class MMFeatures(
+      doc_id: Long,
+      mime: String,
+      n_bytes: Int,
+      features: Array[Float]
+  )
+
+  private val Mimes = Seq("image/png", "audio/wav", "video/mp4")
+
+  /** Synthesize a deterministic 32-byte binary payload + typed metadata
+    * from a text column — the stand-in for reading real media bytes
+    * (in production this column comes straight from the source table).
+    * Pure builtin projection, reproducible in any engine.
+    * Output: `doc_id, mime, width, height, payload`.
+    */
+  def attachBinary(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val payloadHex = concat(md5(t.cast("binary")), md5(concat(t, lit("x")).cast("binary")))
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      element_at(array(Mimes.map(lit): _*), (col(idCol) % 3).cast("int") + 1).as("mime"),
+      (lit(32) + pmod(length(t), lit(64))).cast("int").as("width"),
+      (lit(32) + pmod(length(t) * 7, lit(64))).cast("int").as("height"),
+      unhex(payloadHex).as("payload")
+    )
+  }
+
+  /** Flat metadata view of [[attachBinary]] (driver-oracle friendly):
+    * `doc_id, mime, width, height, n_bytes, payload_sha`.
+    */
+  def metadata(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    attachBinary(df, textCol, idCol).select(
+      col("doc_id"),
+      col("mime"),
+      col("width"),
+      col("height"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      // hash of the payload's lowercase hex (not the raw blob): engines
+      // disagree on sha256(BLOB) support, hex text is universal
+      sha2(lower(hex(col("payload"))), 256).as("payload_sha")
+    )
+
+  /** STUB decoder — stands in for e.g. an image decode + embedding
+    * model. Deterministic: an 8-bin byte histogram of the payload,
+    * L1-normalized. A real implementation replaces ONLY this function;
+    * the batching/schema/partitioning around it stays identical.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >>> 5) += 1f
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Batched feature extraction over the multimodal records: one
+    * decoder pass per partition, payloads processed in `batchSize`
+    * groups (the shape a vectorized codec / model-inference library
+    * needs), metadata carried through. No shuffle — a narrow map.
+    */
+  def extractFeatures(mm: DataFrame, batchSize: Int = 64): Dataset[MMFeatures] = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.as[MMRecord].mapPartitions { rows =>
+      // per-partition decoder init would go here (codec/model handle)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MMFeatures(r.doc_id, r.mime, r.payload.length, stubDecode(r.payload))
+        }
+      }
+    }
+  }
+}

@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Catalog function over a directory of parquet tables; each table is
-    * resolved once per catalog instance (plans are reused).
+  /** Process-wide table cache: resolving the same (session, dir,
+    * table) reuses one DataFrame, so repeated queries share the file
+    * index, footer metadata, and analyzed plan instead of re-listing
+    * per catalog instance.
     */
-  def parquetDir(spark: SparkSession, dir: String): String => DataFrame = {
-    val cache = TrieMap.empty[String, DataFrame]
-    name => cache.getOrElseUpdate(name, load(spark, s"$dir/$name.parquet"))
-  }
+  private val tableCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Catalog function over a directory of parquet tables. */
+  def parquetDir(spark: SparkSession, dir: String): String => DataFrame =
+    name => tableCache.getOrElseUpdate((spark, s"$dir/$name.parquet"), load(spark, s"$dir/$name.parquet"))
 
   /** Load one parquet file/directory, converting any TIMESTAMP(NANOS)
     * columns to micro-precision timestamps.

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Multimodal
+
+/** The multimodal plumbing contract: schema, determinism, batch shape,
+  * and partition preservation (the decode stage must be a narrow map —
+  * no shuffle between scan and features).
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (0L, "a tiny document"),
+    (1L, "another somewhat longer document body"),
+    (2L, "third record"),
+    (3L, "a tiny document")
+  ).toDF("doc_id", "text")
+
+  test("attachBinary: stable schema and 32-byte payloads") {
+    val mm = Multimodal.attachBinary(docs, "text", "doc_id")
+    assert(mm.columns.toSeq == Seq("doc_id", "mime", "width", "height", "payload"))
+    assert(mm.schema("payload").dataType.typeName == "binary")
+    val lens = mm.select("payload").as[Array[Byte]].collect().map(_.length).toSet
+    assert(lens == Set(32))
+  }
+
+  test("metadata mimes cycle deterministically by id") {
+    val m = Multimodal.metadata(docs, "text", "doc_id")
+      .select("doc_id", "mime").as[(Long, String)].collect().toMap
+    assert(m(0L) == "image/png" && m(1L) == "audio/wav" && m(2L) == "video/mp4" && m(3L) == "image/png")
+  }
+
+  test("feature extraction: fixed-length L1-normalized vectors, deterministic across runs") {
+    val mm = Multimodal.attachBinary(docs, "text", "doc_id")
+    val f1 = Multimodal.extractFeatures(mm).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.extractFeatures(mm, batchSize = 2).collect().sortBy(_.doc_id)
+    assert(f1.length == 4)
+    for ((a, b) <- f1.zip(f2)) {
+      assert(a.features.length == 8)
+      assert(math.abs(a.features.sum - 1.0f) < 1e-5) // L1-normalized histogram
+      assert(a.features.sameElements(b.features)) // batch size never changes results
+      assert(a.n_bytes == 32)
+    }
+    // identical payloads → identical features (ids 0 and 3 share text)
+    assert(f1(0).features.sameElements(f1(3).features))
+  }
+
+  test("decode stage is a narrow map: partitioning preserved, no shuffle") {
+    val mm = Multimodal.attachBinary(docs.repartition(3), "text", "doc_id")
+    val feats = Multimodal.extractFeatures(mm)
+    assert(feats.rdd.getNumPartitions == 3)
+    // the ONLY exchange is the explicit repartition(3) below the decode:
+    // nothing shuffles between the payload projection and mapPartitions
+    val plan = feats.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("RoundRobinPartitioning"), plan)
+  }
+}

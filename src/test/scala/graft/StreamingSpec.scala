@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** The "same plan over readStream" contract (SURVEY §2.3): a PQL query
+  * compiled once runs over a streaming source and produces exactly the
+  * batch results, and watermarked windows finalize for append mode.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    (ts(0), "click", 1.0),
+    (ts(1), "click", 2.0),
+    (ts(2), "purchase", 10.0),
+    (ts(16), "click", 3.0),
+    (ts(17), "purchase", 20.0),
+    (ts(31), "click", 4.0)
+  )
+
+  private val pql =
+    """ev | where value > 1.5
+      | | summarize n = count(), total = sum(value) by event_type""".stripMargin
+
+  test("PQL summarize over a memory stream matches the batch result") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = ms.toDF.toDF("ts", "event_type", "value")
+
+    // ONE compile path: the catalog decides batch vs stream.
+    val streaming = Streaming.query(spark, pql, Map("ev" -> streamDf))
+    assert(streaming.isStreaming)
+    val q = Streaming.runToMemory(streaming, "stream_agg", "complete")
+    try {
+      ms.addData(rows.take(3))
+      q.processAllAvailable()
+      ms.addData(rows.drop(3))
+      q.processAllAvailable()
+
+      val got = spark.table("stream_agg")
+        .select("event_type", "n", "total").as[(String, Long, Double)].collect().toSet
+      val batchDf = rows.toDF("ts", "event_type", "value")
+      val want = Pql.query(spark, pql, Map("ev" -> batchDf))
+        .select("event_type", "n", "total").as[(String, Long, Double)].collect().toSet
+      assert(got == want)
+      assert(got == Set(("click", 3L, 9.0), ("purchase", 2L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("watermarked 15m windows finalize for append mode") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = Streaming.withEventTime(ms.toDF.toDF("ts", "event_type", "value"), "ts", "5 minutes")
+
+    val agg = streamDf
+      .groupBy(Streaming.binWindow(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count("*").as("n"), sum("value").as("total"))
+      .select(col("w.start").as("tb"), col("event_type"), col("n"), col("total"))
+
+    val q = Streaming.runToMemory(agg, "stream_windowed", "append")
+    try {
+      ms.addData(rows.take(3)) // minutes 0..2 → window [10:00, 10:15)
+      q.processAllAvailable()
+      ms.addData(rows.drop(3)) // minute 31 advances watermark past 10:15
+      q.processAllAvailable()
+
+      val got = spark.table("stream_windowed")
+        .select("tb", "event_type", "n", "total").as[(Timestamp, String, Long, Double)]
+        .collect().toSet
+      // only the first window is finalized (watermark 31-5=26 > 15)
+      assert(got == Set((ts(0), "click", 2L, 3.0), (ts(0), "purchase", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
+    name => m.getOrElse(name, sys.error(s"unknown table $name"))
+}
