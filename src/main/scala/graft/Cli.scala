@@ -1,0 +1,69 @@
+package graft
+
+import scala.io.Source
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.Tables
+
+/** Command-line entry point, the analog of the reference's `pql`
+  * binary (reference: cmd/pql/main.go:1-216, which compiles a query
+  * from stdin and prints SQL). graft compiles to a Spark plan, so the
+  * CLI can additionally EXECUTE the query and print results or the
+  * optimized physical plan.
+  *
+  * Usage:
+  * {{{
+  * graft.Cli [--tables DIR] [--explain] [--limit N] [QUERY]
+  * }}}
+  * With no QUERY argument the source is read from stdin (like the
+  * reference). Tables resolve as `DIR/<name>.parquet`; without
+  * `--tables`, names resolve from the Spark session catalog.
+  */
+object Cli {
+
+  private case class Opts(
+      tablesDir: Option[String] = None,
+      explain: Boolean = false,
+      limit: Int = 20,
+      query: Option[String] = None
+  )
+
+  private def parseArgs(args: List[String], acc: Opts): Opts = args match {
+    case "--tables" :: dir :: rest => parseArgs(rest, acc.copy(tablesDir = Some(dir)))
+    case "--explain" :: rest => parseArgs(rest, acc.copy(explain = true))
+    case "--limit" :: n :: rest => parseArgs(rest, acc.copy(limit = n.toInt))
+    case q :: rest => parseArgs(rest, acc.copy(query = Some((acc.query.toSeq :+ q).mkString(" "))))
+    case Nil => acc
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args.toList, Opts())
+    val source = opts.query.getOrElse(Source.stdin.mkString)
+    if (source.trim.isEmpty) {
+      System.err.println("usage: graft.Cli [--tables DIR] [--explain] [--limit N] [QUERY]  (or query on stdin)")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val catalog: String => org.apache.spark.sql.DataFrame = opts.tablesDir match {
+        case Some(dir) => Tables.parquetDir(spark, dir)
+        case None => name => spark.table(name)
+      }
+      val df = Pql.query(spark, source, catalog)
+      if (opts.explain) df.explain("formatted")
+      else df.show(opts.limit, truncate = false)
+    } catch {
+      case e: graft.parser.PqlParseException =>
+        System.err.println(e.getMessage)
+        sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -114,6 +114,26 @@ object SparkEntry {
       """SELECT r_regionkey, r_name, 'barchart' AS render_type,
         |  'regions' AS render_prop_title FROM region""".stripMargin
     ),
+    "pql_params" -> Entry(
+      (s, dir) =>
+        Pql.query(
+          s,
+          """customer | where c_acctbal > minBal
+            | | project c_custkey, c_acctbal
+            | | sort by c_acctbal, c_custkey asc | take 15""".stripMargin,
+          Tables.parquetDir(s, dir),
+          params = Map("minBal" -> lit(8000))
+        ),
+      Some(
+        """SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000
+          |ORDER BY c_acctbal DESC, c_custkey LIMIT 15""".stripMargin
+      )
+    ),
+    // bare table reference = full parquet scan through the catalog
+    "src_parquet" -> q(
+      "region",
+      "SELECT * FROM region"
+    ),
     // ---- §2.2 expression language ------------------------------------
     "pql_nullsafe" -> q(
       """customer | extend seg = iff(c_acctbal > 5000, c_mktsegment, null)
