@@ -542,6 +542,17 @@ object SparkEntry {
       (s, dir) => NearDup.embedCosinePairs(Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
       Some(sqlEmbedOracle)
     ),
+    "dedup_minhash_corpus" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        NearDup.dropNearDuplicates(d, NearDup.minhashPairs(d, "text", "doc_id"), "doc_id")
+      },
+      Some(
+        s"""WITH pairs AS ($sqlMinhashOracle)
+           |SELECT doc_id, text, lang, source, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+      )
+    ),
     "ann_brute" -> Entry(
       (s, dir) => {
         val emb = Tables.parquetDir(s, dir)("embeddings")

@@ -192,6 +192,24 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Remove near-duplicates from the corpus given a candidate-pair
+    * frame (`id_a < id_b` convention, as produced by the *Pairs ops):
+    * every row whose id appears as the GREATER member of a pair is
+    * dropped, so exactly the smallest id of each duplicate cluster
+    * that is not itself dominated survives. Greedy-by-id (the
+    * standard corpus-dedup rule — deterministic, one anti-join, no
+    * iterative connected components).
+    *
+    * Scale: the pairs frame is tiny relative to the corpus (true
+    * near-dups only), so Catalyst plans the anti-join as a broadcast.
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(
+      pairs.select(col("id_b").as("__drop_id")).distinct(),
+      col(idCol) === col("__drop_id"),
+      "left_anti"
+    )
+
   // ---- embedding cosine --------------------------------------------------
 
   /** Deterministic pseudo-random hyperplane component for flat index

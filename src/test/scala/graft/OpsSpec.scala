@@ -55,6 +55,14 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("dropNearDuplicates keeps only non-dominated ids") {
+    val pairs = NearDup.minhashPairs(docs, "text", "doc_id")
+    val kept = NearDup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // 2 and 3 are near-dups of 1 → dropped; 1, 4, 5 survive
+    assert(kept.sameElements(Array(1L, 4L, 5L)))
+  }
+
   test("ngram jaccard of identical normalized docs is 1.0") {
     val m = NearDup.ngramJaccardPairs(docs, "text", "doc_id")
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
