@@ -377,16 +377,21 @@ object SparkEntry {
       |     ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))
       |END""".stripMargin
 
-  /** DuckDB MinHash signature of list column `s` with `k` components. */
+  /** DuckDB 32-bit string hash (mirrors NearDup.hash32). */
+  private val sqlHash32 = "('0x' || substr(md5(x), 1, 8))::BIGINT"
+
+  /** DuckDB MinHash signature over hashed-shingle list `hs` (mirrors
+    * NearDup.minhashSignature's universal-hash family mod 2^31-1).
+    */
   private def sqlMinhashSig(k: Int): String =
-    s"list_transform(generate_series(0, ${k - 1}), j -> " +
-      "list_min(list_transform(s, x -> md5(CAST(j AS VARCHAR) || ':' || x))))"
+    s"list_transform(generate_series(0, ${k - 1}), j -> list_min(list_transform(hs, h -> " +
+      "(((1103515245 * (j + 1) + 12345) % 2147483647) * h + ((987654321 * (j + 1) + 67890) % 2147483647)) % 2147483647)))"
 
   /** UNION ALL arms exploding signature `sig` into bands of `r`. */
   private def sqlBands(k: Int, r: Int): String =
     (0 until k / r).map { j =>
       val key =
-        if (r == 1) s"sig[${j + 1}]"
+        if (r == 1) s"CAST(sig[${j + 1}] AS VARCHAR)"
         else s"array_to_string(sig[${j * r + 1}:${j * r + r}], '|')"
       s"SELECT doc_id, $j AS bi, $key AS bk FROM sg"
     }.mkString("\nUNION ALL ")
@@ -396,7 +401,8 @@ object SparkEntry {
     val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
     s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
        |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
-       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM sh),
+       |hh AS (SELECT doc_id, list_transform(s, x -> $sqlHash32 % 2147483647) AS hs FROM sh),
+       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh),
        |bd AS (${sqlBands(k, 2)}),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
@@ -410,7 +416,8 @@ object SparkEntry {
     val jac = "CAST(len(list_intersect(h1.s, h2.s)) AS DOUBLE) / len(list_distinct(list_concat(h1.s, h2.s)))"
     s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct($sqlShingles) AS s FROM t),
-       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM sh),
+       |hh AS (SELECT doc_id, s, list_transform(s, x -> $sqlHash32 % 2147483647) AS hs FROM sh),
+       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh),
        |bd AS (${sqlBands(k, 1)}),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
@@ -420,25 +427,21 @@ object SparkEntry {
   }
 
   private def sqlSimhashOracle: String = {
-    // ±1 contribution of token x to bit i: nibble i/4 of md5(x), mask 2^(3-i%4).
-    def contrib(i: Int): String = {
-      val pos = i / 4 + 1
-      val mask = Seq(8, 4, 2, 1)(i % 4)
-      val nib = s"(CASE WHEN ascii(substr(md5(x), $pos, 1)) >= 97 " +
-        s"THEN ascii(substr(md5(x), $pos, 1)) - 87 ELSE ascii(substr(md5(x), $pos, 1)) - 48 END)"
-      s"CASE WHEN ($nib // $mask) % 2 = 1 THEN 1 ELSE -1 END"
-    }
+    // ±1 contribution of pre-hashed token h to bit i: sign of bit i.
+    def contrib(i: Int): String =
+      s"CASE WHEN (h & ${1L << i}) > 0 THEN 1 ELSE -1 END"
     val bitSums = (0 until 32)
-      .map(i => s"list_sum(list_transform(w, x -> ${contrib(i)})) AS s$i")
+      .map(i => s"list_sum(list_transform(hw, h -> ${contrib(i)})) AS s$i")
       .mkString(",\n  ")
     val sim = (0 until 32).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     val bands = (0 until 4)
       .map(j => s"SELECT doc_id, $j AS bi, (sim // ${1L << (8 * j)}) % 256 AS bk FROM sm")
       .mkString("\nUNION ALL ")
     s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |th AS (SELECT doc_id, list_transform(w, x -> $sqlHash32) AS hw FROM t),
        |bs AS (SELECT doc_id,
        |  $bitSums
-       |FROM t),
+       |FROM th),
        |sm AS (SELECT doc_id, CAST($sim AS BIGINT) AS sim FROM bs),
        |bd AS ($bands),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -586,4 +589,8 @@ object SparkEntry {
 
   /** Keys benchmarked by [[Bench]] (headline §2.5 queries). */
   def benchKeys: Seq[String] = headlineEntries.keys.toSeq
+
+  /** §2.4 ops additionally timed by [[Bench]] (reported separately). */
+  def opsBenchKeys: Seq[String] =
+    Seq("dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed", "ann_brute", "ann_lsh", "text_quality")
 }

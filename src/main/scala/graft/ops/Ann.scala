@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  import NearDup.{dot, signSignature}
+  import NearDup.{dot, signSigs}
 
   /** Corpus rows as (id, v, nrm) with double vectors. */
   private def prep(df: DataFrame, vecCol: String, idCol: String): DataFrame =
@@ -76,10 +76,8 @@ object Ann {
       planes: Int = 16,
       bandBits: Int = 4
   ): DataFrame = {
-    val base = prep(corpus, vecCol, idCol)
-      .withColumn("sig", signSignature(col("v"), dim, planes))
-    val q = prep(queries, vecCol, idCol)
-      .withColumn("sig", signSignature(col("v"), dim, planes))
+    val base = signSigs(corpus, vecCol, idCol, dim, planes)
+    val q = signSigs(queries, vecCol, idCol, dim, planes)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
     val nBands = planes / bandBits
     def bandKeys(sig: org.apache.spark.sql.Column) = transform(

@@ -43,15 +43,48 @@ object NearDup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** K-element MinHash signature: component j is the minimum md5 of
-    * `"j:" + shingle` (lexicographic min over hex strings — the textbook
-    * permutation-hash approximation, portable across engines).
+  /** 2^31 - 1 (Mersenne prime): modulus of the permutation hashes. */
+  private[ops] val P = 2147483647L
+
+  /** 32-bit integer hash of a string: the first 8 hex digits of its
+    * md5 — ONE digest per input, everything downstream is integer
+    * arithmetic. Portable: DuckDB spells it
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, s => md5hex(concat(j.cast("string"), lit(":"), s))))
-    )
+  private[ops] def hash32(c: Column): Column =
+    conv(substring(md5hex(c), 1, 8), 16, 10).cast("long")
+
+  /** Permutation-hash parameters of component j (universal-hash
+    * family `(a_j h + b_j) mod P`).
+    */
+  private def perm(j: Int): (Long, Long) = (
+    (1103515245L * (j + 1) + 12345L) % P,
+    (987654321L * (j + 1) + 67890L) % P
+  )
+
+  /** K-element MinHash signatures, one row per id: `(id, sig)`.
+    *
+    * Plan shape: explode the shingles, hash each ONCE in a codegen'd
+    * projection, then ONE groupBy with k primitive `min` aggregates
+    * (map-side partial combine → the shuffle carries k longs per doc
+    * per partition). This deliberately avoids nested array lambdas:
+    * Spark evaluates higher-order functions interpreted AND
+    * CollapseProject re-inlines a hashed-array alias into every
+    * component's lambda (static ref-count is 1), which made an
+    * array-based formulation recompute the digest k times per shingle
+    * — ~50× slower, measured.
+    */
+  def minhashSigs(df: DataFrame, shingleCol: Column, idCol: String, k: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(shingleCol).as("s"))
+      .select(col(idCol), (hash32(col("s")) % P).as("h"))
+    val comps = (0 until k).map { j =>
+      val (a, b) = perm(j)
+      min((lit(a) * col("h") + lit(b)) % P).as(s"g$j")
+    }
+    hashed.groupBy(col(idCol)).agg(comps.head, comps.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"g$j")): _*).as("sig"))
+  }
 
   /** (id, band_idx, band_key) rows: the signature split into
     * `k / bandRows` bands of `bandRows` components each.
@@ -60,7 +93,7 @@ object NearDup {
     val nBands = k / bandRows
     val bands = transform(
       sequence(lit(0), lit(nBands - 1)),
-      j => concat_ws("|", slice(col("sig"), j * bandRows + 1, lit(bandRows)))
+      j => array_join(transform(slice(col("sig"), j * bandRows + 1, lit(bandRows)), _.cast("string")), "|")
     )
     sigs.select(col(idCol), posexplode(bands).as(Seq("band_idx", "band_key")))
   }
@@ -89,7 +122,7 @@ object NearDup {
       bandRows: Int = 2,
       minEstSim: Double = 0.25
   ): DataFrame = {
-    val sigs = df.select(col(idCol), minhashSignature(shingles(col(textCol)), k).as("sig"))
+    val sigs = minhashSigs(df, shingles(col(textCol)), idCol, k)
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, bandRows), idCol)
     val est = size(filter(
       sequence(lit(1), lit(k)),
@@ -114,7 +147,7 @@ object NearDup {
       minJaccard: Double = 0.2
   ): DataFrame = {
     val sh = df.select(col(idCol), array_distinct(shingles(col(textCol))).as("sh"))
-    val sigs = sh.select(col(idCol), minhashSignature(col("sh"), k).as("sig"))
+    val sigs = minhashSigs(sh, col("sh"), idCol, k)
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, 1), idCol)
     val jac = size(array_intersect(col("h1.sh"), col("h2.sh"))).cast("double") /
       size(array_union(col("h1.sh"), col("h2.sh")))
@@ -127,41 +160,25 @@ object NearDup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** Value of hex digit `pos` (1-based) of `h` via character code —
-    * integer arithmetic only, portable to any engine with `ascii()`.
+  /** 32-bit SimHash values, one row per id: `(id, sim)`. Bit i of the
+    * result is the sign of `Σ_tokens (2·bit_i(hash32(token)) − 1)`
+    * (term-frequency weighted). Same explode → codegen hash →
+    * 32-primitive-aggregate shape as [[minhashSigs]], for the same
+    * reason: everything stays in whole-stage codegen with map-side
+    * partial sums.
     */
-  private def hexNibble(h: Column, pos: Column): Column = {
-    val a = ascii(h.substr(pos, lit(1)))
-    when(a >= 97, a - 87).otherwise(a - 48)
-  }
-
-  /** ±1 contribution of token-hash `h` to simhash bit `i` (0..31):
-    * bit i lives in hex digit `i / 4`, mask `2^(3 - i%4)`.
-    */
-  private def bitContribution(h: Column, i: Column): Column = {
-    val nib = hexNibble(h, shiftright(i, 2) + 1)
-    val mask = element_at(array(lit(8), lit(4), lit(2), lit(1)), i.bitwiseAND(lit(3)) + 1)
-    lit(2) * ((nib / mask).cast("int") % 2) - 1
-  }
-
-  /** 32-bit SimHash over the token multiset (term frequency weighted):
-    * one pass over the tokens with an array accumulator.
-    */
-  def simhash32(tokenCol: Column): Column = {
-    val sums = aggregate(
-      tokenCol,
-      array_repeat(lit(0), 32),
-      (acc, t) => {
-        val h = md5hex(t)
-        zip_with(acc, transform(sequence(lit(0), lit(31)), i => bitContribution(h, i)), _ + _)
-      }
-    )
-    val powers = array((0 until 32).map(i => lit(1L << i)): _*)
-    aggregate(
-      zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
-      lit(0L),
-      _ + _
-    )
+  def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), hash32(col("t")).as("h"))
+    val bitSums = (0 until 32).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1)).as(s"s$i")
+    }
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 32).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim")
+      )
   }
 
   /** SimHash near-duplicate pairs: 4 bands of 8 bits generate
@@ -174,7 +191,7 @@ object NearDup {
       idCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val sims = df.select(col(idCol), simhash32(tokens(col(textCol))).as("sim"))
+    val sims = simhashSigs(df, textCol, idCol)
     val bands = transform(
       sequence(lit(0), lit(3)),
       j => (col("sim") / pow(lit(2), j * 8).cast("long")).cast("long") % 256
@@ -223,26 +240,37 @@ object NearDup {
   private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
 
-  /** `planes`-bit sign-LSH signature of double-array column `v`:
-    * bit p is the sign of the dot product with deterministic
-    * hyperplane p (components from [[planeComponent]]).
+  /** Per-row sign-LSH signatures + norms for an embedding frame:
+    * `(id, v, nrm, sig)` where bit p of `sig` is the sign of the dot
+    * product with deterministic hyperplane p ([[planeComponent]]).
+    *
+    * Plan shape: posexplode the vector, compute every plane's partial
+    * product in one codegen'd projection, then ONE groupBy with
+    * `planes + 1` primitive sum aggregates (the +1 is the squared
+    * norm). A doc's exploded rows stay contiguous in its partition, so
+    * the double summation order is the in-array order — bit-for-bit
+    * the `list_reduce` left fold the DuckDB oracle computes.
     */
-  private[ops] def signSignature(v: Column, dim: Int, planes: Int): Column =
-    aggregate(
-      transform(
-        sequence(lit(0), lit(planes - 1)),
-        p => {
-          val d = aggregate(
-            sequence(lit(0), lit(dim - 1)),
-            lit(0.0),
-            (acc, j) => acc + element_at(v, j + 1) * planeComponent(p * dim + j)
-          )
-          when(d >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-        }
-      ),
-      lit(0L),
-      _ + _
-    )
+  private[ops] def signSigs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      planes: Int
+  ): DataFrame = {
+    val base = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+    val exploded = base.select(col(idCol), posexplode(col("v")).as(Seq("j", "x")))
+    val planeSums = (0 until planes).map { p =>
+      sum(col("x") * planeComponent(lit(p) * dim + col("j"))).as(s"d$p")
+    }
+    val aggs = planeSums :+ sum(col("x") * col("x")).as("nn")
+    val sig = (0 until planes)
+      .map(p => when(col(s"d$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), sqrt(col("nn")).as("nrm"), sig.as("sig"))
+      .join(base, Seq(idCol))
+  }
 
   /** Embedding near-duplicate pairs via sign-LSH candidates + exact
     * cosine rescoring. `planes` random hyperplanes give a `planes`-bit
@@ -258,10 +286,7 @@ object NearDup {
       bandBits: Int = 4,
       minCos: Double = 0.4
   ): DataFrame = {
-    val vec = transform(col(vecCol), x => x.cast("double"))
-    val base = df.select(col(idCol), vec.as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val sigs = base.withColumn("sig", signSignature(col("v"), dim, planes))
+    val sigs = signSigs(df, vecCol, idCol, dim, planes)
     val nBands = planes / bandBits
     val bands = transform(
       sequence(lit(0), lit(nBands - 1)),

@@ -38,6 +38,38 @@ object Tables {
   def parquetDir(spark: SparkSession, dir: String): String => DataFrame =
     name => tableCache.getOrElseUpdate((spark, s"$dir/$name.parquet"), load(spark, s"$dir/$name.parquet"))
 
+  /** Format-aware catalog over a directory: resolves
+    * `<dir>/<name>.parquet`, `.csv` (header, explicit-schema-free CSV
+    * gets inference — pin schemas with `csvSchemas` to avoid drift),
+    * or `.json` (line-delimited), whichever exists.
+    */
+  def dir(
+      spark: SparkSession,
+      dir: String,
+      csvSchemas: Map[String, String] = Map.empty
+  ): String => DataFrame = { name =>
+    val base = s"$dir/$name"
+    tableCache.getOrElseUpdate(
+      (spark, base),
+      if (exists(spark, s"$base.parquet")) load(spark, s"$base.parquet")
+      else if (exists(spark, s"$base.csv")) {
+        val r = spark.read.option("header", "true")
+        csvSchemas.get(name) match {
+          case Some(schema) => r.schema(schema).csv(s"$base.csv")
+          case None => r.option("inferSchema", "true").csv(s"$base.csv")
+        }
+      } else if (exists(spark, s"$base.json")) spark.read.json(s"$base.json")
+      else throw new IllegalArgumentException(
+        s"no table $name under $dir (tried .parquet/.csv/.json)"
+      )
+    )
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Load one parquet file/directory, converting any TIMESTAMP(NANOS)
     * columns to micro-precision timestamps.
     */
