@@ -95,11 +95,36 @@ private[graft] final class Compiler(
       df.select(col("*") +: cols.map(computed): _*)
 
     case SummarizeOp(aggs, by, _) =>
-      val keyCols = by.map(computed)
       val aggCols = aggs.map(computed)
-      if (aggCols.isEmpty) df.select(keyCols: _*).distinct()
-      else if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-      else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // Streaming: a `bin(ts, "dur")` group key becomes a native
+      // tumbling window() struct, so the analyzer sees the event-time
+      // column and the aggregation runs append-mode with bounded state
+      // (watermark-evictable). Values are identical to bin() — both
+      // floor to epoch-aligned multiples — and the struct is replaced
+      // by its `start` after the agg, keeping the batch output schema.
+      val binKey: Option[(ComputedColumn, Int, Expr, Long)] =
+        if (!df.isStreaming || aggCols.isEmpty) None
+        else by.zipWithIndex.collectFirst {
+          case (cc @ ComputedColumn(_, CallExpr(f, List(ts, BasicLit(TokenKind.Str, dur, sp)), _)), idx)
+              if f.name == "bin" =>
+            (cc, idx, ts, exprs.parseDurationMillis(dur, sp))
+        }
+      binKey match {
+        case Some((cc, idx, ts, ms)) =>
+          val name = cc.name.map(_.name).getOrElse(sourceText(cc.x.span))
+          // no cast here: casting the event-time attribute strips the
+          // watermark metadata and append mode stops resolving
+          val win = window(compile(ts, env), s"$ms milliseconds").as(name)
+          val keyCols = by.map(computed).patch(idx, Seq(win), 1)
+          df.groupBy(keyCols: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .withColumn(name, col(name).getField("start"))
+        case None =>
+          val keyCols = by.map(computed)
+          if (aggCols.isEmpty) df.select(keyCols: _*).distinct()
+          else if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
 
     case SortOp(terms, _) => df.orderBy(terms.map(sortColumn): _*)
 
