@@ -36,7 +36,8 @@ object Bench {
 
     val results = SparkEntry.benchKeys.map { name =>
       try {
-        materialize(name) // warm-up: JIT, codegen, parquet footers
+        materialize(name) // warm-up 1: codegen, parquet footers, file index
+        materialize(name) // warm-up 2: C2-compile the generated code
         val t0 = System.nanoTime()
         materialize(name)
         name -> Right((System.nanoTime() - t0) / 1e9)
