@@ -206,6 +206,11 @@ private[graft] final class Compiler(
     // and resolution goes through the subquery aliases — the pattern
     // the Spark docs prescribe (df.as("a").join(df.as("b"), $"a.x"...)).
     joinSeq += 1
+    // 100-TB note: innerunique's all-column dropDuplicates is a
+    // full-row shuffle — the cost the reference's `SELECT DISTINCT *`
+    // pays too; it is semantic, not incidental. AQE coalesces the
+    // exchange; users who only need key-distinctness should
+    // `summarize by key` first (narrower shuffle payload).
     val leftRaw = if (j.flavor == "innerunique") df.dropDuplicates() else df
     val joinType = j.flavor match {
       case "inner" | "innerunique" => "inner"

@@ -221,7 +221,7 @@ private[graft] final class Exprs(source: String) {
         if (crossJoinEq) x === y // plain equality: keeps the equi-join plannable
         else if (isNonNullLiteral(b.x) || isNonNullLiteral(b.y))
           x <=> y // literal is non-null → identical to coalesce(x = y, FALSE), but pushdown-friendly
-        else coalesce(x === y, lit(false))
+        else coalesce(x === y, lit(false)) // col-vs-col: coalesce defeats parquet pushdown — unavoidable for the null→FALSE semantics (PlanAuditSpec covers the literal path)
       case NE =>
         if (isNonNullLiteral(b.y)) x.isNotNull && (x =!= y)
         else if (isNonNullLiteral(b.x)) y.isNotNull && (x =!= y)
