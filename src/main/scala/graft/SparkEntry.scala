@@ -413,16 +413,16 @@ object SparkEntry {
 
   private def sqlNgramOracle: String = {
     val k = 8
-    val jac = "CAST(len(list_intersect(h1.s, h2.s)) AS DOUBLE) / len(list_distinct(list_concat(h1.s, h2.s)))"
+    val jac = "CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE) / len(list_distinct(list_concat(h1.hs, h2.hs)))"
     s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-       |sh AS (SELECT doc_id, list_distinct($sqlShingles) AS s FROM t),
-       |hh AS (SELECT doc_id, s, list_transform(s, x -> $sqlHash32 % 2147483647) AS hs FROM sh),
+       |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
+       |hh AS (SELECT doc_id, list_distinct(list_transform(s, x -> $sqlHash32 % 2147483647)) AS hs FROM sh),
        |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh),
        |bd AS (${sqlBands(k, 1)}),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, $jac AS jaccard
-       |FROM cd JOIN sh h1 ON cd.id_a = h1.doc_id JOIN sh h2 ON cd.id_b = h2.doc_id
+       |FROM cd JOIN hh h1 ON cd.id_a = h1.doc_id JOIN hh h2 ON cd.id_b = h2.doc_id
        |WHERE $jac >= 0.2""".stripMargin
   }
 

@@ -74,10 +74,18 @@ object NearDup {
     * array-based formulation recompute the digest k times per shingle
     * — ~50× slower, measured.
     */
-  def minhashSigs(df: DataFrame, shingleCol: Column, idCol: String, k: Int): DataFrame = {
-    val hashed = df
-      .select(col(idCol), explode(shingleCol).as("s"))
-      .select(col(idCol), (hash32(col("s")) % P).as("h"))
+  def minhashSigs(df: DataFrame, shingleCol: Column, idCol: String, k: Int): DataFrame =
+    minhashSigsFromHashed(
+      df.select(col(idCol), explode(shingleCol).as("s"))
+        .select(col(idCol), (hash32(col("s")) % P).as("h")),
+      idCol,
+      k
+    )
+
+  /** [[minhashSigs]] over an already-exploded `(id, h)` hashed-shingle
+    * frame.
+    */
+  private def minhashSigsFromHashed(hashed: DataFrame, idCol: String, k: Int): DataFrame = {
     val comps = (0 until k).map { j =>
       val (a, b) = perm(j)
       min((lit(a) * col("h") + lit(b)) % P).as(s"g$j")
@@ -136,7 +144,11 @@ object NearDup {
   }
 
   /** Exact n-gram Jaccard over LSH candidates (single-component bands →
-    * high recall); pairs with Jaccard ≥ `minJaccard`.
+    * high recall at low thresholds: P(candidate) = 1-(1-s)^k). The
+    * Jaccard is computed on the 32-bit-HASHED distinct shingle sets,
+    * not the strings: set sizes are identical up to hash collisions
+    * (~52²/2^33 per pair) and the candidate join shuffles compact long
+    * arrays instead of text. Pairs with Jaccard ≥ `minJaccard`.
     * Output: `id_a, id_b, jaccard`.
     */
   def ngramJaccardPairs(
@@ -146,14 +158,18 @@ object NearDup {
       k: Int = 8,
       minJaccard: Double = 0.2
   ): DataFrame = {
-    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol))).as("sh"))
-    val sigs = minhashSigs(sh, col("sh"), idCol, k)
+    val hashed = df
+      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
+      .select(col(idCol), (hash32(col("s")) % P).as("h"))
+      .distinct()
+    val sigs = minhashSigsFromHashed(hashed, idCol, k)
+    val sets = hashed.groupBy(col(idCol)).agg(sort_array(collect_list(col("h"))).as("hs"))
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, 1), idCol)
-    val jac = size(array_intersect(col("h1.sh"), col("h2.sh"))).cast("double") /
-      size(array_union(col("h1.sh"), col("h2.sh")))
+    val jac = size(array_intersect(col("h1.hs"), col("h2.hs"))).cast("double") /
+      size(array_union(col("h1.hs"), col("h2.hs")))
     cand.as("c")
-      .join(sh.as("h1"), col("c.id_a") === col(s"h1.$idCol"))
-      .join(sh.as("h2"), col("c.id_b") === col(s"h2.$idCol"))
+      .join(sets.as("h1"), col("c.id_a") === col(s"h1.$idCol"))
+      .join(sets.as("h2"), col("c.id_b") === col(s"h2.$idCol"))
       .select(col("c.id_a"), col("c.id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
