@@ -3,9 +3,10 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
 
 import graft.ops.{Ann, Dedup, Multimodal, NearDup, TextOps}
+import graft.streaming.Sessionize
 import graft.sources.Tables
 
 /** Driver contract: one entry per implemented operator from SURVEY.md §2,
@@ -350,6 +351,32 @@ object SparkEntry {
       Some(
         s"""SELECT doc_id, text, lang, source, n_chars FROM documents
            |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+      )
+    ),
+    "sessions_gap" -> Entry(
+      (s, dir) =>
+        Sessionize.gapSessions(Tables.parquetDir(s, dir)("events"), "user_id", "ts", "30 minutes")
+          .select(
+            col("user_id"),
+            unix_micros(col("session_start")).as("ss"),
+            unix_micros(col("session_end")).as("se"),
+            col("n_events")
+          ),
+      Some(
+        // session_window merges half-open [t, t+gap) windows → a NEW
+        // session starts when the gap to the previous event is >= 30m,
+        // and session_end is last_event + gap.
+        """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+          |m AS (SELECT user_id, ts,
+          |  CASE WHEN lag(ts) OVER w IS NULL
+          |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |s AS (SELECT user_id, ts,
+          |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+          |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS ss,
+          |  CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS se,
+          |  count(*) AS n_events
+          |FROM s GROUP BY user_id, sid""".stripMargin
       )
     ),
     "mm_meta" -> Entry(
