@@ -55,6 +55,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plans(df).contains("TakeOrderedAndProject"), plans(df))
   }
 
+  test("q1_agg: partial aggregation before a single exchange, filter pushed") {
+    val plan = plans(SparkEntry.queries("q1_agg")(spark, sfDir))
+    // AQE prints Final and Initial plans; audit the final one only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_sum"), plan)
+    assert(finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1, plan)
+    assert(finalPlan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+  }
+
+  test("q3_shipping: top 10 by revenue is TakeOrderedAndProject, joins broadcast") {
+    val plan = plans(SparkEntry.queries("q3_shipping")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q5_local: 5-way star join has no cartesian product and prunes scans") {
+    val df = SparkEntry.queries("q5_local")(spark, sfDir)
+    val plan = plans(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // lineitem scan reads only the join key + money columns
+    val lineitemScan = plan.linesIterator.find(l => l.contains("ReadSchema") && l.contains("l_orderkey")).getOrElse("")
+    assert(!lineitemScan.contains("l_comment"), plan)
+  }
+
   test("star join broadcasts the small dimension side") {
     val df = Pql.query(
       spark,
