@@ -66,7 +66,7 @@ def main():
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        res_dir = out_dir / name
+        res_dir = out_dir / f"{name}.parquet"
         status, detail = "PASS", ""
         try:
             got = pd.read_parquet(res_dir)
@@ -106,7 +106,7 @@ def main():
 
     # queries with no oracle (rows-only)
     for d in sorted(out_dir.iterdir()):
-        if d.is_dir() and d.name not in oracle:
+        if d.is_dir() and d.name.removesuffix(".parquet") not in oracle:
             try:
                 n = len(pd.read_parquet(d))
                 print(f"[--] {d.name}: rows-only ({n} rows)")
