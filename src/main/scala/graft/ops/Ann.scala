@@ -84,8 +84,10 @@ object Ann {
       sequence(lit(0), lit(nBands - 1)),
       j => (sig / pow(lit(2), j * bandBits).cast("long")).cast("long") % (1 << bandBits)
     )
-    val baseBands = base.select(col(idCol), col("v"), col("nrm"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
-    val qBands = q.select(col("query_id"), col("qv"), col("qn"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    // band rows carry ONLY (id, band): the candidate shuffle moves two
+    // longs per row, not the vectors — those join back for rescoring
+    val baseBands = base.select(col(idCol), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
+    val qBands = q.select(col("query_id"), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))
     val cand = baseBands
       .join(
         broadcast(qBands),
@@ -93,10 +95,12 @@ object Ann {
           baseBands("band_key") === qBands("band_key") &&
           col(idCol) =!= col("query_id")
       )
-      .select(col("query_id"), col(idCol), col("v"), col("nrm"), col("qv"), col("qn"))
+      .select(col("query_id"), col(idCol))
       .dropDuplicates("query_id", idCol)
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
     cand
+      .join(base.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
       .select(
         col("query_id"),
         col(idCol),
