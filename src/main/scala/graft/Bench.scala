@@ -60,6 +60,7 @@ object Bench {
     val opsResults = SparkEntry.opsBenchKeys.map { name =>
       try {
         materialize(name)
+        materialize(name) // same two-warm-up method as the headline loop
         val t0 = System.nanoTime()
         materialize(name)
         name -> Right((System.nanoTime() - t0) / 1e9)

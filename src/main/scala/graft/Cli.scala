@@ -29,10 +29,18 @@ object Cli {
       query: Option[String] = None
   )
 
+  private def argError(msg: String): Nothing = {
+    System.err.println(msg)
+    sys.exit(2)
+  }
+
   private def parseArgs(args: List[String], acc: Opts): Opts = args match {
     case "--tables" :: dir :: rest => parseArgs(rest, acc.copy(tablesDir = Some(dir)))
+    case "--tables" :: Nil => argError("--tables requires a directory")
     case "--explain" :: rest => parseArgs(rest, acc.copy(explain = true))
-    case "--limit" :: n :: rest => parseArgs(rest, acc.copy(limit = n.toInt))
+    case "--limit" :: n :: rest =>
+      parseArgs(rest, acc.copy(limit = n.toIntOption.getOrElse(argError(s"--limit requires a number, got $n"))))
+    case "--limit" :: Nil => argError("--limit requires a number")
     case q :: rest => parseArgs(rest, acc.copy(query = Some((acc.query.toSeq :+ q).mkString(" "))))
     case Nil => acc
   }
@@ -61,7 +69,10 @@ object Cli {
       if (opts.explain) df.explain("formatted")
       else df.show(opts.limit, truncate = false)
     } catch {
-      case e: graft.parser.PqlParseException =>
+      // parse, compile, and analysis errors all get the clean one-line
+      // treatment — a stack trace is a bug report, not a user message
+      case e @ (_: graft.parser.PqlParseException | _: graft.compiler.PqlCompileException |
+          _: org.apache.spark.sql.AnalysisException | _: IllegalArgumentException) =>
         System.err.println(e.getMessage)
         sys.exit(1)
     } finally spark.stop()

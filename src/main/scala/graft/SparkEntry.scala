@@ -71,9 +71,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 5""".stripMargin
     ),
+    // top N by a UNIQUE key: `top` has a single sort term, and ties on
+    // a non-unique column would make the kept rows engine-dependent
+    // (the driver hash-compares values)
     "pql_top" -> q(
-      "orders | top 10 by o_totalprice | project o_orderkey, o_totalprice",
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+      "orders | top 10 by o_orderkey | project o_orderkey, o_totalprice",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10"
     ),
     "pql_count" -> q(
       "lineitem | count",
@@ -237,7 +240,7 @@ object SparkEntry {
         | | where o_orderdate < todatetime("1998-01-01") and l_shipdate > todatetime("1998-01-01")
         | | summarize revenue = todouble(sum(tolong(round(l_extendedprice * (1 - l_discount) * 10000)))) / 10000.0
         |   by l_orderkey, od = unix_seconds(todatetime(o_orderdate))
-        | | top 10 by revenue""".stripMargin,
+        | | sort by revenue, l_orderkey asc | take 10""".stripMargin,
       """SELECT l_orderkey, CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS od,
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
@@ -246,7 +249,7 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, od
-        |ORDER BY revenue DESC LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
     ),
     "q5_local" -> q(
       """region | where r_name == "ASIA"
@@ -333,7 +336,8 @@ object SparkEntry {
            |  ${stopHits("de")} AS s_de, ${stopHits("fr")} AS s_fr,
            |  $zh AS s_zh FROM documents)
            |SELECT doc_id,
-           |  CASE WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+           |  CASE WHEN m = 0 THEN 'und'
+           |       WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
            |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END AS lang_pred,
            |  m AS lang_score
            |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM s)""".stripMargin

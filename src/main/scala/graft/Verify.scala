@@ -16,10 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      val target = java.nio.file.Paths.get(s"$outDir/$name.parquet")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+        .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave a previous run's dump behind: a stale result
+        // would score as a false PASS in the oracle compare
+        if (java.nio.file.Files.exists(target)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

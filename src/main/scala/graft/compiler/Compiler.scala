@@ -103,7 +103,7 @@ private[graft] final class Compiler(
       // floor to epoch-aligned multiples — and the struct is replaced
       // by its `start` after the agg, keeping the batch output schema.
       val binKey: Option[(ComputedColumn, Int, Expr, Long)] =
-        if (!df.isStreaming || aggCols.isEmpty) None
+        if (!df.isStreaming) None
         else by.zipWithIndex.collectFirst {
           case (cc @ ComputedColumn(_, CallExpr(f, List(ts, BasicLit(TokenKind.Str, dur, sp)), _)), idx)
               if f.name == "bin" =>
@@ -116,9 +116,14 @@ private[graft] final class Compiler(
           // watermark metadata and append mode stops resolving
           val win = window(compile(ts, env), s"$ms milliseconds").as(name)
           val keyCols = by.map(computed).patch(idx, Seq(win), 1)
-          df.groupBy(keyCols: _*)
-            .agg(aggCols.head, aggCols.tail: _*)
-            .withColumn(name, col(name).getField("start"))
+          val agged =
+            if (aggCols.isEmpty)
+              // distinct form: a keys-only streaming aggregation keeps
+              // the watermark-evictable window state (a .distinct()
+              // here would be an unbounded streaming Deduplicate)
+              df.groupBy(keyCols: _*).agg(max(lit(1)).as("__g")).drop("__g")
+            else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          agged.withColumn(name, col(name).getField("start"))
         case None =>
           val keyCols = by.map(computed)
           if (aggCols.isEmpty) df.select(keyCols: _*).distinct()
@@ -217,7 +222,11 @@ private[graft] final class Compiler(
       case "leftouter"             => "left"
       case other                   => fail(s"unhandled join type \"$other\"", j.span)
     }
-    val ctx = JoinCtx(leftRaw, compileTabular(j.right), s"__graft_l$joinSeq", s"__graft_r$joinSeq")
+    // capture alias names BEFORE compiling the right side: a join
+    // nested inside j.right bumps joinSeq, and evaluating the
+    // interpolations afterwards would reuse the inner join's aliases
+    val (leftAlias, rightAlias) = (s"__graft_l$joinSeq", s"__graft_r$joinSeq")
+    val ctx = JoinCtx(leftRaw, compileTabular(j.right), leftAlias, rightAlias)
 
     val joinEnv = env.copy(join = Some(ctx))
     val cond = j.conditions

@@ -31,6 +31,13 @@ object Skew {
       joinType: String = "inner"
   ): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // right/full outer would emit an unmatched small-side row once PER
+    // SALT REPLICA — reject join types whose semantics salting breaks
+    val supported = Set("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(
+      supported.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType"
+    )
     val salted = large.withColumn(
       "__salt",
       pmod(xxhash64(struct(large.columns.map(col): _*)), lit(nSalts)).cast("int")

@@ -96,13 +96,14 @@ object TextOps {
         // CJK: weight characters since they don't whitespace-tokenize.
         ("zh" -> (regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") * lit(0.5)))
     val best = greatest(scores.map(_._2): _*)
-    // First language (in declaration order) reaching the max wins.
+    // First language (in declaration order) reaching the max wins;
+    // zero evidence in EVERY language is "und", not English.
     val pred = scores.tail.foldLeft(when(scores.head._2 === best, scores.head._1)) {
       case (acc, (l, s)) => acc.when(s === best, l)
     }
     df.select(
       col(idCol),
-      coalesce(pred, lit("und")).as("lang_pred"),
+      when(best === 0.0, lit("und")).otherwise(coalesce(pred, lit("und"))).as("lang_pred"),
       best.as("lang_score")
     )
   }

@@ -27,12 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Process-wide table cache: resolving the same (session, dir,
-    * table) reuses one DataFrame, so repeated queries share the file
+  /** Process-wide table cache: resolving the same (session, resolved
+    * path) reuses one DataFrame, so repeated queries share the file
     * index, footer metadata, and analyzed plan instead of re-listing
-    * per catalog instance.
+    * per catalog instance. The cache never evicts — the snapshot
+    * semantics batch jobs want. Long-lived services that rewrite
+    * table directories in place should call [[clearCache]] (or read
+    * through their own catalog) to observe new files.
     */
   private val tableCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop all cached table plans (e.g. after overwriting a table). */
+  def clearCache(): Unit = tableCache.clear()
 
   /** Catalog function over a directory of parquet tables. */
   def parquetDir(spark: SparkSession, dir: String): String => DataFrame =
@@ -49,10 +55,13 @@ object Tables {
       csvSchemas: Map[String, String] = Map.empty
   ): String => DataFrame = { name =>
     val base = s"$dir/$name"
-    tableCache.getOrElseUpdate(
+    // parquet cache key matches parquetDir's so the same table resolved
+    // through either catalog shares one entry
+    if (exists(spark, s"$base.parquet"))
+      tableCache.getOrElseUpdate((spark, s"$base.parquet"), load(spark, s"$base.parquet"))
+    else tableCache.getOrElseUpdate(
       (spark, base),
-      if (exists(spark, s"$base.parquet")) load(spark, s"$base.parquet")
-      else if (exists(spark, s"$base.csv")) {
+      if (exists(spark, s"$base.csv")) {
         val r = spark.read.option("header", "true")
         csvSchemas.get(name) match {
           case Some(schema) => r.schema(schema).csv(s"$base.csv")

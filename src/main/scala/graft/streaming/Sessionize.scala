@@ -88,7 +88,15 @@ object Sessionize {
                 case a if t - a.startMs >= capMs =>
                   emitted += close(a, capped = true)
                   acc = SessionAcc(key, t, t, 1)
-                case a => acc = a.copy(lastMs = t, n = a.n + 1)
+                case a =>
+                  // late-but-allowed events (within the watermark) may
+                  // arrive out of order across batches: never let them
+                  // shrink the session bounds or the timeout
+                  acc = a.copy(
+                    startMs = math.min(a.startMs, t),
+                    lastMs = math.max(a.lastMs, t),
+                    n = a.n + 1
+                  )
               }
             }
             if (acc != null) {

@@ -102,11 +102,22 @@ class OpsSpec extends SparkTestBase {
     assert(fps(1L) != fps(3L))
   }
 
-  test("language id: english vs spanish") {
+  test("language id: english vs spanish; zero-signal text is und, not en") {
     val m = TextOps.languageId(docs, "text", "doc_id")
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
     assert(m(1L) == "en")
     assert(m(4L) == "es")
+    val numeric = Seq((9L, "12345 67890 ++--")).toDF("doc_id", "text")
+    val und = TextOps.languageId(numeric, "text", "doc_id")
+      .select("lang_pred").as[String].head()
+    assert(und == "und")
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    import graft.ops.Skew
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(docs, docs, "doc_id", "doc_id", 4, joinType = "full")
+    }
   }
 
   // ---- plan shape (the 100-TB contract) --------------------------------

@@ -112,6 +112,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.filter($"tb" === ts(0)).count() == 2)
   }
 
+  test("distinct-form summarize by bin() also gets bounded window state") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = Streaming.withEventTime(ms.toDF.toDF("ts", "event_type", "value"), "ts", "5 minutes")
+    val agg = Streaming.query(
+      spark,
+      """ev | summarize by tb = bin(ts, "15m"), event_type""",
+      Map("ev" -> streamDf)
+    )
+    val q = Streaming.runToMemory(agg, "stream_pql_distinct", "append")
+    try {
+      ms.addData(rows.take(3))
+      q.processAllAvailable()
+      ms.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("stream_pql_distinct")
+        .select("tb", "event_type").as[(Timestamp, String)].collect().toSet
+      assert(got == Set((ts(0), "click"), (ts(0), "purchase")))
+    } finally q.stop()
+  }
+
   private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
     name => m.getOrElse(name, sys.error(s"unknown table $name"))
 }
