@@ -13,12 +13,17 @@ import graft.sources.Tables
   * each with a DuckDB-equivalent oracle where SQL can express it.
   *
   * Determinism conventions (the driver hash-compares values):
-  *   - money aggregates go through exact decimal arithmetic
-  *     (`todecimal(expr, s)` per row, exact sum, one final `todouble`) so
-  *     the result is independent of partial-aggregation order;
-  *   - unordered `take` is always preceded by a total-order `sort`;
-  *   - timestamps in outputs are epoch seconds (bigint), avoiding
-  *     tz-aware vs naive representation drift between engines.
+  *   - money aggregates are exact and order-independent: per-row
+  *     `round(x * 10^s)` scaled-long sums in the headline queries (a
+  *     primitive codegen aggregate), `todecimal(expr, s)` decimal sums
+  *     showcased in `pql_summarize`;
+  *   - unordered `take` is always preceded by a total-order `sort`,
+  *     and top-N orderings carry a unique tiebreaker key;
+  *   - timestamps in outputs are epoch seconds/micros (bigint),
+  *     avoiding tz-aware vs naive representation drift between engines;
+  *   - double folds (dot products, norms) fix the summation order
+  *     (in-array left fold) so DuckDB's `list_reduce` reproduces them
+  *     bit-for-bit.
   */
 object SparkEntry {
 
