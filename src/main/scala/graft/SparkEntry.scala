@@ -432,10 +432,12 @@ object SparkEntry {
       s"SELECT doc_id, $j AS bi, $key AS bk FROM sg"
     }.mkString("\nUNION ALL ")
 
-  private def sqlMinhashOracle: String = {
+  private def sqlMinhashOracle: String = sqlMinhashOracleOver("documents")
+
+  private def sqlMinhashOracleOver(src: String): String = {
     val k = 32
     val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
-    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM $src),
        |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
        |hh AS (SELECT doc_id, list_transform(s, x -> $sqlHash32 % 2147483647) AS hs FROM sh),
        |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh),
@@ -580,6 +582,18 @@ object SparkEntry {
     "dedup_embed" -> Entry(
       (s, dir) => NearDup.embedCosinePairs(Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
       Some(sqlEmbedOracle)
+    ),
+    "dedup_pipeline" -> Entry(
+      (s, dir) => NearDup.deduplicateCorpus(docs(s, dir), "text", "doc_id"),
+      Some {
+        val exact =
+          s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+        s"""WITH ex AS ($exact),
+           |pairs AS (${sqlMinhashOracleOver("ex")})
+           |SELECT doc_id, text, lang, source, n_chars FROM ex
+           |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+      }
     ),
     "dedup_minhash_corpus" -> Entry(
       (s, dir) => {

@@ -243,6 +243,16 @@ object NearDup {
       "left_anti"
     )
 
+  /** The production corpus-dedup pipeline: exact dedup FIRST (clone
+    * cliques make any pairs operator's output quadratic in clique
+    * size), then MinHash-LSH near-dup removal on the survivors.
+    * Linear even on heavily-duplicated corpora.
+    */
+  def deduplicateCorpus(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exact = Dedup.exact(df, textCol, idCol)
+    dropNearDuplicates(exact, minhashPairs(exact, textCol, idCol), idCol)
+  }
+
   // ---- embedding cosine --------------------------------------------------
 
   /** Deterministic pseudo-random hyperplane component for flat index
