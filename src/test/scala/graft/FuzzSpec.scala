@@ -80,4 +80,20 @@ class FuzzSpec extends AnyFunSuite {
       catch { case _: PqlParseException => () }
     }
   }
+
+  test("raw control/high bytes never crash the parser (reference corpus shape)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val len = rnd.nextInt(32)
+      // full char range incl. NUL, control chars, surrogo-ish values
+      val src = new String(Array.fill(len)(rnd.nextInt(0xffff).toChar))
+      try Pql.parse(src)
+      catch { case _: PqlParseException => () }
+    }
+    // targeted: embedded NULs around valid syntax
+    for (s <- Seq("T | where x == 1\u0000", "\u0000T", "T | project `a\u0000b`")) {
+      try Pql.parse(s)
+      catch { case _: PqlParseException => () }
+    }
+  }
 }
