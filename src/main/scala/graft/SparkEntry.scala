@@ -348,6 +348,20 @@ object SparkEntry {
            |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM s)""".stripMargin
       }
     ),
+    "text_pii" -> Entry(
+      (s, dir) => TextOps.piiScrub(docs(s, dir), "text", "doc_id"),
+      Some {
+        def ct(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        s"""SELECT doc_id,
+           |  ${ct(email)} AS n_emails, ${ct(phone)} AS n_phones, ${ct(ip)} AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
+           |FROM documents""".stripMargin
+      }
+    ),
     "text_fingerprint" -> Entry(
       (s, dir) => TextOps.fingerprint(docs(s, dir), "text", "doc_id"),
       Some(

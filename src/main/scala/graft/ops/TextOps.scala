@@ -108,6 +108,39 @@ object TextOps {
     )
   }
 
+  /** PII patterns (RE2-compatible subset, so DuckDB/ClickHouse oracles
+    * replicate matches exactly): emails, North-American-style phone
+    * numbers, IPv4 addresses.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing (the C4/Dolma-style pre-training pass): per-doc
+    * match counts plus the redacted text with typed placeholders.
+    * Narrow codegen projection — no shuffle, no UDFs.
+    * Output: `idCol, n_emails, n_phones, n_ips, redacted`.
+    */
+  def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern,
+        "<PHONE>"
+      ),
+      Ipv4Pattern,
+      "<IP>"
+    )
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      redacted.as("redacted")
+    )
+  }
+
   /** Document fingerprinting over normalized text: full 128-bit md5 hex
     * plus a 64-bit prefix form — identical in any engine with md5().
     * Output: `idCol, fp_md5, fp64`.

@@ -113,6 +113,19 @@ class OpsSpec extends SparkTestBase {
     assert(und == "und")
   }
 
+  test("pii scrub counts and redacts emails, phones, ips") {
+    val pii = Seq(
+      (1L, "contact bob@example.com or 555-123-4567, server at 10.0.0.1"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(pii, "text", "doc_id").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1)
+    assert(out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[Long]("n_ips") == 1)
+    assert(out(1L).getAs[String]("redacted") == "contact <EMAIL> or <PHONE>, server at <IP>")
+    assert(out(2L).getAs[String]("redacted") == "no pii here at all")
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     import graft.ops.Skew
     intercept[IllegalArgumentException] {
