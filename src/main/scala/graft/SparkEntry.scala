@@ -362,6 +362,17 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }
     ),
+    "text_repetition" -> Entry(
+      (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
+      Some(
+        """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+          |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(count(*) AS BIGINT) AS n_distinct,
+          |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio,
+          |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
+          |FROM c GROUP BY doc_id""".stripMargin
+      )
+    ),
     "text_fingerprint" -> Entry(
       (s, dir) => TextOps.fingerprint(docs(s, dir), "text", "doc_id"),
       Some(

@@ -141,6 +141,31 @@ object TextOps {
     )
   }
 
+  /** Token-repetition statistics (the Gopher repetition quality
+    * rules): distinct-token ratio and most-frequent-token mass.
+    * Plan shape: explode → per-(doc, token) counts → per-doc
+    * aggregates — whole-stage codegen with map-side partial counts,
+    * shuffles keyed on (doc, token) then doc.
+    * Output: `idCol, n_words, n_distinct, rep_ratio, top_word_frac`.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("c").cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max("c").cast("long").as("top_count")
+      )
+      .select(
+        col(idCol),
+        col("n_words"),
+        col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("rep_ratio"),
+        (col("top_count").cast("double") / col("n_words")).as("top_word_frac")
+      )
+
   /** Document fingerprinting over normalized text: full 128-bit md5 hex
     * plus a 64-bit prefix form — identical in any engine with md5().
     * Output: `idCol, fp_md5, fp64`.

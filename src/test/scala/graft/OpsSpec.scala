@@ -126,6 +126,15 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L).getAs[String]("redacted") == "no pii here at all")
   }
 
+  test("repetition stats: distinct ratio and top-token mass") {
+    val rep = Seq((1L, "a a a b c"), (2L, "all words differ here")).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(rep, "text", "doc_id").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 5 && out(1L).getAs[Long]("n_distinct") == 3)
+    assert(math.abs(out(1L).getAs[Double]("rep_ratio") - 0.4) < 1e-12)
+    assert(math.abs(out(1L).getAs[Double]("top_word_frac") - 0.6) < 1e-12)
+    assert(out(2L).getAs[Double]("rep_ratio") == 0.0)
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     import graft.ops.Skew
     intercept[IllegalArgumentException] {
