@@ -591,6 +591,28 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  private def sqlAnnIvfOracle: String = {
+    val dim = 64
+    val nCells = 8
+    val nProbe = 2
+    val dC = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
+      s"j -> v[j+1] * (${sqlPlane(s"${1000 * dim} + c * $dim + j")})), (x, y) -> x + y)"
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |cd AS (SELECT vec_id, c, $dC AS d
+       |       FROM n CROSS JOIN (SELECT unnest(generate_series(0, ${nCells - 1})) AS c)),
+       |rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r FROM cd),
+       |cell AS (SELECT vec_id, c FROM rk WHERE r = 1),
+       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $annQueryPred),
+       |cand AS (SELECT qc.query_id, cell.vec_id FROM cell JOIN qc USING (c)
+       |         WHERE cell.vec_id <> qc.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, $dotQ / (b.nrm * qn.nrm) AS cos_sim
+       |       FROM cand JOIN n b ON cand.vec_id = b.vec_id JOIN n qn ON cand.query_id = qn.vec_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private val nearDupEntries: ListMap[String, Entry] = ListMap(
     "dedup_minhash" -> Entry(
       (s, dir) => NearDup.minhashPairs(docs(s, dir), "text", "doc_id"),
@@ -644,6 +666,13 @@ object SparkEntry {
         Ann.lshTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
       },
       Some(sqlAnnLshOracle)
+    ),
+    "ann_ivf" -> Entry(
+      (s, dir) => {
+        val emb = Tables.parquetDir(s, dir)("embeddings")
+        Ann.ivfTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+      },
+      Some(sqlAnnIvfOracle)
     )
   )
 

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  import NearDup.{dot, signSigs}
+  import NearDup.{dot, planeComponent, signSigs}
 
   /** Corpus rows as (id, v, nrm) with double vectors. */
   private def prep(df: DataFrame, vecCol: String, idCol: String): DataFrame =
@@ -56,6 +56,70 @@ object Ann {
       )
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
     scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: the corpus is partitioned into `nCells` Voronoi
+    * cells of deterministic pseudo-random centroids (LCG components —
+    * any engine reproduces them); queries probe their `nProbe` nearest
+    * cells and rescore exactly within them.
+    *
+    * Plan shape: centroid dot products via
+    * exploded-vector ⋈ broadcast(centroid components) → one groupBy
+    * with a codegen sum — no per-row interpreted lambdas; cell argmax
+    * and top-k are `row_number() <= n` (WindowGroupLimit). The corpus
+    * shuffles once keyed on (id) for assignment and once on cell for
+    * the probe join — both scale-safe.
+    * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int = 5,
+      nCells: Int = 8,
+      nProbe: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    // centroid component (c, j): LCG stream offset past the LSH planes
+    val centroids = spark.range(nCells.toLong * dim).select(
+      (col("id") / dim).cast("int").as("c"),
+      (col("id") % dim).cast("int").as("j"),
+      planeComponent(lit(1000) * dim + col("id")).as("w")
+    )
+
+    def cellRanks(df: DataFrame, outId: String): DataFrame = {
+      val vx = prep(df, vecCol, idCol)
+        .select(col(idCol).as(outId), posexplode(col("v")).as(Seq("j", "x")))
+      val w = Window.partitionBy(outId).orderBy(col("d").desc, col("c"))
+      vx.join(broadcast(centroids), Seq("j"))
+        .groupBy(col(outId), col("c"))
+        .agg(sum(col("x") * col("w")).as("d"))
+        .withColumn("r", row_number().over(w))
+    }
+
+    val corpusCells = cellRanks(corpus, idCol).filter(col("r") === 1).select(col(idCol), col("c"))
+    val queryCells = cellRanks(queries, "query_id").filter(col("r") <= nProbe).select(col("query_id"), col("c"))
+    val cand = corpusCells
+      .join(broadcast(queryCells), Seq("c"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+
+    val base = prep(corpus, vecCol, idCol)
+    val q = prep(queries, vecCol, idCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
+    cand
+      .join(base, Seq(idCol))
+      .join(broadcast(q), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos_sim")
+      )
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

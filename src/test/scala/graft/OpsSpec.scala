@@ -169,6 +169,18 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("IVF ANN: broadcast centroid assignment, no cartesian, capped per-query rows") {
+    val out = Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", dim = 8, k = 3, nCells = 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L)) // no self-match
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("LSH ANN buckets via equi-join on band keys (no full scoring pass)") {
     val plan = executedPlan(
       Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", dim = 8, k = 3)
