@@ -106,4 +106,40 @@ object Multimodal {
       }
     }
   }
+
+  /** STUB resize — stands in for an image rescale. Deterministic: the
+    * output payload is the byte sequence cycled/truncated to the area
+    * ratio, metadata updated to the target dimensions. Same narrow
+    * per-partition shape as [[extractFeatures]].
+    */
+  def resizeStub(mm: DataFrame, targetW: Int, targetH: Int): Dataset[MMRecord] = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.as[MMRecord].mapPartitions { rows =>
+      rows.map { r =>
+        val outLen = math.max(1, (r.payload.length.toLong * (targetW.toLong * targetH) /
+          math.max(1L, r.width.toLong * r.height)).toInt)
+        val out = Array.tabulate(outLen)(i => r.payload(i % r.payload.length))
+        r.copy(width = targetW, height = targetH, payload = out)
+      }
+    }
+  }
+
+  /** One sampled frame: parent doc, frame index, frame payload. */
+  final case class MMFrame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** STUB frame sampling — stands in for video keyframe extraction:
+    * `nFrames` deterministic slices of the payload per record, one
+    * output row per frame (the explode shape a real sampler produces).
+    */
+  def frameSample(mm: DataFrame, nFrames: Int): Dataset[MMFrame] = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.as[MMRecord].flatMap { r =>
+      val span = math.max(1, r.payload.length / nFrames)
+      (0 until nFrames).map { f =>
+        MMFrame(r.doc_id, f, r.payload.slice(f * span, f * span + span))
+      }
+    }
+  }
 }

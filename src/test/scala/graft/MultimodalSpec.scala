@@ -48,6 +48,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1(0).features.sameElements(f1(3).features))
   }
 
+  test("resize stub: metadata updated, payload scaled by area ratio, deterministic") {
+    val mm = Multimodal.attachBinary(docs, "text", "doc_id")
+    val a = Multimodal.resizeStub(mm, 16, 16).collect().sortBy(_.doc_id)
+    val b = Multimodal.resizeStub(mm, 16, 16).collect().sortBy(_.doc_id)
+    for ((r1, r2) <- a.zip(b)) {
+      assert(r1.width == 16 && r1.height == 16)
+      assert(r1.payload.sameElements(r2.payload))
+      assert(r1.payload.nonEmpty)
+    }
+  }
+
+  test("frame sampling explodes each record into n deterministic frames") {
+    val mm = Multimodal.attachBinary(docs, "text", "doc_id")
+    val frames = Multimodal.frameSample(mm, 4).collect()
+    assert(frames.length == 4 * 4) // 4 docs x 4 frames
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).distinct.length == 16)
+    assert(frames.forall(_.payload.length == 8)) // 32 bytes / 4 frames
+  }
+
   test("decode stage is a narrow map: partitioning preserved, no shuffle") {
     val mm = Multimodal.attachBinary(docs.repartition(3), "text", "doc_id")
     val feats = Multimodal.extractFeatures(mm)
