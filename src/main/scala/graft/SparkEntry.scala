@@ -351,14 +351,19 @@ object SparkEntry {
     "text_pii" -> Entry(
       (s, dir) => TextOps.piiScrub(docs(s, dir), "text", "doc_id"),
       Some {
-        def ct(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+        // mirror TextOps pattern constants (explicit ASCII boundaries)
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phone = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
-        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phone = "(^|[^0-9A-Za-z_])([0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4})($|[^0-9])"
+        val ip = "(^|[^0-9A-Za-z_.])([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})($|[^0-9.])"
+        def ct(src: String, re: String) = s"CAST(len(regexp_extract_all($src, '$re')) AS BIGINT)"
+        val afterEmail = s"regexp_replace(text, '$email', '<EMAIL>', 'g')"
+        val afterPhone = s"regexp_replace($afterEmail, '$phone', '\\1<PHONE>\\3', 'g')"
+        val afterIp = s"regexp_replace($afterPhone, '$ip', '\\1<IP>\\3', 'g')"
         s"""SELECT doc_id,
-           |  ${ct(email)} AS n_emails, ${ct(phone)} AS n_phones, ${ct(ip)} AS n_ips,
-           |  regexp_replace(regexp_replace(regexp_replace(text,
-           |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
+           |  ${ct("text", email)} AS n_emails,
+           |  ${ct(afterEmail, phone)} AS n_phones,
+           |  ${ct(afterPhone, ip)} AS n_ips,
+           |  $afterIp AS redacted
            |FROM documents""".stripMargin
       }
     ),
@@ -366,11 +371,13 @@ object SparkEntry {
       (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
       Some(
         """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
-          |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
-          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(count(*) AS BIGINT) AS n_distinct,
+          |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+          |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(count(*) AS BIGINT) AS n_distinct,
           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio,
           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_word_frac
-          |FROM c GROUP BY doc_id""".stripMargin
+          |FROM c GROUP BY doc_id)
+          |SELECT d.doc_id, st.n_words, st.n_distinct, st.rep_ratio, st.top_word_frac
+          |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
       )
     ),
     "text_fingerprint" -> Entry(

@@ -117,10 +117,13 @@ object Multimodal {
     import spark.implicits._
     mm.as[MMRecord].mapPartitions { rows =>
       rows.map { r =>
-        val outLen = math.max(1, (r.payload.length.toLong * (targetW.toLong * targetH) /
-          math.max(1L, r.width.toLong * r.height)).toInt)
-        val out = Array.tabulate(outLen)(i => r.payload(i % r.payload.length))
-        r.copy(width = targetW, height = targetH, payload = out)
+        if (r.payload.isEmpty) r.copy(width = targetW, height = targetH)
+        else {
+          val outLen = math.max(1, (r.payload.length.toLong * (targetW.toLong * targetH) /
+            math.max(1L, r.width.toLong * r.height)).toInt)
+          val out = Array.tabulate(outLen)(i => r.payload(i % r.payload.length))
+          r.copy(width = targetW, height = targetH, payload = out)
+        }
       }
     }
   }
@@ -133,12 +136,15 @@ object Multimodal {
     * output row per frame (the explode shape a real sampler produces).
     */
   def frameSample(mm: DataFrame, nFrames: Int): Dataset[MMFrame] = {
+    require(nFrames > 0, "nFrames must be positive")
     val spark = mm.sparkSession
     import spark.implicits._
     mm.as[MMRecord].flatMap { r =>
-      val span = math.max(1, r.payload.length / nFrames)
+      // ceil-sized spans so the frames PARTITION the payload (no
+      // dropped tail bytes); trailing frames may be shorter/empty
+      val span = math.max(1, (r.payload.length + nFrames - 1) / nFrames)
       (0 until nFrames).map { f =>
-        MMFrame(r.doc_id, f, r.payload.slice(f * span, f * span + span))
+        MMFrame(r.doc_id, f, r.payload.slice(f * span, math.min(f * span + span, r.payload.length)))
       }
     }
   }

@@ -108,36 +108,35 @@ object TextOps {
     )
   }
 
-  /** PII patterns (RE2-compatible subset, so DuckDB/ClickHouse oracles
-    * replicate matches exactly): emails, North-American-style phone
-    * numbers, IPv4 addresses.
+  /** PII patterns. Boundaries are EXPLICIT ASCII character classes,
+    * not `\b`: Java's `\b` is Unicode-aware while RE2's (DuckDB) is
+    * ASCII-only, so `\b` silently diverges next to CJK text — explicit
+    * classes behave identically in every engine. The boundary groups
+    * are restored in replacements via group references.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b"
-  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "(^|[^0-9A-Za-z_])([0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4})($|[^0-9])"
+  val Ipv4Pattern = "(^|[^0-9A-Za-z_.])([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})($|[^0-9.])"
 
   /** PII scrubbing (the C4/Dolma-style pre-training pass): per-doc
     * match counts plus the redacted text with typed placeholders.
-    * Narrow codegen projection — no shuffle, no UDFs.
-    * Output: `idCol, n_emails, n_phones, n_ips, redacted`.
+    * Counts are taken on the SAME intermediate text each replacement
+    * sees (emails on raw, phones on email-redacted, IPs on
+    * phone-redacted), so every count corresponds to a placeholder
+    * actually inserted. Narrow codegen projection — no shuffle, no
+    * UDFs. Output: `idCol, n_emails, n_phones, n_ips, redacted`.
     */
   def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, EmailPattern, "<EMAIL>"),
-        PhonePattern,
-        "<PHONE>"
-      ),
-      Ipv4Pattern,
-      "<IP>"
-    )
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "$1<PHONE>$3")
+    val afterIp = regexp_replace(afterPhone, Ipv4Pattern, "$1<IP>$3")
     df.select(
       col(idCol),
       regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
-      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ips"),
-      redacted.as("redacted")
+      regexp_count(afterEmail, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      afterIp.as("redacted")
     )
   }
 
@@ -148,8 +147,8 @@ object TextOps {
     * shuffles keyed on (doc, token) then doc.
     * Output: `idCol, n_words, n_distinct, rep_ratio, top_word_frac`.
     */
-  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stats = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
@@ -165,6 +164,10 @@ object TextOps {
         (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("rep_ratio"),
         (col("top_count").cast("double") / col("n_words")).as("top_word_frac")
       )
+    // row-preserving like every per-doc TextOps operator: a NULL text
+    // explodes to zero rows, so join stats back (NULL stats for it)
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+  }
 
   /** Document fingerprinting over normalized text: full 128-bit md5 hex
     * plus a 64-bit prefix form — identical in any engine with md5().

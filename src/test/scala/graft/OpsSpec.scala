@@ -116,7 +116,9 @@ class OpsSpec extends SparkTestBase {
   test("pii scrub counts and redacts emails, phones, ips") {
     val pii = Seq(
       (1L, "contact bob@example.com or 555-123-4567, server at 10.0.0.1"),
-      (2L, "no pii here at all")
+      (2L, "no pii here at all"),
+      (3L, "电话555-123-4567"), // CJK-adjacent: explicit ASCII boundaries match in Java AND RE2
+      (4L, "12345-678-9012 is not a phone")
     ).toDF("doc_id", "text")
     val out = TextOps.piiScrub(pii, "text", "doc_id").collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("n_emails") == 1)
@@ -124,6 +126,9 @@ class OpsSpec extends SparkTestBase {
     assert(out(1L).getAs[Long]("n_ips") == 1)
     assert(out(1L).getAs[String]("redacted") == "contact <EMAIL> or <PHONE>, server at <IP>")
     assert(out(2L).getAs[String]("redacted") == "no pii here at all")
+    assert(out(3L).getAs[Long]("n_phones") == 1)
+    assert(out(3L).getAs[String]("redacted") == "电话<PHONE>")
+    assert(out(4L).getAs[Long]("n_phones") == 0) // digit-run prefix is not a number boundary
   }
 
   test("repetition stats: distinct ratio and top-token mass") {
