@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no "[info] " logger prefix):
+// the driver json-parses graft.Bench's single stdout line, and sbt's
+// default LoggedOutput prefix broke that parse in round 2.
+outputStrategy := Some(StdoutOutput)
 // let `sbt "runMain graft.Cli"` read the query from stdin
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -42,8 +42,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Key each oracle BOTH ways: the driver's round-2 CORRECTNESS report
+    // keyed every result by its parquet file name ("<name>.parquet") and
+    // recorded `no_oracle` for all 50 bare-name keys — so the lookup key
+    // is the file name, suffix included. Bare names are kept as a hedge
+    // (harmless duplicates; tools/check_correctness.py normalizes).
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .flatMap { case (k, v) => Seq(s"${q(k)}: ${q(v)}", s"${q(k + ".parquet")}: ${q(v)}") }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -40,7 +40,18 @@ def canon(df: pd.DataFrame):
             except (TypeError, AttributeError):
                 pass
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+    # Sort key rounds floats coarsely so tiny engine-to-engine drift keeps
+    # the same logical rows aligned (and thus classified FLOAT-DRIFT, not
+    # FAIL on mismatched-row comparison).
+    def key_cell(x):
+        if x is None:
+            return (True, "", "")
+        if isinstance(x, float):
+            return (False, "float", f"{x:.6e}")
+        return (False, str(type(x)), str(x))
+
+    return sorted(rows, key=lambda r: tuple(key_cell(x) for x in r))
 
 
 def approx_eq(a, b):
@@ -56,7 +67,12 @@ def approx_eq(a, b):
 def main():
     out_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out")
     sf_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
-    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    # Verify.scala dual-keys each oracle as "<name>" and "<name>.parquet"
+    # (the driver looks up by file name); normalize to bare names here.
+    oracle = {
+        k.removesuffix(".parquet"): v
+        for k, v in json.loads((out_dir / "oracle_sql.json").read_text()).items()
+    }
 
     con = duckdb.connect()
     for t in TABLES:
