@@ -292,33 +292,41 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.parquetDir(s, dir)("documents")
 
+  /** Explicit ASCII whitespace class (mirrors [[TextOps.WsClass]]) —
+    * `\s` differs between Java and RE2 on vertical tab.
+    */
+  private val sqlWs = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** Non-word char class: `[^A-Za-z0-9\s]` with the explicit ws class. */
+  private val sqlNonWord = "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+
   /** DuckDB equivalent of [[TextOps.normalize]]. */
-  private val sqlNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val sqlNorm = s"regexp_replace(lower(trim(text)), '$sqlWs+', ' ', 'g')"
 
   private def stopList(lang: String): String =
     TextOps.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
   private def stopHits(lang: String): String =
-    s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+    s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '$sqlWs+'), " +
       s"x -> list_contains(${stopList(lang)}, x))) AS DOUBLE)"
 
   private val opsEntries: ListMap[String, Entry] = ListMap(
     "text_tokens" -> Entry(
       (s, dir) => TextOps.tokenStats(docs(s, dir), "text", "doc_id"),
       Some(
-        """SELECT doc_id,
-          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
-          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_lex,
-          |  CAST(length(text) AS BIGINT) AS n_chars
-          |FROM documents""".stripMargin
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS BIGINT) AS n_ws,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|$sqlNonWord')) AS BIGINT) AS n_lex,
+           |  CAST(length(text) AS BIGINT) AS n_chars
+           |FROM documents""".stripMargin
       )
     ),
     "text_quality" -> Entry(
       (s, dir) => TextOps.qualityScore(docs(s, dir), "text", "doc_id"),
       Some {
         val nChars = "CAST(length(text) AS DOUBLE)"
-        val nWords = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
-        val punct = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+        val nWords = s"CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS DOUBLE)"
+        val punct = s"CAST(len(regexp_extract_all(text, '$sqlNonWord')) AS DOUBLE)"
         val stops = stopHits("en")
         s"""SELECT doc_id,
            |  CAST($nChars AS BIGINT) AS n_chars,
@@ -356,13 +364,17 @@ object SparkEntry {
         val phone = "(^|[^0-9A-Za-z_])([0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4})($|[^0-9])"
         val ip = "(^|[^0-9A-Za-z_.])([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})($|[^0-9.])"
         def ct(src: String, re: String) = s"CAST(len(regexp_extract_all($src, '$re')) AS BIGINT)"
+        // Two replace passes per boundary-consuming pattern (phone, IP),
+        // counts summed over both — mirrors TextOps.piiScrub.scrub2.
         val afterEmail = s"regexp_replace(text, '$email', '<EMAIL>', 'g')"
-        val afterPhone = s"regexp_replace($afterEmail, '$phone', '\\1<PHONE>\\3', 'g')"
-        val afterIp = s"regexp_replace($afterPhone, '$ip', '\\1<IP>\\3', 'g')"
+        val phone1 = s"regexp_replace($afterEmail, '$phone', '\\1<PHONE>\\3', 'g')"
+        val afterPhone = s"regexp_replace($phone1, '$phone', '\\1<PHONE>\\3', 'g')"
+        val ip1 = s"regexp_replace($afterPhone, '$ip', '\\1<IP>\\3', 'g')"
+        val afterIp = s"regexp_replace($ip1, '$ip', '\\1<IP>\\3', 'g')"
         s"""SELECT doc_id,
            |  ${ct("text", email)} AS n_emails,
-           |  ${ct(afterEmail, phone)} AS n_phones,
-           |  ${ct(afterPhone, ip)} AS n_ips,
+           |  ${ct(afterEmail, phone)} + ${ct(phone1, phone)} AS n_phones,
+           |  ${ct(afterPhone, ip)} + ${ct(ip1, ip)} AS n_ips,
            |  $afterIp AS redacted
            |FROM documents""".stripMargin
       }
@@ -370,7 +382,7 @@ object SparkEntry {
     "text_repetition" -> Entry(
       (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
       Some(
-        """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '$sqlWs+')) AS w FROM documents),
           |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
           |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(count(*) AS BIGINT) AS n_distinct,
           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio,

@@ -13,19 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Explicit whitespace class used instead of `\s`: Java's `\s` is
+    * `[ \t\n\x0B\f\r]` while RE2's (DuckDB) excludes vertical tab, so a
+    * document containing U+000B would break bit-for-bit oracle
+    * equivalence. The explicit class (hex escape works identically in
+    * both engines) pins the semantics.
+    */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Whitespace-collapse + lowercase + trim: the canonical form used
     * for fingerprinting and exact dedup.
     */
   def normalize(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    regexp_replace(lower(trim(text)), WsClass + "+", " ")
 
   /** Whitespace token array. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), WsClass + "+")
 
   /** BPE-ish lexical token pattern: runs of letters, runs of digits,
     * or single non-alphanumeric marks — the usual pre-tokenizer shape.
     */
-  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val TokenPattern = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Token counting: whitespace tokens and lexical (BPE-ish) tokens.
     * Output: `idCol, n_ws, n_lex, n_chars`.
@@ -63,7 +71,7 @@ object TextOps {
     val t = col(textCol)
     val nChars = length(t).cast("double")
     val nWords = size(tokens(t)).cast("double")
-    val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val punct = regexp_count(t, lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).cast("double")
     val stops = stopwordHits(t, Stopwords("en")).cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val stopRatio = stops / greatest(nWords, lit(1.0))
@@ -123,19 +131,36 @@ object TextOps {
     * Counts are taken on the SAME intermediate text each replacement
     * sees (emails on raw, phones on email-redacted, IPs on
     * phone-redacted), so every count corresponds to a placeholder
-    * actually inserted. Narrow codegen projection — no shuffle, no
-    * UDFs. Output: `idCol, n_emails, n_phones, n_ips, redacted`.
+    * actually inserted.
+    *
+    * The phone/IP patterns CONSUME their boundary chars, so a single
+    * replace pass misses every second item in a run of PII separated by
+    * one boundary char ("10.0.0.1 10.0.0.2"): the first match eats the
+    * separator and the scanner resumes at the next digit where the
+    * leading-boundary group cannot match. Misses are never adjacent
+    * (an unmatched item's own trailing separator is still available to
+    * the next), so a SECOND pass over the once-redacted text — where
+    * the restored `$3` boundary is no longer consumed — catches them
+    * all. Counts sum both passes. Narrow codegen projection — no
+    * shuffle, no UDFs. Output: `idCol, n_emails, n_phones, n_ips,
+    * redacted`.
     */
   def piiScrub(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
+    def scrub2(src: Column, pattern: String, repl: String): (Column, Column) = {
+      val pass1 = regexp_replace(src, pattern, repl)
+      val pass2 = regexp_replace(pass1, pattern, repl)
+      val n = (regexp_count(src, lit(pattern)) + regexp_count(pass1, lit(pattern))).cast("long")
+      (pass2, n)
+    }
     val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
-    val afterPhone = regexp_replace(afterEmail, PhonePattern, "$1<PHONE>$3")
-    val afterIp = regexp_replace(afterPhone, Ipv4Pattern, "$1<IP>$3")
+    val (afterPhone, nPhones) = scrub2(afterEmail, PhonePattern, "$1<PHONE>$3")
+    val (afterIp, nIps) = scrub2(afterPhone, Ipv4Pattern, "$1<IP>$3")
     df.select(
       col(idCol),
       regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(afterEmail, lit(PhonePattern)).cast("long").as("n_phones"),
-      regexp_count(afterPhone, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      nPhones.as("n_phones"),
+      nIps.as("n_ips"),
       afterIp.as("redacted")
     )
   }

@@ -40,9 +40,19 @@ object Tables {
   /** Drop all cached table plans (e.g. after overwriting a table). */
   def clearCache(): Unit = tableCache.clear()
 
+  /** Cache lookup that first evicts entries belonging to stopped
+    * sessions: a stopped session's plans are unusable, and keeping them
+    * would both pin the session for the JVM lifetime and hand a dead
+    * plan to a new query that reuses the catalog path.
+    */
+  private def cached(spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
+    tableCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    tableCache.getOrElseUpdate((spark, key), mk)
+  }
+
   /** Catalog function over a directory of parquet tables. */
   def parquetDir(spark: SparkSession, dir: String): String => DataFrame =
-    name => tableCache.getOrElseUpdate((spark, s"$dir/$name.parquet"), load(spark, s"$dir/$name.parquet"))
+    name => cached(spark, s"$dir/$name.parquet")(load(spark, s"$dir/$name.parquet"))
 
   /** Format-aware catalog over a directory: resolves
     * `<dir>/<name>.parquet`, `.csv` (header, explicit-schema-free CSV
@@ -58,9 +68,8 @@ object Tables {
     // parquet cache key matches parquetDir's so the same table resolved
     // through either catalog shares one entry
     if (exists(spark, s"$base.parquet"))
-      tableCache.getOrElseUpdate((spark, s"$base.parquet"), load(spark, s"$base.parquet"))
-    else tableCache.getOrElseUpdate(
-      (spark, base),
+      cached(spark, s"$base.parquet")(load(spark, s"$base.parquet"))
+    else cached(spark, base)(
       if (exists(spark, s"$base.csv")) {
         val r = spark.read.option("header", "true")
         csvSchemas.get(name) match {
@@ -81,6 +90,14 @@ object Tables {
 
   /** Load one parquet file/directory, converting any TIMESTAMP(NANOS)
     * columns to micro-precision timestamps.
+    *
+    * NOTE: when nano columns are present this flips the SESSION-WIDE
+    * conf `spark.sql.legacy.parquet.nanosAsLong` (there is no per-read
+    * option for it) — other plain `spark.read.parquet` reads of
+    * nano-timestamp files in the same session will then see BIGINT
+    * epoch-nanos instead of an error. Reads through this catalog are
+    * unaffected (the footer check applies the µs conversion whenever
+    * the file has nano columns).
     */
   def load(spark: SparkSession, path: String): DataFrame = {
     val nanoCols = nanoTimestampColumns(spark, path)

@@ -47,8 +47,15 @@ object Sessionize {
 
   /** Custom-state sessions: close after `gapMs` idle OR when the
     * session reaches `capMs` total duration (the part `session_window`
-    * cannot express). Streaming input must be watermarked on `tsCol`;
-    * also runs on batch (single pass per key, no timeouts).
+    * cannot express). Streaming input must be watermarked on `tsCol`.
+    *
+    * BATCH CALLERS: batch execution never fires state timeouts, so with
+    * the default `emitOpenAtEnd = false` each key's TRAILING session
+    * (the one still open at end-of-input) is NOT emitted — a key with a
+    * single burst yields zero sessions. Pass `emitOpenAtEnd = true` on
+    * batch input to flush remaining state as uncapped sessions (do not
+    * set it on streaming input: each micro-batch would emit a partial
+    * session for every open key).
     * Output: Dataset[Session].
     */
   def cappedSessions(
@@ -56,7 +63,8 @@ object Sessionize {
       keyCol: String,
       tsCol: String,
       gapMs: Long,
-      capMs: Long
+      capMs: Long,
+      emitOpenAtEnd: Boolean = false
   ): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -100,9 +108,16 @@ object Sessionize {
               }
             }
             if (acc != null) {
-              state.update(acc)
-              // close when the watermark passes last-event + gap
-              state.setTimeoutTimestamp(acc.lastMs + gapMs)
+              if (emitOpenAtEnd) {
+                // batch finalization: flush the trailing session now —
+                // no further input is coming and timeouts never fire
+                emitted += close(acc, capped = false)
+                state.remove()
+              } else {
+                state.update(acc)
+                // close when the watermark passes last-event + gap
+                state.setTimeoutTimestamp(acc.lastMs + gapMs)
+              }
             }
             emitted.result().iterator
           }
