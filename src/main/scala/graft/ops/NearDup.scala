@@ -262,9 +262,12 @@ object NearDup {
   private[ops] def planeComponent(idx: Column): Column =
     (((lit(1103515245L) * idx + 12345L) % 2147483648L) / lit(2147483648.0)) - 0.5
 
-  /** Left-fold double dot product (deterministic summation order). */
+  /** Left-fold double dot product (deterministic summation order).
+    * Native codegen expression — the builtin `aggregate(zip_with(...))`
+    * composition evaluates interpreted, one closure call per element.
+    */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    graft.functions.ArrayMath.dotProduct(a, b)
 
   /** Per-row sign-LSH signatures + norms for an embedding frame:
     * `(id, v, nrm, sig)` where bit p of `sig` is the sign of the dot

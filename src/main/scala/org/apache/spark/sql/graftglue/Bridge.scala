@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Catalyst-Expression bridge.
+  *
+  * Spark 4 wraps Columns in `ColumnNode`s and scopes the converters
+  * `private[sql]`; a library adding native codegen expressions needs
+  * this one-file shim inside the `org.apache.spark.sql` package tree —
+  * the standard extension-library idiom. Everything else in graft stays
+  * in its own namespace and on public APIs.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
