@@ -13,8 +13,13 @@ Test / fork := true
 run / fork := true
 // Forked run output passes through RAW (no "[info] " logger prefix):
 // the driver json-parses graft.Bench's single stdout line, and sbt's
-// default LoggedOutput prefix broke that parse in round 2.
+// default LoggedOutput prefix broke that parse in round 2. Suppressing
+// the "[success] Total time" trailer keeps Bench's JSON the LAST
+// stdout line, in case the driver takes the last line rather than
+// scanning for a parseable one.
 outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // let `sbt "runMain graft.Cli"` read the query from stdin
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -76,10 +76,14 @@ object Bench {
     val os = opsResults.collect { case (k, Right(v)) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errs.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: ${errs.map(_._1).mkString(", ")}")
+    // stop Spark BEFORE printing so the JSON line is the last stdout
+    // line of the run (shutdown logging lands above it, not after) —
+    // robust whether the driver scans lines or takes the last one
+    spark.stop()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$os,"errors":$es,"sf":${jstr(sfDir)}}"""
     )
-    if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: ${errs.map(_._1).mkString(", ")}")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -3,9 +3,9 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, Dedup, Multimodal, NearDup, TextOps}
+import graft.ops.{Ann, Dedup, Multimodal, NearDup, Sampling, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -379,6 +379,58 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }
     ),
+    // The synthetic corpus has no URLs; append a deterministic URL tail
+    // to every third doc (mirrored in the oracle SQL) so the op scans
+    // real, varied inputs rather than all-zero rows.
+    "text_urls" -> Entry(
+      (s, dir) => {
+        val aug = docs(s, dir).withColumn(
+          "text",
+          concat(
+            col("text"),
+            when(
+              col("doc_id") % 3 === 0,
+              concat(
+                lit(" see https://s"),
+                (col("doc_id") % 5).cast("string"),
+                lit(".Example.com/p?q=1 and http://mirror.example.org/path")
+              )
+            ).otherwise(lit(""))
+          )
+        )
+        TextOps.urlStats(aug, "text", "doc_id")
+      },
+      Some {
+        val url = "(https?)://([A-Za-z0-9.-]+)(:[0-9]+)?[^ \\t\\n\\x0B\\f\\r]*"
+        val aug = "text || CASE WHEN doc_id % 3 = 0 THEN ' see https://s' || (doc_id % 5)::VARCHAR" +
+          " || '.Example.com/p?q=1 and http://mirror.example.org/path' ELSE '' END"
+        s"""WITH a AS (SELECT doc_id, $aug AS text FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+           |  CAST(len(regexp_extract_all(text, 'https://')) AS BIGINT) AS n_https,
+           |  COALESCE(array_to_string(list_sort(list_distinct(list_transform(
+           |    regexp_extract_all(text, '$url', 2), d -> lower(d)))), ','), '') AS domains
+           |FROM a""".stripMargin
+      }
+    ),
+    // Quota sampling for a training mix: per-lang keep rates, membership
+    // decided by an md5 hash of the doc id — same rows survive on every
+    // engine, run, and partitioning (df.sample() promises none of that).
+    "sample_stratified" -> Entry(
+      (s, dir) =>
+        Sampling.stratified(
+          docs(s, dir),
+          "doc_id",
+          "lang",
+          rates = Map("en" -> 0.25, "zh" -> 0.9),
+          defaultRate = 0.6
+        ),
+      Some(
+        """SELECT doc_id, text, lang, source, n_chars FROM documents
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT / 4294967296.0
+          |  < CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'zh' THEN 0.9 ELSE 0.6 END""".stripMargin
+      )
+    ),
     "text_repetition" -> Entry(
       (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
       Some(
@@ -431,6 +483,27 @@ object SparkEntry {
           |  count(*) AS n_events
           |FROM s GROUP BY user_id, sid""".stripMargin
       )
+    ),
+    // Custom-state operator (flatMapGroupsWithState): the duration-cap
+    // split is sequential per key, not SQL-expressible — no oracle, the
+    // driver records the weaker rows-only check; semantics are covered
+    // by SessionizeSpec.
+    "sessions_capped" -> Entry(
+      (s, dir) =>
+        Sessionize.cappedSessions(
+          Tables.parquetDir(s, dir)("events"),
+          "user_id", "ts",
+          gapMs = 30L * 60 * 1000,
+          capMs = 60L * 60 * 1000,
+          emitOpenAtEnd = true // batch input: flush trailing sessions
+        ).toDF().select(
+          col("key").as("user_id"),
+          unix_micros(col("session_start")).as("ss"),
+          unix_micros(col("session_end")).as("se"),
+          col("n_events"),
+          col("capped")
+        ),
+      None
     ),
     "mm_meta" -> Entry(
       (s, dir) => Multimodal.metadata(docs(s, dir), "text", "doc_id"),

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: stage-by-stage timings of the near-dup pipelines, for
+  * finding which stage dominates before optimizing. Not part of the
+  * driver contract (Bench reports the end-to-end numbers).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ops.MicroBench"
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.parquetDir(spark, sfDir)("documents")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      def run(): Unit = df.write.format("noop").mode("overwrite").save()
+      run(); run() // warm-up ×2 (codegen + C2)
+      val t0 = System.nanoTime()
+      run()
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    val t = col("text")
+    time("tokens-explode") {
+      docs.select(col("doc_id"), explode(NearDup.tokens(t)).as("w"))
+    }
+    time("shingles-explode") {
+      docs.select(col("doc_id"), explode(NearDup.shingles(t)).as("s"))
+    }
+    time("shingles-hashed") {
+      docs.select(col("doc_id"), explode(NearDup.shingles(t)).as("s"))
+        .select(col("doc_id"), expr("conv(substring(md5(cast(s as binary)), 1, 8), 16, 10)").cast("long").as("h"))
+    }
+    time("minhash-sigs") {
+      NearDup.minhashSigs(docs, NearDup.shingles(t), "doc_id", 32)
+    }
+    time("minhash-pairs (full)") {
+      NearDup.minhashPairs(docs, "text", "doc_id")
+    }
+    time("ngram-pairs (full)") {
+      NearDup.ngramJaccardPairs(docs, "text", "doc_id")
+    }
+    spark.stop()
+  }
+}

@@ -165,6 +165,30 @@ object TextOps {
     )
   }
 
+  /** URL pattern: scheme group + host group + rest-of-URL (explicit
+    * ASCII whitespace terminator, engine-portable like the PII set).
+    */
+  val UrlPattern = "(https?)://([A-Za-z0-9.-]+)(:[0-9]+)?[^ \\t\\n\\x0B\\f\\r]*"
+
+  /** URL statistics (the C4/RefinedWeb-style web-corpus pass): per-doc
+    * URL count, https share, and the sorted distinct lowercase host
+    * list (CSV string — keeps the output schema flat for any engine).
+    * Narrow codegen projection except the tiny per-doc host-array
+    * transform. Output: `idCol, n_urls, n_https, domains`.
+    */
+  def urlStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(t, lit("https://")).cast("long").as("n_https"),
+      array_join(
+        array_sort(array_distinct(transform(regexp_extract_all(t, lit(UrlPattern), lit(2)), d => lower(d)))),
+        ","
+      ).as("domains")
+    )
+  }
+
   /** Token-repetition statistics (the Gopher repetition quality
     * rules): distinct-token ratio and most-frequent-token mass.
     * Plan shape: explode → per-(doc, token) counts → per-doc

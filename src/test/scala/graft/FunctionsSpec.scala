@@ -42,6 +42,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(dotOf(Seq(1.0), Seq(1.0, 2.0)) == null) // length mismatch (zip_with null-pads) → null
   }
 
+  test("graft_dot resolves in SQL after GraftExtensions.register") {
+    graft.functions.GraftExtensions.register(spark)
+    val v = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head.getDouble(0)
+    v shouldBe 11.0
+  }
+
   test("dotProduct stays inside whole-stage codegen") {
     // a non-local source, or ConvertToLocalRelation folds the whole
     // projection at optimization time and no codegen stage exists

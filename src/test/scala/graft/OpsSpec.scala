@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Dedup, NearDup, TextOps}
+import graft.ops.{Ann, Dedup, NearDup, Sampling, TextOps}
 
 /** Behavior + plan-shape tests for the graft.ops layer.
   *
@@ -138,6 +138,35 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out(1L).getAs[Double]("rep_ratio") - 0.4) < 1e-12)
     assert(math.abs(out(1L).getAs[Double]("top_word_frac") - 0.6) < 1e-12)
     assert(out(2L).getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("urlStats counts urls, https share, and distinct lowercased domains") {
+    val df = Seq(
+      (1L, "see https://Example.COM/a?x=1 and http://mirror.org/b plus https://example.com/c"),
+      (2L, "no links here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.urlStats(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_urls") == 3L)
+    assert(out(0).getAs[Long]("n_https") == 2L)
+    assert(out(0).getAs[String]("domains") == "example.com,mirror.org")
+    assert(out(1).getAs[Long]("n_urls") == 0L && out(1).getAs[String]("domains") == "")
+  }
+
+  test("stratified sampling is deterministic, rate-respecting, and partitioning-independent") {
+    val df = spark.range(2000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang")
+    )
+    val kept = Sampling.stratified(df, "doc_id", "lang", Map("en" -> 0.2), defaultRate = 0.8)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 per stratum; binomial 5σ bands
+    assert(byLang("en") > 140 && byLang("en") < 260, byLang)
+    assert(byLang("de") > 740 && byLang("de") < 860, byLang)
+    // same membership regardless of physical layout
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratified(df.repartition(13), "doc_id", "lang", Map("en" -> 0.2), defaultRate = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
   }
 
   test("saltedJoin rejects right/full outer join types") {
