@@ -524,14 +524,24 @@ object SparkEntry {
   /** DuckDB token array (mirrors [[NearDup.tokens]]). */
   private val sqlTokens = s"regexp_split_to_array($sqlNorm, ' ')"
 
-  /** DuckDB 3-gram shingles over token array `w`. */
-  private val sqlShingles =
-    """CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |     ELSE list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))
-      |END""".stripMargin
+  /** DuckDB 32-bit string hash of expression `e` (mirrors NearDup.hash32). */
+  private def sqlHash32Of(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
-  /** DuckDB 32-bit string hash (mirrors NearDup.hash32). */
-  private val sqlHash32 = "('0x' || substr(md5(x), 1, 8))::BIGINT"
+  /** DuckDB 32-bit string hash of lambda variable `x`. */
+  private val sqlHash32 = sqlHash32Of("x")
+
+  /** CTE chain ending in `hh(doc_id, hs)`: hashed 3-gram shingles as in
+    * [[NearDup.hashedShingles]] — per-token hashes combined with the
+    * C1/C2 linear mix, whole-text hash for docs under 3 tokens.
+    */
+  private def sqlHashedShingleCtes(src: String): String =
+    s"""t AS (SELECT doc_id, $sqlTokens AS w FROM $src),
+       |tw AS (SELECT doc_id, w, list_transform(w, x -> $sqlHash32 % 2147483647) AS hw FROM t),
+       |hh AS (SELECT doc_id, CASE WHEN len(w) < 3
+       |  THEN [${sqlHash32Of("array_to_string(w, ' ')")} % 2147483647]
+       |  ELSE list_transform(generate_series(1, len(w) - 2),
+       |    i -> (hw[i] * ${NearDup.C1} + hw[i+1] * ${NearDup.C2} + hw[i+2]) % 2147483647) END AS hs
+       |FROM tw)""".stripMargin
 
   /** DuckDB MinHash signature over hashed-shingle list `hs` (mirrors
     * NearDup.minhashSignature's universal-hash family mod 2^31-1).
@@ -554,9 +564,7 @@ object SparkEntry {
   private def sqlMinhashOracleOver(src: String): String = {
     val k = 32
     val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
-    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM $src),
-       |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
-       |hh AS (SELECT doc_id, list_transform(s, x -> $sqlHash32 % 2147483647) AS hs FROM sh),
+    s"""WITH ${sqlHashedShingleCtes(src)},
        |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh),
        |bd AS (${sqlBands(k, 2)}),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -569,15 +577,14 @@ object SparkEntry {
   private def sqlNgramOracle: String = {
     val k = 8
     val jac = "CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE) / len(list_distinct(list_concat(h1.hs, h2.hs)))"
-    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-       |sh AS (SELECT doc_id, $sqlShingles AS s FROM t),
-       |hh AS (SELECT doc_id, list_distinct(list_transform(s, x -> $sqlHash32 % 2147483647)) AS hs FROM sh),
-       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh),
+    s"""WITH ${sqlHashedShingleCtes("documents")},
+       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
+       |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hd),
        |bd AS (${sqlBands(k, 1)}),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, $jac AS jaccard
-       |FROM cd JOIN hh h1 ON cd.id_a = h1.doc_id JOIN hh h2 ON cd.id_b = h2.doc_id
+       |FROM cd JOIN hd h1 ON cd.id_a = h1.doc_id JOIN hd h2 ON cd.id_b = h2.doc_id
        |WHERE $jac >= 0.2""".stripMargin
   }
 

@@ -36,12 +36,12 @@ object MicroBench {
     time("shingles-explode") {
       docs.select(col("doc_id"), explode(NearDup.shingles(t)).as("s"))
     }
-    time("shingles-hashed") {
+    time("shingles-hashed (legacy)") {
       docs.select(col("doc_id"), explode(NearDup.shingles(t)).as("s"))
         .select(col("doc_id"), expr("conv(substring(md5(cast(s as binary)), 1, 8), 16, 10)").cast("long").as("h"))
     }
-    time("minhash-sigs") {
-      NearDup.minhashSigs(docs, NearDup.shingles(t), "doc_id", 32)
+    time("hashedShingles (window)") {
+      NearDup.hashedShingles(docs, "text", "doc_id")
     }
     time("minhash-pairs (full)") {
       NearDup.minhashPairs(docs, "text", "doc_id")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard, and
@@ -34,11 +35,52 @@ object NearDup {
 
   /** Word n-gram shingles (default 3). Texts shorter than n words get a
     * single whole-text shingle.
+    *
+    * NOTE: building shingle STRINGS is the expensive formulation —
+    * `transform`+`concat_ws`+`slice` run interpreted and allocate one
+    * string per position (measured 3.7 s of dedup_minhash's 4.6 s at
+    * sf0.1). The pipelines use [[hashedShingles]] instead; this Column
+    * form remains for callers that need the shingle text itself.
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
     when(size(w) < n, array(concat_ws(" ", w)))
       .otherwise(transform(sequence(lit(1), size(w) - (n - 1)), i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
+  /** Shingle-combine multipliers: `h_shingle = (h1·C1 + h2·C2 + h3) mod
+    * P` over per-token hashes (all < P, so the sum stays < 2^62 — no
+    * overflow). md5-derived inputs are uniform already; the linear mix
+    * only has to keep distinct trigrams distinct.
+    */
+  private[graft] val C1 = 1000003L
+  private[graft] val C2 = 10007L
+
+  /** Exploded hashed 3-gram shingles: `(id, h)` with `h < P`.
+    *
+    * Plan shape: explode TOKENS (cheap — the array comes from one
+    * codegen'd `split`), hash each token once in a codegen projection,
+    * then combine the 3 consecutive token hashes per position with
+    * integer arithmetic over a `lead` window. No shingle strings are
+    * ever built. The window's doc-keyed shuffle is REUSED by the
+    * signature aggregation that follows (same partitioning key), so
+    * the stage count at scale is unchanged. Docs shorter than 3 tokens
+    * hash their whole normalized text (= tokens joined by one space).
+    */
+  private[ops] def hashedShingles(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("w"))
+    val short = base.filter(size(col("w")) < 3)
+      .select(col(idCol), (hash32(concat_ws(" ", col("w"))) % P).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val long = base.filter(size(col("w")) >= 3)
+      .select(col(idCol), posexplode(col("w")).as(Seq("i", "t")))
+      .select(col(idCol), col("i"), (hash32(col("t")) % P).as("hw"))
+      .select(
+        col(idCol),
+        ((col("hw") * C1 + lead("hw", 1).over(win) * C2 + lead("hw", 2).over(win)) % P).as("h")
+      )
+      .filter(col("h").isNotNull)
+    short.union(long)
   }
 
   // ---- MinHash + LSH ---------------------------------------------------
@@ -130,7 +172,7 @@ object NearDup {
       bandRows: Int = 2,
       minEstSim: Double = 0.25
   ): DataFrame = {
-    val sigs = minhashSigs(df, shingles(col(textCol)), idCol, k)
+    val sigs = minhashSigsFromHashed(hashedShingles(df, textCol, idCol), idCol, k)
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, bandRows), idCol)
     val est = size(filter(
       sequence(lit(1), lit(k)),
@@ -158,10 +200,7 @@ object NearDup {
       k: Int = 8,
       minJaccard: Double = 0.2
   ): DataFrame = {
-    val hashed = df
-      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
-      .select(col(idCol), (hash32(col("s")) % P).as("h"))
-      .distinct()
+    val hashed = hashedShingles(df, textCol, idCol).distinct()
     val sigs = minhashSigsFromHashed(hashed, idCol, k)
     val sets = hashed.groupBy(col(idCol)).agg(sort_array(collect_list(col("h"))).as("hs"))
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, 1), idCol)
