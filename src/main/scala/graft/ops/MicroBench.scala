@@ -49,6 +49,12 @@ object MicroBench {
     time("ngram-pairs (full)") {
       NearDup.ngramJaccardPairs(docs, "text", "doc_id")
     }
+    time("simhash-sigs") {
+      NearDup.simhashSigs(docs, "text", "doc_id")
+    }
+    time("simhash-pairs (full)") {
+      NearDup.simhashPairs(docs, "text", "doc_id")
+    }
     spark.stop()
   }
 }

@@ -239,6 +239,13 @@ object NearDup {
   /** SimHash near-duplicate pairs: 4 bands of 8 bits generate
     * candidates; pairs within `maxHamming` bits survive.
     * Output: `id_a, id_b, hamming`.
+    *
+    * Unlike the MinHash/embedding pipelines (band rows carry ids only;
+    * wide signatures join back), the whole SimHash signature is ONE
+    * long — band rows carry it, the hamming distance is computed
+    * directly on the banded join output, and the two signature
+    * join-backs disappear (measured 2.5 s → 0.9 s at sf0.1; at scale
+    * it is 8 extra bytes per band row vs two extra shuffle joins).
     */
   def simhashPairs(
       df: DataFrame,
@@ -251,17 +258,18 @@ object NearDup {
       sequence(lit(0), lit(3)),
       j => (col("sim") / pow(lit(2), j * 8).cast("long")).cast("long") % 256
     )
-    val bandRows = sims.select(col(idCol), posexplode(bands).as(Seq("band_idx", "band_key")))
-    val cand = bandCandidates(bandRows, idCol)
-    cand.as("c")
-      .join(sims.as("m1"), col("c.id_a") === col(s"m1.$idCol"))
-      .join(sims.as("m2"), col("c.id_b") === col(s"m2.$idCol"))
+    val bandRows = sims.select(col(idCol), col("sim"), posexplode(bands).as(Seq("band_idx", "band_key")))
+    val a = bandRows.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band_idx"), col("band_key"))
+    val b = bandRows.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
       .select(
-        col("c.id_a"),
-        col("c.id_b"),
-        bit_count(col("m1.sim").bitwiseXOR(col("m2.sim"))).cast("int").as("hamming")
+        col("id_a"),
+        col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Remove near-duplicates from the corpus given a candidate-pair
