@@ -48,6 +48,23 @@ object Streaming {
   def binWindow(tsCol: Column, duration: String): Column =
     window(tsCol, duration)
 
+  /** Streaming exact dedup: drop rows whose normalized-text digest was
+    * already seen, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — duplicates are guaranteed
+    * dropped when their event times fall within `maxLateness` of the
+    * first occurrence; older state is evicted, which is the only
+    * state-bounded contract possible on an unbounded stream).
+    *
+    * Batch counterpart: `graft.ops.Dedup.exact`, which keeps the
+    * LOWEST id per digest; the stream necessarily keeps the FIRST
+    * ARRIVAL instead (there is no total order to pick a minimum over).
+    */
+  def dedupExact(df: DataFrame, textCol: String, tsCol: String, maxLateness: String): DataFrame =
+    df.withWatermark(tsCol, maxLateness)
+      .withColumn("__graft_digest", md5(graft.ops.TextOps.normalize(col(textCol)).cast("binary")))
+      .dropDuplicatesWithinWatermark("__graft_digest")
+      .drop("__graft_digest")
+
   /** Run a compiled (streaming) plan into an in-memory table named
     * `name` — the test/debug sink. `complete` mode mirrors batch
     * results for unbounded aggregations; `append` emits only

@@ -133,6 +133,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops within-watermark duplicates across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val out = Streaming.dedupExact(ms.toDF.toDF("ts", "text"), "text", "ts", "5 minutes")
+    assert(out.isStreaming)
+    val q = Streaming.runToMemory(out, "stream_dedup", "append")
+    try {
+      ms.addData(Seq((ts(0), "a b c"), (ts(1), "A  b C"), (ts(2), "unique x")))
+      q.processAllAvailable()
+      // second batch: a duplicate (same normalized digest) within the
+      // watermark window, plus a fresh doc
+      ms.addData(Seq((ts(3), "a  B c"), (ts(4), "new y")))
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup").select("text").as[String].collect().toSet
+      assert(got == Set("a b c", "unique x", "new y"))
+    } finally q.stop()
+  }
+
   private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
     name => m.getOrElse(name, sys.error(s"unknown table $name"))
 }
