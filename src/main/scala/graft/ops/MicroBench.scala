@@ -55,6 +55,25 @@ object MicroBench {
     time("simhash-pairs (full)") {
       NearDup.simhashPairs(docs, "text", "doc_id")
     }
+
+    if (args.contains("scale10")) {
+      // 10× replication with shifted ids: every doc becomes a 10-clone
+      // clique — the adversarial shape for any PAIRS operator (output
+      // quadratic in clique size). The supported composition is
+      // deduplicateCorpus: exact dedup first collapses cliques.
+      val docs10 = (0 until 10)
+        .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+        .reduce(_.union(_))
+      time("minhash-pairs 10x (cliques)") {
+        NearDup.minhashPairs(docs10, "text", "doc_id")
+      }
+      time("dedup-pipeline 10x") {
+        NearDup.deduplicateCorpus(docs10, "text", "doc_id")
+      }
+      time("simhash-sigs 10x") {
+        NearDup.simhashSigs(docs10, "text", "doc_id")
+      }
+    }
     spark.stop()
   }
 }
