@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, Dedup, Multimodal, NearDup, Sampling, TextOps}
+import graft.ops.{Ann, AsOf, Dedup, Multimodal, NearDup, Sampling, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -482,6 +482,33 @@ object SparkEntry {
           |  CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS se,
           |  count(*) AS n_events
           |FROM s GROUP BY user_id, sid""".stripMargin
+      )
+    ),
+    // As-of join: every event gets the most recent prior purchase value
+    // of the same user. Union + keyed window (one shuffle, no range
+    // probing); DuckDB's native ASOF JOIN is the oracle.
+    "asof_join" -> Entry(
+      (s, dir) => {
+        val ev = Tables.parquetDir(s, dir)("events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(org.apache.spark.sql.functions.max("value").as("last_purchase"))
+        AsOf.joinAsOf(ev, purchases, Seq("user_id"), "ts", Seq("last_purchase"))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("last_purchase")
+          )
+      },
+      Some(
+        """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase
+          |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id,
+          |  CAST(epoch_us(e.ts::TIMESTAMP) AS BIGINT) AS ts_us,
+          |  p.last_purchase
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
       )
     ),
     // Custom-state operator (flatMapGroupsWithState): the duration-cap

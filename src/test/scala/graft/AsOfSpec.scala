@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private lazy val trades = Seq(
+    ("A", ts(1), 100L),
+    ("A", ts(5), 101L),
+    ("A", ts(10), 102L),
+    ("B", ts(3), 200L),
+    ("C", ts(4), 300L) // key with no quotes at all
+  ).toDF("sym", "ts", "trade_id")
+
+  private lazy val quotes = Seq(
+    ("A", ts(0), 10.0),
+    ("A", ts(5), 11.0), // exact-timestamp tie with trade A@5
+    ("A", ts(7), 12.0),
+    ("B", ts(9), 20.0) // later than B's only trade
+  ).toDF("sym", "ts", "px")
+
+  test("as-of join picks the most recent prior (or equal) right row per key") {
+    val out = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out(100L) == Some(10.0)) // A@1 ← quote@0
+    assert(out(101L) == Some(11.0)) // A@5 ← quote@5 (tie matches, >= semantics)
+    assert(out(102L) == Some(12.0)) // A@10 ← quote@7
+    assert(out(200L) == None) // B@3: only quote is at 9, later
+    assert(out(300L) == None) // C: no quotes
+  }
+
+  test("as-of join preserves every left row and column") {
+    val out = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == (trades.columns.toSeq :+ "px"))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOf.joinAsOfTolerant(trades, quotes, Seq("sym"), "ts", Seq("px"), "2 minutes")
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out(100L) == Some(10.0)) // 1 minute old — fresh
+    assert(out(101L) == Some(11.0)) // same-instant
+    assert(out(102L) == None) // quote@7 is 3 minutes before trade@10 — stale
+  }
+
+  test("plan is union + keyed window: no range-join probing, one shuffle") {
+    val df = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // not a join at all
+    assert(plan.contains("Window"), plan)
+  }
+}
