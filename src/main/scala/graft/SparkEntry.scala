@@ -511,6 +511,31 @@ object SparkEntry {
           |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
       )
     ),
+    // Range join: events inside [purchase, purchase + 30m) windows of
+    // the same user. Bucketed equi-join (intervals explode to their
+    // buckets; points bucket once) — never a nested-loop range probe.
+    "range_join" -> Entry(
+      (s, dir) => {
+        val ev = Tables.parquetDir(s, dir)("events")
+        val iv = ev.filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"),
+            col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"),
+            col("event_id").as("iid")
+          )
+        graft.ops.RangeJoin
+          .pointInInterval(ev, iv, Seq("user_id"), "ts", "s", "e", bucketMicros = 30L * 60 * 1000 * 1000)
+          .select(col("event_id"), col("iid"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      },
+      Some(
+        """SELECT e.event_id, p.event_id AS iid, e.user_id,
+          |  CAST(epoch_us(e.ts::TIMESTAMP) AS BIGINT) AS ts_us
+          |FROM events e JOIN events p
+          |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+          | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE""".stripMargin
+      )
+    ),
     // Custom-state operator (flatMapGroupsWithState): the duration-cap
     // split is sequential per key, not SQL-expressible — no oracle, the
     // driver records the weaker rows-only check; semantics are covered
