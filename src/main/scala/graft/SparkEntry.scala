@@ -444,6 +444,20 @@ object SparkEntry {
           |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
       )
     ),
+    "text_chunk" -> Entry(
+      (s, dir) => TextOps.chunk(docs(s, dir), "text", "doc_id", chunkTokens = 64),
+      Some(
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '$sqlWs+') AS w FROM documents),
+           |n AS (SELECT doc_id, w, greatest(CAST(ceil(len(w) / 64.0) AS BIGINT), 1) AS nc FROM t),
+           |u AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS c FROM n),
+           |s AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+           |        array_to_string(w[c*64+1 : c*64+64], ' ') AS chunk_text FROM u)
+           |SELECT doc_id, chunk_idx, chunk_text,
+           |  CASE WHEN length(chunk_text) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(string_split(chunk_text, ' ')) AS BIGINT) END AS n_tokens
+           |FROM s""".stripMargin
+      )
+    ),
     "text_fingerprint" -> Entry(
       (s, dir) => TextOps.fingerprint(docs(s, dir), "text", "doc_id"),
       Some(

@@ -218,6 +218,33 @@ object TextOps {
     df.select(col(idCol)).join(stats, Seq(idCol), "left")
   }
 
+  /** Context-window chunking: split each document into consecutive
+    * `chunkTokens`-token pieces (the training-sequence packing
+    * pre-step). One output row per chunk with its index and token
+    * count; empty docs yield one empty chunk (row-preserving for
+    * downstream joins).
+    *
+    * The per-chunk `array_join(slice(...))` lambda runs interpreted,
+    * but over ~len/chunkTokens elements per doc (a handful) — unlike
+    * per-shingle work, this costs nothing measurable.
+    * Output: `idCol, chunk_idx, chunk_text, n_tokens`.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String, chunkTokens: Int = 128): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val w = tokens(col(textCol))
+    val nChunks = greatest(ceil(size(w).cast("double") / chunkTokens).cast("int"), lit(1))
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      c => array_join(slice(w, c * chunkTokens + 1, lit(chunkTokens)), " ")
+    )
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn(
+        "n_tokens",
+        when(length(col("chunk_text")) === 0, lit(0L))
+          .otherwise(size(split(col("chunk_text"), " ")).cast("long"))
+      )
+  }
+
   /** Document fingerprinting over normalized text: full 128-bit md5 hex
     * plus a 64-bit prefix form — identical in any engine with md5().
     * Output: `idCol, fp_md5, fp64`.
