@@ -274,18 +274,39 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin
     ),
-    "events_windowed" -> q(
-      """events | where event_type in ("click", "purchase")
-        | | summarize n = count(), total = todouble(sum(tolong(round(value * 100)))) / 100.0
-        |   by tb = bin(ts, "15m"), event_type
-        | | project ts_bucket = unix_seconds(tb), event_type, n, total""".stripMargin,
-      """SELECT CAST(epoch_us(ts::TIMESTAMP) // 1000 // 900000 * 900 AS BIGINT) AS ts_bucket,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
-        |FROM events WHERE event_type IN ('click', 'purchase')
-        |GROUP BY 1, 2""".stripMargin
-    )
+    "events_windowed" -> q(ewPql, ewOracle)
   )
+
+  private lazy val ewPql =
+    """events | where event_type in ("click", "purchase")
+      | | summarize n = count(), total = todouble(sum(tolong(round(value * 100)))) / 100.0
+      |   by tb = bin(ts, "15m"), event_type
+      | | project ts_bucket = unix_seconds(tb), event_type, n, total""".stripMargin
+
+  private lazy val ewOracle =
+    """SELECT CAST(epoch_us(ts::TIMESTAMP) // 1000 // 900000 * 900 AS BIGINT) AS ts_bucket,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1, 2""".stripMargin
+
+  /** `events` as a REAL streaming source: `readStream.parquet` with the
+    * batch-inferred schema, nano timestamps normalized exactly like
+    * `Tables.load`.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(path).schema
+    // the file stream source wants a directory (or glob) path; the
+    // table is a single FILE, so address it through a glob — the
+    // source then anchors basePath at the parent directory itself
+    val stream = s.readStream.schema(raw).parquet(s"$dir/events.parque[t]")
+    if (raw("ts").dataType == LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
+  }
 
   // ---- §2.4 LLM-pipeline ops ------------------------------------------
 
@@ -497,6 +518,26 @@ object SparkEntry {
           |  count(*) AS n_events
           |FROM s GROUP BY user_id, sid""".stripMargin
       )
+    ),
+    // The STREAMING path under the same oracle as events_windowed: the
+    // identical PQL text compiles over a readStream parquet source,
+    // runs complete-mode into a memory sink, and must hash-match the
+    // DuckDB batch result — "same plan over readStream" as a driver-
+    // gated guarantee, not just a spec claim.
+    "events_windowed_stream" -> Entry(
+      (s, dir) => {
+        val sink = "ew_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val compiled = Pql.query(
+          s,
+          ewPql,
+          name => if (name == "events") eventsStream(s, dir) else Tables.parquetDir(s, dir)(name)
+        )
+        val q = graft.streaming.Streaming.runToMemory(compiled, sink, "complete")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(ewOracle)
     ),
     // As-of join: every event gets the most recent prior purchase value
     // of the same user. Union + keyed window (one shuffle, no range
