@@ -902,5 +902,9 @@ object SparkEntry {
 
   /** §2.4 ops additionally timed by [[Bench]] (reported separately). */
   def opsBenchKeys: Seq[String] =
-    Seq("dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash", "dedup_embed", "ann_brute", "ann_lsh", "ann_ivf", "text_quality")
+    Seq(
+      "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
+      "dedup_embed", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
+      "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join"
+    )
 }
