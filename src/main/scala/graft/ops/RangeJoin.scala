@@ -42,6 +42,10 @@ object RangeJoin {
     require(bucketMicros > 0, "bucketMicros must be positive")
     val lb = left.withColumn("__bucket", floorDiv(unix_micros(col(tsCol)), bucketMicros))
     val rb = right
+      // degenerate intervals (end <= start) match nothing, and MUST be
+      // dropped before the explode: Spark's sequence(a, b) generates a
+      // DESCENDING range when b < a, which would fabricate buckets
+      .filter(col(endCol) > col(startCol))
       .withColumn(
         "__bucket",
         explode(
