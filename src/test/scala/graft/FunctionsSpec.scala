@@ -48,6 +48,22 @@ class FunctionsSpec extends SparkTestBase {
     v shouldBe 11.0
   }
 
+  test("PQL pass-through resolves registered native functions") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq(1.0, 2.0).map(Double.box), Seq(3.0, 4.0).map(Double.box))),
+      org.apache.spark.sql.types.StructType.fromDDL("a array<double>, b array<double>")
+    )
+    // unknown functions forward to the session registry — the same
+    // mechanism that exposes the whole Spark SQL library exposes graft's
+    // native expressions inside PQL text
+    val out = Pql.query(spark, "t | project d = graft_dot(a, b)", Map("t" -> df))
+    assert(out.head.getDouble(0) == 11.0)
+  }
+
+  private implicit def mapCat(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
+    name => m.getOrElse(name, sys.error(s"unknown table $name"))
+
   test("dotProduct stays inside whole-stage codegen") {
     // a non-local source, or ConvertToLocalRelation folds the whole
     // projection at optimization time and no codegen stage exists
