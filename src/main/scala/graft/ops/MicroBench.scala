@@ -16,6 +16,8 @@ object MicroBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", (!args.contains("noaqe")).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,6 +29,14 @@ object MicroBench {
       val t0 = System.nanoTime()
       run()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    if (args.contains("headline")) {
+      Seq("q1_agg", "q3_shipping", "q5_local", "events_windowed").foreach { k =>
+        time(k)(graft.SparkEntry.queries(k)(spark, sfDir))
+      }
+      spark.stop()
+      return
     }
 
     val t = col("text")
