@@ -201,6 +201,11 @@ object NearDup {
       minJaccard: Double = 0.2
   ): DataFrame = {
     val hashed = hashedShingles(df, textCol, idCol).distinct()
+    // Two aggregations over the same distinct frame (codegen min-agg
+    // signatures + collected sets). A one-agg variant deriving the
+    // signature from the collected array via interpreted array_min/
+    // transform measured SLOWER (2.55 s vs 2.32 s) — the codegen
+    // min-aggregate beats saving a shuffle at this shape.
     val sigs = minhashSigsFromHashed(hashed, idCol, k)
     val sets = hashed.groupBy(col(idCol)).agg(sort_array(collect_list(col("h"))).as("hs"))
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, 1), idCol)
