@@ -51,8 +51,11 @@ object AsOf {
     val l = valueCols.foldLeft(left.withColumn("__side", lit(1)))((df, c) =>
       df.withColumn(c, lit(null).cast(right.schema(c).dataType))
     )
+    // a NULL-timestamp right row can match nothing (NULL compares false
+    // in any ASOF engine) — and must not sort nulls-first into the
+    // window where it would become everyone's "prior" row
     val r = leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
-      .foldLeft(right.withColumn("__side", lit(0)))((df, c) =>
+      .foldLeft(right.filter(col(tsCol).isNotNull).withColumn("__side", lit(0)))((df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       )
 

@@ -51,6 +51,13 @@ class AsOfSpec extends SparkTestBase {
     assert(out(102L) == None) // quote@7 is 3 minutes before trade@10 — stale
   }
 
+  test("null-timestamp right rows match nothing (not everything)") {
+    val qs = Seq(("A", null.asInstanceOf[Timestamp], 99.0)).toDF("sym", "ts", "px")
+    val out = AsOf.joinAsOf(trades, qs, Seq("sym"), "ts", Seq("px"))
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out.values.forall(_.isEmpty))
+  }
+
   test("plan is union + keyed window: no range-join probing, one shuffle") {
     val df = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
     df.collect()
