@@ -40,6 +40,9 @@ object MicroBench {
     }
 
     val t = col("text")
+    time("dedup-exact") {
+      Dedup.exact(docs, "text", "doc_id")
+    }
     time("tokens-explode") {
       docs.select(col("doc_id"), explode(NearDup.tokens(t)).as("w"))
     }
