@@ -612,6 +612,33 @@ object SparkEntry {
         ),
       None
     ),
+    // The batched mapPartitions decode path, driver-gated end to end:
+    // the stub histogram divides small counts by 32 (a power of two),
+    // so float arithmetic is exact and DuckDB reproduces every value
+    // bit-for-bit. Features flattened to columns (array cells stringify
+    // differently across engines' dataframe bridges).
+    "mm_features" -> Entry(
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(Multimodal.attachBinary(docs(s, dir), "text", "doc_id"))
+        val flat = (0 until 8).map(i =>
+          org.apache.spark.sql.functions.element_at(col("features"), i + 1).cast("double").as(s"f$i")
+        )
+        feats.toDF().select(col("doc_id") +: col("mime") +: col("n_bytes").cast("long").as("n_bytes") +: flat: _*)
+      },
+      Some {
+        val bins = "list_transform(generate_series(1, 32), i -> ('0x' || substr(hx, i*2-1, 2))::BIGINT // 32)"
+        val fs = (0 until 8)
+          .map(i => s"CAST(len(list_filter(bins, x -> x = $i)) AS DOUBLE) / 32.0 AS f$i")
+          .mkString(",\n  ")
+        s"""WITH h AS (SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents),
+           |b AS (SELECT doc_id, $bins AS bins FROM h)
+           |SELECT doc_id,
+           |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+           |  CAST(32 AS BIGINT) AS n_bytes,
+           |  $fs
+           |FROM b""".stripMargin
+      }
+    ),
     "mm_meta" -> Entry(
       (s, dir) => Multimodal.metadata(docs(s, dir), "text", "doc_id"),
       Some(
