@@ -886,6 +886,29 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
       )
     ),
+    // Connected components over the minhash pair graph: min-label
+    // propagation with a FIXED iteration count, so the DuckDB oracle
+    // (same 6 rounds, unrolled CTEs) reproduces it exactly even if a
+    // pathological chain hasn't converged.
+    "dedup_clusters" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        NearDup.clusters(d, NearDup.minhashPairs(d, "text", "doc_id"), "doc_id", iterations = 6)
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""l$i AS (SELECT l.u, least(l.root, coalesce(m.minn, l.root)) AS root
+             |  FROM l${i - 1} l LEFT JOIN (
+             |    SELECT e.u, min(p.root) AS minn FROM e JOIN l${i - 1} p ON e.v = p.u GROUP BY e.u
+             |  ) m ON l.u = m.u)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pr AS ($sqlMinhashOracle),
+           |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+           |l0 AS (SELECT doc_id AS u, doc_id AS root FROM documents),
+           |$rounds
+           |SELECT u AS doc_id, CAST(root AS BIGINT) AS cluster_id FROM l6""".stripMargin
+      }
+    ),
     "ann_brute" -> Entry(
       (s, dir) => {
         val emb = Tables.parquetDir(s, dir)("embeddings")

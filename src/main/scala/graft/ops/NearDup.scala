@@ -295,6 +295,39 @@ object NearDup {
       "left_anti"
     )
 
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup pair graph by iterative min-label propagation — each doc
+    * ends up labeled with the smallest id reachable through pairs
+    * (the cluster representative), the form GraphX/GraphFrames CC
+    * lowers to, expressed as plain DataFrame joins so AQE and
+    * broadcast apply.
+    *
+    * `iterations` is a FIXED count, not run-to-convergence: labels
+    * converge once iterations ≥ the graph diameter (near-dup clusters
+    * are shallow — chains longer than a handful of hops are rare), and
+    * a fixed count keeps the result exactly reproducible by an
+    * unrolled SQL oracle. Per iteration: one equi-join + one groupBy
+    * min against the (tiny) edge set — the corpus-size frame is never
+    * shuffled more than once per round.
+    * Output: `idCol, cluster_id`.
+    */
+  def clusters(df: DataFrame, pairs: DataFrame, idCol: String, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = df.select(col(idCol).as("u"), col(idCol).cast("long").as("root"))
+    (1 to iterations).foreach { _ =>
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")
+        .groupBy("u")
+        .agg(min("nroot").as("minn"))
+      labels = labels
+        .join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("root"), coalesce(col("minn"), col("root"))).as("root"))
+    }
+    labels.select(col("u").as(idCol), col("root").as("cluster_id"))
+  }
+
   /** The production corpus-dedup pipeline: exact dedup FIRST (clone
     * cliques make any pairs operator's output quadratic in clique
     * size), then MinHash-LSH near-dup removal on the survivors.

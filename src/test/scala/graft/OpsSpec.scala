@@ -140,6 +140,15 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L).getAs[Double]("rep_ratio") == 0.0)
   }
 
+  test("clusters propagates the min label transitively (chain needs >1 round)") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3-7 (7 is three hops from 1) + pair 5-6 + singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = NearDup.clusters(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("urlStats counts urls, https share, and distinct lowercased domains") {
     val df = Seq(
       (1L, "see https://Example.COM/a?x=1 and http://mirror.org/b plus https://example.com/c"),
