@@ -902,8 +902,8 @@ object SparkEntry {
              |    SELECT e.u, min(p.root) AS minn FROM e JOIN l${i - 1} p ON e.v = p.u GROUP BY e.u
              |  ) m ON l.u = m.u)""".stripMargin
         }.mkString(",\n")
-        s"""WITH pr AS ($sqlMinhashOracle),
-           |e AS (SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+        s"""WITH pr AS MATERIALIZED ($sqlMinhashOracle),
+           |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr),
            |l0 AS (SELECT doc_id AS u, doc_id AS root FROM documents),
            |$rounds
            |SELECT u AS doc_id, CAST(root AS BIGINT) AS cluster_id FROM l6""".stripMargin
@@ -954,7 +954,7 @@ object SparkEntry {
   def opsBenchKeys: Seq[String] =
     Seq(
       "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
-      "dedup_embed", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
-      "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join"
+      "dedup_embed", "dedup_clusters", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
+      "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features"
     )
 }
