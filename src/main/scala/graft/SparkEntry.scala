@@ -70,11 +70,15 @@ object SparkEntry {
       "customer | sort by c_acctbal, c_custkey asc | take 20 | project c_custkey, c_acctbal",
       "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20"
     ),
+    // sort covers EVERY projected column: (l_orderkey, l_linenumber) is
+    // not unique at sf0.1, and a tie at the take-5 boundary would
+    // resolve engine-dependently; a total order over the output makes
+    // any remaining ties identical rows
     "pql_take" -> q(
-      """lineitem | sort by l_orderkey asc, l_linenumber asc | take 5
+      """lineitem | sort by l_orderkey asc, l_linenumber asc, l_quantity asc | take 5
         | | project l_orderkey, l_linenumber, l_quantity""".stripMargin,
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 5""".stripMargin
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_quantity ASC LIMIT 5""".stripMargin
     ),
     // top N by a UNIQUE key: `top` has a single sort term, and ties on
     // a non-unique column would make the kept rows engine-dependent
