@@ -335,6 +335,20 @@ object SparkEntry {
     s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '$sqlWs+'), " +
       s"x -> list_contains(${stopList(lang)}, x))) AS DOUBLE)"
 
+  /** DuckDB replica of [[TextOps.chunk]] at 64 tokens (shared by the
+    * text_chunk and pack_sequences oracles).
+    */
+  private lazy val sqlChunkQuery: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '$sqlWs+') AS w FROM documents),
+       |n AS (SELECT doc_id, w, greatest(CAST(ceil(len(w) / 64.0) AS BIGINT), 1) AS nc FROM t),
+       |u AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS c FROM n),
+       |s AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+       |        array_to_string(w[c*64+1 : c*64+64], ' ') AS chunk_text FROM u)
+       |SELECT doc_id, chunk_idx, chunk_text,
+       |  CASE WHEN length(chunk_text) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(string_split(chunk_text, ' ')) AS BIGINT) END AS n_tokens
+       |FROM s""".stripMargin
+
   private val opsEntries: ListMap[String, Entry] = ListMap(
     "text_tokens" -> Entry(
       (s, dir) => TextOps.tokenStats(docs(s, dir), "text", "doc_id"),
@@ -471,16 +485,26 @@ object SparkEntry {
     ),
     "text_chunk" -> Entry(
       (s, dir) => TextOps.chunk(docs(s, dir), "text", "doc_id", chunkTokens = 64),
+      Some(sqlChunkQuery)
+    ),
+    // Next-fit sequence packing over the chunks: shard by doc hash,
+    // windowed cumulative token count cuts 256-token sequences.
+    "pack_sequences" -> Entry(
+      (s, dir) =>
+        graft.ops.Packing.packSequences(
+          TextOps.chunk(docs(s, dir), "text", "doc_id", chunkTokens = 64),
+          "doc_id", "chunk_idx", "n_tokens",
+          budgetTokens = 256, nShards = 8
+        ),
       Some(
-        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '$sqlWs+') AS w FROM documents),
-           |n AS (SELECT doc_id, w, greatest(CAST(ceil(len(w) / 64.0) AS BIGINT), 1) AS nc FROM t),
-           |u AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS c FROM n),
-           |s AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
-           |        array_to_string(w[c*64+1 : c*64+64], ' ') AS chunk_text FROM u)
-           |SELECT doc_id, chunk_idx, chunk_text,
-           |  CASE WHEN length(chunk_text) = 0 THEN CAST(0 AS BIGINT)
-           |       ELSE CAST(len(string_split(chunk_text, ' ')) AS BIGINT) END AS n_tokens
-           |FROM s""".stripMargin
+        s"""WITH c AS ($sqlChunkQuery),
+           |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
+           |st AS (SELECT *, sum(n_tokens) OVER (
+           |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+           |  ) - n_tokens AS strt FROM sh)
+           |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+           |  shard || '-' || (strt // 256) AS seq_id
+           |FROM st""".stripMargin
       )
     ),
     "text_fingerprint" -> Entry(

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: assign token-counted chunks to
+  * fixed-budget sequences (the step between chunking and batch
+  * assembly in an LLM data pipeline).
+  *
+  * Exact bin packing is NP-hard and inherently sequential; the
+  * standard scalable compromise is NEXT-FIT WITHIN SHARDS: chunks are
+  * deterministically sharded by document hash, ordered within the
+  * shard, and cut into sequences by cumulative token count. Each shard
+  * is an independent window partition, so the plan is one shuffle on
+  * the shard key and parallelism = `nShards` regardless of corpus
+  * size — no global ordering, no driver-side loop.
+  *
+  * Next-fit semantics: a chunk is assigned to the bin its RUNNING
+  * START falls in, so a sequence may overshoot `budgetTokens` by at
+  * most one chunk (callers truncate or recurse on oversized chunks
+  * first). Deterministic on any engine/partitioning: the shard hash is
+  * md5-derived and the in-shard order (`idCol, idxCol`) is total.
+  *
+  * Output: input columns + `seq_id` (string `"<shard>-<bin>"`).
+  */
+object Packing {
+
+  def packSequences(
+      chunks: DataFrame,
+      idCol: String,
+      idxCol: String,
+      tokensCol: String,
+      budgetTokens: Int,
+      nShards: Int = 64
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)
+    )
+    val w = Window.partitionBy("__shard").orderBy(col(idCol), col(idxCol))
+    chunks
+      .withColumn("__shard", shard)
+      .withColumn("__start", coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))
+      .withColumn(
+        "seq_id",
+        concat(col("__shard"), lit("-"), (col("__start") / budgetTokens).cast("long"))
+      )
+      .drop("__shard", "__start")
+  }
+}

@@ -149,6 +149,20 @@ class OpsSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("packSequences: next-fit bins by running start, partitioning-independent") {
+    import graft.ops.Packing
+    val chunks = Seq(
+      (1L, 0, 100L), (1L, 1, 100L), (2L, 0, 100L), (3L, 0, 60L), (3L, 1, 60L)
+    ).toDF("doc_id", "chunk_idx", "n_tokens")
+    val out = Packing.packSequences(chunks, "doc_id", "chunk_idx", "n_tokens", budgetTokens = 128, nShards = 1)
+      .select("doc_id", "chunk_idx", "seq_id").as[(Long, Int, String)].collect().toSet
+    // shard 0, order (1,0)(1,1)(2,0)(3,0)(3,1), starts 0,100,200,300,360
+    assert(out == Set((1L, 0, "0-0"), (1L, 1, "0-0"), (2L, 0, "0-1"), (3L, 0, "0-2"), (3L, 1, "0-2")))
+    val out2 = Packing.packSequences(chunks.repartition(7), "doc_id", "chunk_idx", "n_tokens", 128, 1)
+      .select("doc_id", "chunk_idx", "seq_id").as[(Long, Int, String)].collect().toSet
+    assert(out2 == out)
+  }
+
   test("urlStats counts urls, https share, and distinct lowercased domains") {
     val df = Seq(
       (1L, "see https://Example.COM/a?x=1 and http://mirror.org/b plus https://example.com/c"),
