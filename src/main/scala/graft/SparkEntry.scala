@@ -983,6 +983,7 @@ object SparkEntry {
     Seq(
       "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
       "dedup_embed", "dedup_clusters", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
-      "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features"
+      "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features",
+      "pack_sequences"
     )
 }
