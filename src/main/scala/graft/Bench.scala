@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Headline-query benchmark (driver-run, one JSON line on stdout).
   *
   * Measures the §2.5 headline queries (SparkEntry.benchKeys) at the
-  * scale factor in SPARK_GRAFT_SF_DIR. Each query gets one warm-up
-  * execution (JIT + codegen + file-listing warmup), then one measured
-  * run. Results are fully materialized through the `noop` sink —
+  * scale factor in SPARK_GRAFT_SF_DIR. Each query gets two warm-up
+  * executions (JIT + codegen + file-listing warmup), then THREE
+  * measured runs of which the MEDIAN is reported — single-run noise at
+  * sf0.1 is ±0.3 s (~14% of the headline total), large enough to mask
+  * or fake a real regression. Results are fully materialized through
+  * the `noop` sink —
   * every operator the user would pay for executes (projections, sorts,
   * exchanges), with no collect-to-driver and no output cost.
   *
@@ -34,18 +37,22 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.benchKeys.map { name =>
+    def timeMedian(name: String): Either[String, Double] =
       try {
         materialize(name) // warm-up 1: codegen, parquet footers, file index
         materialize(name) // warm-up 2: C2-compile the generated code
-        val t0 = System.nanoTime()
-        materialize(name)
-        name -> Right((System.nanoTime() - t0) / 1e9)
+        val runs = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          materialize(name)
+          (System.nanoTime() - t0) / 1e9
+        }
+        Right(runs.sorted.apply(1))
       } catch {
         case e: Throwable =>
-          name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
-    }
+
+    val results = SparkEntry.benchKeys.map(name => name -> timeMedian(name))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -57,18 +64,7 @@ object Bench {
 
     // LLM-pipeline ops, timed the same way but reported separately —
     // the headline total stays comparable to BASELINE.md's definition.
-    val opsResults = SparkEntry.opsBenchKeys.map { name =>
-      try {
-        materialize(name)
-        materialize(name) // same two-warm-up method as the headline loop
-        val t0 = System.nanoTime()
-        materialize(name)
-        name -> Right((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          name -> Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      }
-    }
+    val opsResults = SparkEntry.opsBenchKeys.map(name => name -> timeMedian(name))
 
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val errs = (results ++ opsResults).collect { case (k, Left(m)) => k -> m }
@@ -79,8 +75,10 @@ object Bench {
     if (errs.nonEmpty) System.err.println(s"[bench] ${errs.size} queries FAILED: ${errs.map(_._1).mkString(", ")}")
     // stop Spark BEFORE printing so the JSON line is the last stdout
     // line of the run (shutdown logging lands above it, not after) —
-    // robust whether the driver scans lines or takes the last one
-    spark.stop()
+    // robust whether the driver scans lines or takes the last one.
+    // A throwing stop() must not lose the measurements already taken.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$os,"errors":$es,"sf":${jstr(sfDir)}}"""
     )

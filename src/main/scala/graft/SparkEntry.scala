@@ -3,9 +3,9 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, expr, lit, unix_micros, when}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Dedup, Multimodal, NearDup, Sampling, TextOps}
+import graft.ops.{Ann, AsOf, Dedup, Multimodal, NearDup, Sampling, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -620,9 +620,12 @@ object SparkEntry {
       )
     ),
     // Custom-state operator (flatMapGroupsWithState): the duration-cap
-    // split is sequential per key, not SQL-expressible — no oracle, the
-    // driver records the weaker rows-only check; semantics are covered
-    // by SessionizeSpec.
+    // split is sequential per key — no single window pass expresses it,
+    // but a RECURSIVE CTE does: row-number events per key, walk them one
+    // recursion step at a time carrying (start, last, n), and emit the
+    // closed session whenever a gap or cap break fires. Milliseconds
+    // throughout: the Scala path goes through Timestamp.getTime, which
+    // floors to ms, so the oracle floors with epoch_ms the same way.
     "sessions_capped" -> Entry(
       (s, dir) =>
         Sessionize.cappedSessions(
@@ -638,7 +641,56 @@ object SparkEntry {
           col("n_events"),
           col("capped")
         ),
-      None
+      Some {
+        val gapMs = 30L * 60 * 1000
+        val capMs = 60L * 60 * 1000
+        // brk: gap first (closes uncapped), then cap — same order as the
+        // Scala state machine; capped only when the gap did NOT break
+        s"""WITH RECURSIVE ev AS (
+           |  SELECT user_id::VARCHAR AS uid, epoch_ms(ts::TIMESTAMP) AS tms,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP)) AS rn
+           |  FROM events
+           |),
+           |walk AS (
+           |  SELECT uid, rn, tms AS s_start, tms AS s_last, 1::BIGINT AS n,
+           |    false AS closed, 0::BIGINT AS c_start, 0::BIGINT AS c_end,
+           |    0::BIGINT AS c_n, false AS c_capped
+           |  FROM ev WHERE rn = 1
+           |  UNION ALL
+           |  SELECT e.uid, e.rn,
+           |    CASE WHEN (e.tms - w.s_last > $gapMs) OR (e.tms - w.s_start >= $capMs)
+           |         THEN e.tms ELSE w.s_start END,
+           |    e.tms,
+           |    CASE WHEN (e.tms - w.s_last > $gapMs) OR (e.tms - w.s_start >= $capMs)
+           |         THEN 1::BIGINT ELSE w.n + 1 END,
+           |    (e.tms - w.s_last > $gapMs) OR (e.tms - w.s_start >= $capMs),
+           |    w.s_start, w.s_last, w.n,
+           |    (e.tms - w.s_last <= $gapMs) AND (e.tms - w.s_start >= $capMs)
+           |  FROM walk w JOIN ev e ON e.uid = w.uid AND e.rn = w.rn + 1
+           |)
+           |SELECT uid AS user_id, c_start * 1000 AS ss, c_end * 1000 AS se,
+           |  c_n AS n_events, c_capped AS capped
+           |FROM walk WHERE closed
+           |UNION ALL
+           |SELECT uid, s_start * 1000, s_last * 1000, n, false
+           |FROM walk QUALIFY row_number() OVER (PARTITION BY uid ORDER BY rn DESC) = 1""".stripMargin
+      }
+    ),
+    // Salted join, gated on RESULT PARITY with a plain join: salting is
+    // a physical rewrite, so the oracle is the unsalted SQL join. The
+    // hot key is event_type (5 distinct values over all of events —
+    // maximal skew); the small side is its per-type aggregate.
+    "skew_join" -> Entry(
+      (s, dir) => {
+        val ev = Tables.parquetDir(s, dir)("events")
+        val dim = ev.groupBy(col("event_type").as("et")).agg(count(lit(1)).as("type_total"))
+        Skew.saltedJoin(ev, dim, "event_type", "et", nSalts = 8)
+          .select(col("event_id"), col("event_type"), col("type_total"))
+      },
+      Some(
+        """WITH dim AS (SELECT event_type AS et, count(*) AS type_total FROM events GROUP BY 1)
+          |SELECT event_id, event_type, type_total FROM events JOIN dim ON event_type = et""".stripMargin
+      )
     ),
     // The batched mapPartitions decode path, driver-gated end to end:
     // the stub histogram divides small counts by 32 (a power of two),
@@ -984,6 +1036,6 @@ object SparkEntry {
       "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
       "dedup_embed", "dedup_clusters", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
       "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features",
-      "pack_sequences"
+      "pack_sequences", "skew_join"
     )
 }

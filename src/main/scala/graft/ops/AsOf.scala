@@ -46,31 +46,46 @@ object AsOf {
       s"value columns ${valueCols.intersect(leftCols).mkString(",")} collide with left columns"
     )
 
-    // Right rows sort BEFORE left rows at the same timestamp so an
-    // exact-timestamp right row is visible to that left row (>=).
-    val l = valueCols.foldLeft(left.withColumn("__side", lit(1)))((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    )
+    // All value columns ride in ONE struct so the window fill picks an
+    // entire right row atomically. Filling each column independently
+    // with last(ignoreNulls) would skip a matched row's NULL value in
+    // favor of an older row's — and could mix values from DIFFERENT
+    // right rows. A struct over right rows is never NULL (even if every
+    // field is), so ignoreNulls skips only the left placeholders.
+    //
     // a NULL-timestamp right row can match nothing (NULL compares false
     // in any ASOF engine) — and must not sort nulls-first into the
     // window where it would become everyone's "prior" row
+    val rWithVals = right
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__vals", struct(valueCols.map(col): _*))
+    val valsType = rWithVals.schema("__vals").dataType
+
+    // Right rows sort BEFORE left rows at the same timestamp so an
+    // exact-timestamp right row is visible to that left row (>=).
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__vals", lit(null).cast(valsType))
     val r = leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
-      .foldLeft(right.filter(col(tsCol).isNotNull).withColumn("__side", lit(0)))((df, c) =>
+      .foldLeft(rWithVals.withColumn("__side", lit(0)))((df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       )
 
-    val unioned = l.select((leftCols ++ valueCols :+ "__side").map(col): _*)
-      .unionByName(r.select((leftCols ++ valueCols :+ "__side").map(col): _*))
+    val shared = leftCols :+ "__vals" :+ "__side"
+    val unioned = l.select(shared.map(col): _*)
+      .unionByName(r.select(shared.map(col): _*))
 
     val win = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(win))
-    )
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = unioned
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(win))
+      .filter(col("__side") === 1)
+    valueCols.foldLeft(filled)((df, c) =>
+      df.withColumn(c, col("__vals").getField(c))
+    ).drop("__vals", "__side")
   }
 
   /** [[joinAsOf]] with a staleness bound: matches older than

@@ -321,7 +321,10 @@ object NearDup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
-    var labels = df.select(col(idCol).as("u"), col(idCol).cast("long").as("root"))
+    // labels propagate in the id's OWN type: least/min are defined on
+    // strings too, and a cast("long") would turn non-numeric doc ids
+    // into NULL roots and silently collapse every cluster_id
+    var labels = df.select(col(idCol).as("u"), col(idCol).as("root"))
     (1 to iterations).foreach { _ =>
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")

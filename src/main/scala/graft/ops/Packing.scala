@@ -40,7 +40,12 @@ object Packing {
       conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10).cast("long"),
       lit(nShards.toLong)
     )
+    // Explicit ROWS frame: the window-default RANGE frame includes all
+    // ORDER BY peers, so a non-unique (idCol, idxCol) would lump tied
+    // rows' tokens into one running sum and silently diverge from the
+    // sequential next-fit the oracle computes.
     val w = Window.partitionBy("__shard").orderBy(col(idCol), col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
       .withColumn("__shard", shard)
       .withColumn("__start", coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))

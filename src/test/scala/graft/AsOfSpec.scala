@@ -58,6 +58,24 @@ class AsOfSpec extends SparkTestBase {
     assert(out.values.forall(_.isEmpty))
   }
 
+  test("multi-value fill takes the whole matched row, even when a value is NULL") {
+    // DuckDB/kdb ASOF: the most recent right row wins ATOMICALLY — a
+    // NULL field in the matched row stays NULL, it is not backfilled
+    // from an older row, and px/size never mix across right rows.
+    val qs = Seq(
+      ("A", ts(0), Option(10.0), Option(5L)),
+      ("A", ts(4), None, Option(7L)), // px NULL in the matching row
+      ("A", ts(8), Option(12.0), None) // size NULL in the matching row
+    ).toDF("sym", "ts", "px", "size")
+    val out = AsOf.joinAsOf(trades, qs, Seq("sym"), "ts", Seq("px", "size"))
+      .select("trade_id", "px", "size")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == ((Some(10.0), Some(5L)))) // A@1 ← quote@0
+    assert(out(101L) == ((None, Some(7L)))) // A@5 ← quote@4: px stays NULL
+    assert(out(102L) == ((Some(12.0), None))) // A@10 ← quote@8: size stays NULL
+  }
+
   test("plan is union + keyed window: no range-join probing, one shuffle") {
     val df = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
     df.collect()

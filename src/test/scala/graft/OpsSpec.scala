@@ -149,6 +149,25 @@ class OpsSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters keeps string ids intact (labels propagate in the id's own type)") {
+    val ids = Seq("doc-b", "doc-a", "doc-c", "doc-z").toDF("doc_id")
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val out = NearDup.clusters(ids, pairs, "doc_id").as[(String, String)].collect().toMap
+    assert(out == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
+  }
+
+  test("packSequences: non-unique (id, idx) keys still sum per ROW, not per peer group") {
+    import graft.ops.Packing
+    // three tied rows at (1,0): a RANGE frame would give them all the
+    // same running start (0 or 300); the ROWS frame assigns sequential
+    // starts 0,100,200 so exactly one bin boundary lands between them
+    val chunks = Seq((1L, 0, 100L), (1L, 0, 100L), (1L, 0, 100L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val seqIds = Packing.packSequences(chunks, "doc_id", "chunk_idx", "n_tokens", budgetTokens = 150, nShards = 1)
+      .select("seq_id").as[String].collect().sorted.toSeq
+    // starts 0,100,200 → bins 0,0,1
+    assert(seqIds == Seq("0-0", "0-0", "0-1"))
+  }
+
   test("packSequences: next-fit bins by running start, partitioning-independent") {
     import graft.ops.Packing
     val chunks = Seq(

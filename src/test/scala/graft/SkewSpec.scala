@@ -33,6 +33,19 @@ class SkewSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("a shuffled salted join partitions on (key, salt): no single hot-key partition") {
+    // force the sort-merge path (broadcast would elide the shuffle and
+    // hide the property this operator exists for)
+    val salted = Skew.saltedJoin(large.hint("merge"), small, "k", "k2", nSalts = 8)
+    salted.collect()
+    val exchanges = salted.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected a shuffle in the forced sort-merge plan")
+    // every shuffle carries the salt, so partition size is bounded by
+    // (hot-key rows / nSalts), not by the hot key's full mass
+    assert(exchanges.forall(_.contains("__salt")), exchanges.mkString("\n"))
+  }
+
   test("the salt reaches the join key (hot key spreads across buckets)") {
     val salted = Skew.saltedJoin(large, small, "k", "k2", nSalts = 8)
     val plan = salted.queryExecution.optimizedPlan.toString
