@@ -22,7 +22,7 @@ import graft.sources.Tables
   */
 object Cli {
 
-  private case class Opts(
+  private[graft] case class Opts(
       tablesDir: Option[String] = None,
       explain: Boolean = false,
       limit: Int = 20,
@@ -34,7 +34,7 @@ object Cli {
     sys.exit(2)
   }
 
-  private def parseArgs(args: List[String], acc: Opts): Opts = args match {
+  private[graft] def parseArgs(args: List[String], acc: Opts = Opts()): Opts = args match {
     case "--tables" :: dir :: rest => parseArgs(rest, acc.copy(tablesDir = Some(dir)))
     case "--tables" :: Nil => argError("--tables requires a directory")
     case "--explain" :: rest => parseArgs(rest, acc.copy(explain = true))
@@ -43,6 +43,21 @@ object Cli {
     case "--limit" :: Nil => argError("--limit requires a number")
     case q :: rest => parseArgs(rest, acc.copy(query = Some((acc.query.toSeq :+ q).mkString(" "))))
     case Nil => acc
+  }
+
+  /** Resolve the table catalog and compile `source` to a DataFrame —
+    * the testable core of [[main]], which only adds I/O and exit codes.
+    */
+  private[graft] def compile(
+      spark: SparkSession,
+      opts: Opts,
+      source: String
+  ): org.apache.spark.sql.DataFrame = {
+    val catalog: String => org.apache.spark.sql.DataFrame = opts.tablesDir match {
+      case Some(dir) => Tables.parquetDir(spark, dir)
+      case None => name => spark.table(name)
+    }
+    Pql.query(spark, source, catalog)
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,11 +76,7 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val catalog: String => org.apache.spark.sql.DataFrame = opts.tablesDir match {
-        case Some(dir) => Tables.parquetDir(spark, dir)
-        case None => name => spark.table(name)
-      }
-      val df = Pql.query(spark, source, catalog)
+      val df = compile(spark, opts, source)
       if (opts.explain) df.explain("formatted")
       else df.show(opts.limit, truncate = false)
     } catch {

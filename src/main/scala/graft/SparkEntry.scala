@@ -692,6 +692,33 @@ object SparkEntry {
           |SELECT event_id, event_type, type_total FROM events JOIN dim ON event_type = et""".stripMargin
       )
     ),
+    // Streaming exact dedup over a REAL readStream source, driver-gated:
+    // dropDuplicatesWithinWatermark keeps the FIRST ARRIVAL per digest
+    // (arrival order is not total across partitions), so the gated
+    // projection is the DIGEST itself — identical on every row of a
+    // duplicate group — making the output set deterministic while the
+    // watermarked dedup operator still runs end to end. Event time is
+    // synthesized from doc_id (documents carry no timestamp), offset
+    // into 2023: a row at exactly epoch 0 equals the INITIAL watermark
+    // and is dropped as late before the dedup even sees it.
+    "stream_dedup_exact" -> Entry(
+      (s, dir) => {
+        val sink = "sd_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+        val deduped = graft.streaming.Streaming.dedupExact(stream, "text", "ts", "1 hour")
+          .select(
+            org.apache.spark.sql.functions
+              .md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest")
+          )
+        val q = graft.streaming.Streaming.runToMemory(deduped, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
+    ),
     // The batched mapPartitions decode path, driver-gated end to end:
     // the stub histogram divides small counts by 32 (a power of two),
     // so float arithmetic is exact and DuckDB reproduces every value
@@ -790,9 +817,10 @@ object SparkEntry {
 
   private def sqlNgramOracle: String = {
     val k = 8
+    // bottom-4096 sketch, mirroring ngramJaccardPairs.maxShinglesPerDoc
     val jac = "CAST(len(list_intersect(h1.hs, h2.hs)) AS DOUBLE) / len(list_distinct(list_concat(h1.hs, h2.hs)))"
     s"""WITH ${sqlHashedShingleCtes("documents")},
-       |hd AS (SELECT doc_id, list_distinct(hs) AS hs FROM hh),
+       |hd AS (SELECT doc_id, list_slice(list_sort(list_distinct(hs)), 1, 4096) AS hs FROM hh),
        |sg AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hd),
        |bd AS (${sqlBands(k, 1)}),
        |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

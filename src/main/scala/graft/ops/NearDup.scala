@@ -83,6 +83,29 @@ object NearDup {
     short.union(long)
   }
 
+  /** [[hashedShingles]], distinct, capped to each document's
+    * `maxShingles` SMALLEST hashes — a bottom-k sketch. Without a cap
+    * the per-doc shingle set is unbounded (a 1M-token document is a
+    * 1M-element array row at collect time); the bottom-k prefix is
+    * deterministic (hashes are distinct within a doc after distinct(),
+    * so the order is total), partition-independent, and still a
+    * consistent Jaccard estimator when BOTH sides of every comparison
+    * use it. The row_number window partitions on the doc id — the same
+    * key as every downstream aggregation, so the shuffle is reused.
+    */
+  private[ops] def cappedHashedShingles(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxShingles: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("h"))
+    hashedShingles(df, textCol, idCol).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxShingles)
+      .drop("__rn")
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** 2^31 - 1 (Mersenne prime): modulus of the permutation hashes. */
@@ -198,9 +221,11 @@ object NearDup {
       textCol: String,
       idCol: String,
       k: Int = 8,
-      minJaccard: Double = 0.2
+      minJaccard: Double = 0.2,
+      maxShinglesPerDoc: Int = 4096
   ): DataFrame = {
-    val hashed = hashedShingles(df, textCol, idCol).distinct()
+    require(maxShinglesPerDoc > 0, "maxShinglesPerDoc must be positive")
+    val hashed = cappedHashedShingles(df, textCol, idCol, maxShinglesPerDoc)
     // Two aggregations over the same distinct frame (codegen min-agg
     // signatures + collected sets). A one-agg variant deriving the
     // signature from the collected array via interpreted array_min/

@@ -1,0 +1,87 @@
+package graft
+
+import scala.sys.process._
+
+/** CLI contract (the analog of the reference's `pql` binary,
+  * cmd/pql/main.go): argv parsing, catalog resolution, and the
+  * stdin/argv/--explain/--limit paths. Arg parsing and compilation are
+  * tested in-process; the full process contract (stdin source, exit
+  * codes, stdout rendering) gets one real subprocess round-trip each.
+  */
+class CliSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parseArgs: flags, limit, and multi-token query words join with spaces") {
+    assert(Cli.parseArgs(List("--tables", "/d")) == Cli.Opts(tablesDir = Some("/d")))
+    assert(Cli.parseArgs(List("--explain")) == Cli.Opts(explain = true))
+    assert(Cli.parseArgs(List("--limit", "7")) == Cli.Opts(limit = 7))
+    assert(
+      Cli.parseArgs(List("--tables", "/d", "region", "|", "count")) ==
+        Cli.Opts(tablesDir = Some("/d"), query = Some("region | count"))
+    )
+    // flags may come after the query words too
+    assert(
+      Cli.parseArgs(List("region", "--limit", "3")) ==
+        Cli.Opts(limit = 3, query = Some("region"))
+    )
+  }
+
+  test("compile resolves tables from --tables dir and runs the query") {
+    val opts = Cli.Opts(tablesDir = Some(sf))
+    val df = Cli.compile(SparkTestBase.spark, opts, "nation | where n_regionkey == 1 | count")
+    assert(df.columns.toSeq == Seq("count()"))
+    assert(df.collect().head.getLong(0) == 5L)
+  }
+
+  test("compile without --tables resolves from the session catalog") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("cli_t")
+    try {
+      val df = Cli.compile(spark, Cli.Opts(), "cli_t | where id == 2 | project v")
+      assert(df.collect().map(_.getString(0)).toSeq == Seq("b"))
+    } finally spark.catalog.dropTempView("cli_t")
+  }
+
+  test("--explain path: the compiled plan formats without executing") {
+    val df = Cli.compile(SparkTestBase.spark, Cli.Opts(tablesDir = Some(sf)), "region | take 2")
+    // explain("formatted") prints; just assert the plan string is well-formed
+    assert(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode).nonEmpty)
+  }
+
+  private lazy val javaBin = s"${sys.props("java.home")}/bin/java"
+  private lazy val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+    "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+    "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def runCli(args: Seq[String], stdin: String): (Int, String) = {
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-DSPARK_MASTER=local[4]",
+      "-cp", sys.props("java.class.path"), "graft.Cli"
+    ) ++ args
+    val out = new StringBuilder
+    val logger = ProcessLogger(line => out.append(line).append('\n'), _ => ())
+    val exit = (cmd #< new java.io.ByteArrayInputStream(stdin.getBytes("UTF-8"))).!(logger)
+    (exit, out.toString)
+  }
+
+  test("subprocess: stdin query with --tables and --limit renders rows, exit 0") {
+    val (exit, out) = runCli(Seq("--tables", sf, "--limit", "3"), "region | sort by r_regionkey | project r_name")
+    assert(exit == 0, out)
+    assert(out.contains("r_name"), out)
+    // `sort by` defaults DESCENDING (KQL semantics): regions 4,3,2
+    assert(out.contains("MIDDLE EAST"), out)
+    assert(!out.contains("AFRICA"), out) // region 0 is cut by --limit 3
+  }
+
+  test("subprocess: a parse error exits 1 without a stack trace") {
+    val (exit, out) = runCli(Seq("--tables", sf), "region | | bogus###")
+    assert(exit == 1, out)
+    assert(!out.contains("at graft."), out) // clean one-line error, no trace
+  }
+}
