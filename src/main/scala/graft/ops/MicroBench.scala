@@ -69,6 +69,102 @@ object MicroBench {
       NearDup.simhashPairs(docs, "text", "doc_id")
     }
 
+    if (args.contains("iu10")) {
+      // innerunique cost probe at 10×: the semantic all-column
+      // dropDuplicates (reference: SELECT DISTINCT * — pql.go:202-214)
+      // vs the NOT-equivalent key-projection variant (dedup only the
+      // columns the query keeps; collapses rows that differ in dropped
+      // columns, changing output multiplicity). Quantifies what the
+      // narrower shuffle would buy if a user opts into key-distinct
+      // semantics via `summarize by` before the join.
+      val events = graft.sources.Tables.parquetDir(spark, sfDir)("events")
+      val ev10raw = (0 until 10).map(i => events.select(
+        (col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"), col("props")
+      )).reduce(_.union(_))
+      ev10raw.write.mode("overwrite").parquet("/tmp/graft_iu10/events")
+      val ev10 = spark.read.parquet("/tmp/graft_iu10/events")
+      val dim = events.groupBy(col("event_type").as("et")).agg(count(lit(1)).as("type_total"))
+      time("iu full-row dedup 10x") {
+        ev10.dropDuplicates().join(dim, col("event_type") === col("et"))
+          .select("event_id", "user_id", "type_total")
+      }
+      time("iu key-projected 10x") {
+        ev10.select("event_id", "user_id", "event_type").dropDuplicates()
+          .join(dim, col("event_type") === col("et"))
+          .select("event_id", "user_id", "type_total")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("scale10ops")) {
+      // 10× scaling slopes for the round-3 ops. Inputs are materialized
+      // to parquet FIRST so the timed run measures the operator, not
+      // the replication expressions. Replication shapes:
+      //  - events: ids and user_ids shifted per replica — 10× users at
+      //    the same per-user density, the realistic growth axis for
+      //    keyed joins and packing.
+      //  - documents: every token suffixed with the replica index, so
+      //    replicas share NO shingles (distinct-corpus growth; the
+      //    clique-saturated shape is covered by the scale10 rows).
+      val base = "/tmp/graft_scale10"
+      val events = graft.sources.Tables.parquetDir(spark, sfDir)("events")
+
+      def materialize(path: String, df: DataFrame): DataFrame = {
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      def eventsX(n: Int): DataFrame = materialize(
+        s"$base/events$n",
+        (0 until n).map(i => events.select(
+          (col("event_id") + lit(i * 100000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")
+        )).reduce(_.union(_))
+      )
+      def docsX(n: Int): DataFrame = materialize(
+        s"$base/docs$n",
+        (0 until n).map(i => docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$i").as("text")
+        )).reduce(_.union(_))
+      )
+
+      def asof(ev: DataFrame): DataFrame = {
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("last_purchase"))
+        AsOf.joinAsOf(ev, purchases, Seq("user_id"), "ts", Seq("last_purchase"))
+      }
+      def range(ev: DataFrame): DataFrame = {
+        val iv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"), col("event_id").as("iid"))
+        RangeJoin.pointInInterval(ev, iv, Seq("user_id"), "ts", "s", "e",
+          bucketMicros = 30L * 60 * 1000 * 1000)
+      }
+      def pack(d: DataFrame): DataFrame =
+        Packing.packSequences(
+          TextOps.chunk(d, "text", "doc_id", chunkTokens = 64),
+          "doc_id", "chunk_idx", "n_tokens", budgetTokens = 256, nShards = 8)
+
+      val e1 = eventsX(1); val e10 = eventsX(10)
+      val d1 = docsX(1); val d10 = docsX(10)
+      time("asof_join 1x")(asof(e1))
+      time("asof_join 10x")(asof(e10))
+      time("range_join 1x")(range(e1))
+      time("range_join 10x")(range(e10))
+      time("pack_sequences 1x")(pack(d1))
+      time("pack_sequences 10x")(pack(d10))
+      time("dedup_ngram 1x")(NearDup.ngramJaccardPairs(d1, "text", "doc_id"))
+      time("dedup_ngram 10x")(NearDup.ngramJaccardPairs(d10, "text", "doc_id"))
+      time("dedup_clusters 1x")(NearDup.clusters(d1, NearDup.minhashPairs(d1, "text", "doc_id"), "doc_id"))
+      time("dedup_clusters 10x")(NearDup.clusters(d10, NearDup.minhashPairs(d10, "text", "doc_id"), "doc_id"))
+      spark.stop()
+      return
+    }
+
     if (args.contains("scale10")) {
       // 10× replication with shifted ids: every doc becomes a 10-clone
       // clique — the adversarial shape for any PAIRS operator (output
