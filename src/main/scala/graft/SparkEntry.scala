@@ -594,6 +594,34 @@ object SparkEntry {
           |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
       )
     ),
+    // The staleness-bounded variant: matches older than the tolerance
+    // are nulled out, not dropped (left rows always survive). Oracle:
+    // the same DuckDB ASOF LEFT JOIN with a freshness CASE on the
+    // matched right timestamp.
+    "asof_join_tolerant" -> Entry(
+      (s, dir) => {
+        val ev = Tables.parquetDir(s, dir)("events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(org.apache.spark.sql.functions.max("value").as("last_purchase"))
+        AsOf.joinAsOfTolerant(ev, purchases, Seq("user_id"), "ts", Seq("last_purchase"), "15 minutes")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("last_purchase")
+          )
+      },
+      Some(
+        """WITH p AS (SELECT user_id, ts, max(value) AS last_purchase
+          |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+          |SELECT e.event_id, e.user_id,
+          |  CAST(epoch_us(e.ts::TIMESTAMP) AS BIGINT) AS ts_us,
+          |  CASE WHEN p.ts >= e.ts - INTERVAL 15 MINUTE THEN p.last_purchase END AS last_purchase
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+      )
+    ),
     // Range join: events inside [purchase, purchase + 30m) windows of
     // the same user. Bucketed equi-join (intervals explode to their
     // buckets; points bucket once) — never a nested-loop range probe.
