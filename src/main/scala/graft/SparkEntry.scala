@@ -147,6 +147,33 @@ object SparkEntry {
       "region",
       "SELECT * FROM region"
     ),
+    // CSV and JSON readers gated END TO END: a table round-trips
+    // through the format and back in via the format-aware Tables.dir
+    // catalog, then must hash-match the parquet original. The tmp path
+    // is unique per run so the process-wide table cache never serves a
+    // stale plan. CSV schema is pinned (inference drift is the
+    // documented hazard Tables.dir's csvSchemas exists for); JSON
+    // infers integrals as LONG, so the entry casts back.
+    "src_csv" -> Entry(
+      (s, dir) => {
+        val tmp = s"/tmp/graft_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+        Tables.parquetDir(s, dir)("nation")
+          .write.option("header", "true").csv(s"$tmp/nation.csv")
+        Tables.dir(s, tmp,
+          csvSchemas = Map("nation" -> "n_nationkey INT, n_name STRING, n_regionkey INT")
+        )("nation")
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    ),
+    "src_json" -> Entry(
+      (s, dir) => {
+        val tmp = s"/tmp/graft_gate_${java.util.UUID.randomUUID().toString.take(8)}"
+        Tables.parquetDir(s, dir)("region").write.json(s"$tmp/region.json")
+        Tables.dir(s, tmp)("region")
+          .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region")
+    ),
     // ---- §2.2 expression language ------------------------------------
     "pql_nullsafe" -> q(
       """customer | extend seg = iff(c_acctbal > 5000, c_mktsegment, null)
