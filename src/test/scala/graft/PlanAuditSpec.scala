@@ -89,4 +89,18 @@ class PlanAuditSpec extends SparkTestBase {
     )
     assert(plans(df).contains("BroadcastHashJoin"), plans(df))
   }
+
+  test("asof_join_tolerant: no join operator at all (union + keyed window)") {
+    val plan = plans(SparkEntry.queries("asof_join_tolerant")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("skew_join gate entry joins with no cartesian and carries the salt") {
+    val plan = plans(SparkEntry.queries("skew_join")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__salt"), plan)
+  }
 }
