@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.Pql
 
@@ -72,4 +72,19 @@ object Streaming {
     */
   def runToMemory(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Run a compiled (streaming) plan into a parquet directory — the
+    * production file sink. Append mode only (the file sink cannot
+    * rewrite finalized output), so aggregations must be watermarked.
+    * The checkpoint directory carries the WAL + sink metadata that make
+    * restarts exactly-once: readers going through Spark see only
+    * committed files (`_spark_metadata`).
+    */
+  def runToParquet(df: DataFrame, path: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
 }

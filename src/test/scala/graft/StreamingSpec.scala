@@ -133,6 +133,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("parquet file sink: finalized windows land as committed files, exactly once") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = Streaming.withEventTime(ms.toDF.toDF("ts", "event_type", "value"), "ts", "5 minutes")
+    val agg = streamDf
+      .groupBy(Streaming.binWindow(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("w.start").as("tb"), col("event_type"), col("n"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val q = Streaming.runToParquet(agg, s"$base/out", s"$base/ckpt")
+    try {
+      ms.addData(rows.take(3))
+      q.processAllAvailable()
+      ms.addData(rows.drop(3)) // advances the watermark past the first window
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // read back THROUGH Spark so _spark_metadata filtering applies:
+    // only committed files count, and the finalized window is complete
+    val got = spark.read.parquet(s"$base/out")
+      .select("tb", "event_type", "n").as[(Timestamp, String, Long)].collect().toSet
+    assert(got == Set((ts(0), "click", 2L), (ts(0), "purchase", 1L)))
+  }
+
   test("streaming exact dedup drops within-watermark duplicates across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
