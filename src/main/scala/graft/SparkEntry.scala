@@ -594,6 +594,53 @@ object SparkEntry {
       },
       Some(ewOracle)
     ),
+    // The same streaming plan through the PRODUCTION file sink: append
+    // mode over the watermarked window aggregation, checkpointed,
+    // read back through Spark (so _spark_metadata commit filtering
+    // applies) — must still hash-match the batch oracle. Append mode
+    // emits only watermark-finalized windows, so the last hour of
+    // events is replayed as a second, later-arriving file to push the
+    // watermark past every real window's end.
+    "events_windowed_fsink" -> Entry(
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_fsink_gate").toString
+        val ev = Tables.parquetDir(s, dir)("events")
+        val maxTs = ev.agg(org.apache.spark.sql.functions.max("ts")).head().getTimestamp(0)
+        // source file 1: all events; file 2: a single sentinel far past
+        // the horizon (filtered back out of the result) to finalize
+        // every real window under append mode
+        ev.write.mode("overwrite").parquet(s"$base/in")
+        ev.limit(1)
+          .withColumn("ts", lit(maxTs) + expr("INTERVAL 48 HOURS"))
+          .withColumn("event_id", lit(-1L))
+          .write.mode("append").parquet(s"$base/in")
+        val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema).parquet(s"$base/in")
+        // NOTE: no sentinel filter inside the stream — Catalyst pushes
+        // it below the EventTimeWatermark node, the sentinel then never
+        // advances the watermark, and the last real window never
+        // finalizes. The sentinel's own (far-future) window is excluded
+        // on the batch read-back instead; it never finalizes anyway.
+        val agg = graft.streaming.Streaming
+          .withEventTime(stream, "ts", "10 minutes")
+          .groupBy(
+            graft.streaming.Streaming.binWindow(col("ts"), "1 hour").as("w"),
+            col("event_type")
+          )
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .select(col("w.start").as("hb"), col("event_type"), col("n"))
+        val q = graft.streaming.Streaming.runToParquet(agg, s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.read.parquet(s"$base/out")
+          .filter(col("hb") <= lit(maxTs))
+          .select(expr("unix_micros(hb) div 1000000").as("hb_s"), col("event_type"), col("n"))
+      },
+      Some(
+        """SELECT CAST(epoch_us(ts::TIMESTAMP) // 1000 // 3600000 * 3600 AS BIGINT) AS hb_s,
+          |  event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2""".stripMargin
+      )
+    ),
     // As-of join: every event gets the most recent prior purchase value
     // of the same user. Union + keyed window (one shuffle, no range
     // probing); DuckDB's native ASOF JOIN is the oracle.
