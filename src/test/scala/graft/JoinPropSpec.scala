@@ -58,6 +58,39 @@ class JoinPropSpec extends SparkTestBase {
     }
   }
 
+  test("as-of join fills multiple value columns atomically under NULLs") {
+    // brute-force: the most recent prior right row wins WHOLE — its
+    // NULL fields stay NULL, never backfilled from an older row, and
+    // v1/v2 never mix across right rows
+    val genRightN = Gen.listOfN(
+      8,
+      for {
+        k <- Gen.oneOf("a", "b", "c")
+        m <- Gen.choose(0, 40)
+        v1 <- Gen.option(Gen.choose(1L, 999L))
+        v2 <- Gen.option(Gen.choose(1L, 999L))
+      } yield (k, m, v1, v2)
+    )
+    (1 to 8).foreach { trial =>
+      val ls = sample(genLeft, trial * 19L)
+      val rs = sample(genRightN, trial * 23L)
+        .groupBy(t => (t._1, t._2)).map { case (_, g) => g.head }.toSeq
+      val left = ls.zipWithIndex.map { case ((k, m), i) => (k, ts(m), i.toLong) }.toDF("k", "ts", "lid")
+      val right = rs.map { case (k, m, v1, v2) => (k, ts(m), v1, v2) }.toDF("k", "ts", "v1", "v2")
+
+      val got = AsOf.joinAsOf(left, right, Seq("k"), "ts", Seq("v1", "v2"))
+        .select("lid", "v1", "v2").as[(Long, Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+      val want = ls.zipWithIndex.map { case ((k, m), i) =>
+        val prior = rs.filter(r => r._1 == k && r._2 <= m)
+        i.toLong -> (if (prior.isEmpty) (None, None)
+                     else { val hit = prior.maxBy(_._2); (hit._3, hit._4) })
+      }.toMap
+      assert(got == want, s"trial $trial: left=$ls right=$rs")
+    }
+  }
+
   test("range join agrees with the brute-force definition across bucket widths") {
     (1 to 8).foreach { trial =>
       val ls = sample(genLeft, trial * 17L)
