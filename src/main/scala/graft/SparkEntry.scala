@@ -1097,9 +1097,10 @@ object SparkEntry {
       )
     ),
     // Connected components over the minhash pair graph: min-label
-    // propagation with a FIXED iteration count, so the DuckDB oracle
-    // (same 6 rounds, unrolled CTEs) reproduces it exactly even if a
-    // pathological chain hasn't converged.
+    // propagation + pointer jumping with a FIXED round count (6 rounds
+    // cover diameter 2^6-1 = 63), so the DuckDB oracle (same hop+jump
+    // rounds, unrolled CTEs) reproduces it exactly even on a
+    // pathological chain.
     "dedup_clusters" -> Entry(
       (s, dir) => {
         val d = docs(s, dir)
@@ -1107,10 +1108,12 @@ object SparkEntry {
       },
       Some {
         val rounds = (1 to 6).map { i =>
-          s"""l$i AS (SELECT l.u, least(l.root, coalesce(m.minn, l.root)) AS root
+          s"""h$i AS (SELECT l.u, least(l.root, coalesce(m.minn, l.root)) AS root
              |  FROM l${i - 1} l LEFT JOIN (
              |    SELECT e.u, min(p.root) AS minn FROM e JOIN l${i - 1} p ON e.v = p.u GROUP BY e.u
-             |  ) m ON l.u = m.u)""".stripMargin
+             |  ) m ON l.u = m.u),
+             |l$i AS (SELECT h.u, least(h.root, coalesce(j.root, h.root)) AS root
+             |  FROM h$i h LEFT JOIN h$i j ON h.root = j.u)""".stripMargin
         }.mkString(",\n")
         s"""WITH pr AS MATERIALIZED ($sqlMinhashOracle),
            |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr),

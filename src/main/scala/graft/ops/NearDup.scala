@@ -321,22 +321,29 @@ object NearDup {
     )
 
   /** Duplicate-cluster assignment: connected components over the
-    * near-dup pair graph by iterative min-label propagation — each doc
-    * ends up labeled with the smallest id reachable through pairs
-    * (the cluster representative), the form GraphX/GraphFrames CC
-    * lowers to, expressed as plain DataFrame joins so AQE and
-    * broadcast apply.
+    * near-dup pair graph by min-label propagation WITH POINTER JUMPING
+    * — each doc ends up labeled with the smallest id reachable through
+    * pairs (the cluster representative), expressed as plain DataFrame
+    * joins so AQE and broadcast apply.
     *
-    * `iterations` is a FIXED count, not run-to-convergence: labels
-    * converge once iterations ≥ the graph diameter (near-dup clusters
-    * are shallow — chains longer than a handful of hops are rare), and
-    * a fixed count keeps the result exactly reproducible by an
-    * unrolled SQL oracle. Per iteration: one equi-join + one groupBy
-    * min against the (tiny) edge set — the corpus-size frame is never
-    * shuffled more than once per round.
+    * Each round does two steps:
+    *   1. hop  — adopt the smallest label among direct neighbours
+    *      (one equi-join + groupBy-min against the tiny edge set);
+    *   2. jump — adopt the label OF the current label (`root ←
+    *      root(root)`), a self-join of the label frame on `root = u`.
+    * The jump step doubles the propagation radius per round, so `k`
+    * rounds cover any cluster of diameter ≤ `2^k − 1` (k=6 → 63 hops)
+    * instead of the `k` hops plain propagation reaches — the
+    * long-chain shape that a fixed hop-only count silently splits.
+    *
+    * `iterations` stays a FIXED count (not run-to-convergence) so the
+    * result is exactly reproducible by an unrolled SQL oracle; the
+    * label frame is localCheckpoint'd once per round, which both
+    * truncates the otherwise-exponential self-join lineage and bounds
+    * per-round work to one pass over the (id, label) frame.
     * Output: `idCol, cluster_id`.
     */
-  def clusters(df: DataFrame, pairs: DataFrame, idCol: String, iterations: Int = 8): DataFrame = {
+  def clusters(df: DataFrame, pairs: DataFrame, idCol: String, iterations: Int = 6): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // materialize the edge set ONCE and truncate its lineage: the edge
     // frame is referenced in every round, and an expensive pairs
@@ -355,9 +362,20 @@ object NearDup {
         .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")
         .groupBy("u")
         .agg(min("nroot").as("minn"))
-      labels = labels
+      // hop: smallest neighbour label. Checkpointed because the jump
+      // self-join references it twice — without it the plan (and the
+      // recompute cost) doubles every round.
+      val hopped = labels
         .join(nbrMin, Seq("u"), "left")
         .select(col("u"), least(col("root"), coalesce(col("minn"), col("root"))).as("root"))
+        .localCheckpoint(true)
+      // jump: root ← root(root). A label is always the id of a node in
+      // the same component (inductively: own id, a neighbour's label,
+      // or a label's label), so chasing it stays in-component and only
+      // ever decreases toward the component minimum.
+      labels = hopped
+        .join(hopped.select(col("u").as("__r"), col("root").as("__rr")), col("root") === col("__r"), "left")
+        .select(col("u"), least(col("root"), coalesce(col("__rr"), col("root"))).as("root"))
     }
     labels.select(col("u").as(idCol), col("root").as("cluster_id"))
   }

@@ -149,6 +149,21 @@ class OpsSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters converges on a chain far longer than the round count (pointer jumping)") {
+    // 40-node path graph: diameter 39. Hop-only propagation moves the
+    // min label ONE hop per round, so 6 (or even 8) rounds would leave
+    // the far end labeled with an intermediate id — the silent
+    // split-cluster defect. Pointer jumping covers 2^6-1 = 63 hops in
+    // 6 rounds.
+    val n = 40
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = NearDup.clusters(ids, pairs, "doc_id", iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == n)
+    assert(out.values.forall(_ == 1L), s"unconverged labels: ${out.filter(_._2 != 1L)}")
+  }
+
   test("clusters keeps string ids intact (labels propagate in the id's own type)") {
     val ids = Seq("doc-b", "doc-a", "doc-c", "doc-z").toDF("doc_id")
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
