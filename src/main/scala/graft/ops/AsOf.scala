@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   * time-series engine's ASOF JOIN lowers to (DuckDB's native
   * `ASOF JOIN` is the correctness oracle).
   *
+  * Hot-key shape: a window partitioned on the key alone puts ALL rows
+  * of a hot key (a handful of symbols/tenants carrying most events —
+  * the usual skew at 100 TB) into one task's sort. So the fill runs in
+  * TWO passes over (key, time-bucket) instead: the time axis is split
+  * into `timeBuckets` equal-width ranges, pass 1 fills within each
+  * (key, bucket) partition, and pass 2 carries each bucket's last
+  * right-row struct forward via a per-key window over the (tiny)
+  * bucket-summary frame. A hot key's sort is thereby split across up
+  * to `timeBuckets` tasks while the result stays bit-identical to the
+  * single-window form.
+  *
   * Tie semantics: a right row at exactly the left row's timestamp
   * matches (`>=`, like DuckDB/kdb) — right rows sort before left rows
   * at equal timestamps.
@@ -29,6 +40,15 @@ object AsOf {
     * semantics). `right` must carry exactly `keyCols :+ tsCol :+
     * valueCols` and be unique per (key, ts) — pre-aggregate if not.
     *
+    * `timeBuckets` bounds per-task work under key skew (see class
+    * doc): each key's timeline is processed in up to that many
+    * parallel slices. 1 = the plain single-window form (lowest
+    * constant overhead; fine when keys are well-distributed). The
+    * bucket boundaries come from the right side's min/max timestamp
+    * (cast to double — any numeric or timestamp type works; a
+    * non-castable type degrades to one bucket, which is still
+    * correct), so results never depend on partitioning.
+    *
     * Output: every `left` column, plus `valueCols` from the matched
     * right row.
     */
@@ -37,13 +57,20 @@ object AsOf {
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
-      valueCols: Seq[String]
+      valueCols: Seq[String],
+      timeBuckets: Int = 32
   ): DataFrame = {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
+    require(timeBuckets >= 1, "timeBuckets must be >= 1")
     val leftCols = left.columns.toSeq
     require(
       valueCols.intersect(leftCols).isEmpty,
       s"value columns ${valueCols.intersect(leftCols).mkString(",")} collide with left columns"
+    )
+    val reserved = Seq("__vals", "__side", "__bucket", "__carry")
+    require(
+      reserved.intersect(leftCols).isEmpty,
+      s"left columns ${reserved.intersect(leftCols).mkString(",")} collide with internal columns"
     )
 
     // All value columns ride in ONE struct so the window fill picks an
@@ -75,18 +102,89 @@ object AsOf {
     val unioned = l.select(shared.map(col): _*)
       .unionByName(r.select(shared.map(col): _*))
 
-    val win = Window
-      .partitionBy(keyCols.map(col): _*)
+    if (timeBuckets == 1) {
+      val win = Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(tsCol).asc, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = unioned
+        .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(win))
+        .filter(col("__side") === 1)
+      return extract(filled, valueCols)
+    }
+
+    // ---- bucketed two-pass fill ----------------------------------------
+    // Equal-width buckets over the right side's timestamp range. The
+    // mapping only needs to be monotone in ts and identical for both
+    // sides; left timestamps outside the range clamp to the first/last
+    // bucket. Equal timestamps always share a bucket, so concatenating
+    // buckets in order reproduces the exact global (ts, __side) order.
+    val tnum = col(tsCol).cast("double")
+    val bounds = broadcast(
+      rWithVals.agg(
+        min(col(tsCol).cast("double")).as("__tmin"),
+        max(col(tsCol).cast("double")).as("__tmax")
+      )
+    )
+    val span = col("__tmax") - col("__tmin")
+    val bucketExpr = when(col("__tmin").isNull || tnum.isNull || span <= 0, lit(0L))
+      .otherwise(
+        least(
+          lit(timeBuckets - 1L),
+          greatest(lit(0L), floor((tnum - col("__tmin")) / (span / timeBuckets)))
+        )
+      )
+    val bucketed = unioned.crossJoin(bounds)
+      .withColumn("__bucket", bucketExpr)
+      .drop("__tmin", "__tmax")
+
+    // pass 1: fill within each (key, bucket) slice — the hot key's
+    // single sort becomes `timeBuckets` parallel sorts
+    val win1 = Window
+      .partitionBy((keyCols :+ "__bucket").map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled1 = bucketed
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(win1))
 
-    val filled = unioned
-      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(win))
+    // pass 2: each bucket's LAST right row (max ts; unique per (key,
+    // ts) by contract) is the carry-in for every later bucket up to
+    // and including the next bucket that has right rows of its own.
+    // All of this runs on the aggregated (key, bucket) frame — at most
+    // keys × timeBuckets rows — never on the event-scale frame.
+    val keyCs = keyCols.map(col)
+    val summary = rWithVals.crossJoin(bounds)
+      .withColumn("__bucket", bucketExpr)
+      .groupBy((keyCols :+ "__bucket").map(col): _*)
+      .agg(max_by(col("__vals"), col(tsCol)).as("__carry"))
+    val nextB = lead(col("__bucket"), 1)
+      .over(Window.partitionBy(keyCs: _*).orderBy(col("__bucket")))
+    val carries = summary
+      .withColumn("__upto", coalesce(nextB, lit(timeBuckets - 1L)))
+      .filter(col("__bucket") + 1 <= col("__upto"))
+      .select(
+        (keyCs :+
+          explode(sequence(col("__bucket") + 1, col("__upto"))).as("__bucket") :+
+          col("__carry")): _*
+      )
+
+    // the big frame is already hash-partitioned on (key, bucket) by
+    // pass 1's window, so this equi-join reshuffles only `carries`.
+    // shuffle_hash (build = carries) keeps it that way even without
+    // AQE — a sort-merge plan would re-sort the event-scale side;
+    // with AQE on, the tiny carries frame upgrades to a broadcast.
+    val filled = filled1
+      .join(carries.hint("shuffle_hash"), keyCols :+ "__bucket", "left")
+      .withColumn("__vals", coalesce(col("__vals"), col("__carry")))
       .filter(col("__side") === 1)
+      .drop("__bucket", "__carry")
+    extract(filled, valueCols)
+  }
+
+  private def extract(filled: DataFrame, valueCols: Seq[String]): DataFrame =
     valueCols.foldLeft(filled)((df, c) =>
       df.withColumn(c, col("__vals").getField(c))
     ).drop("__vals", "__side")
-  }
 
   /** [[joinAsOf]] with a staleness bound: matches older than
     * `tolerance` (an interval string, e.g. "1 hour") before the left
@@ -99,12 +197,13 @@ object AsOf {
       keyCols: Seq[String],
       tsCol: String,
       valueCols: Seq[String],
-      tolerance: String
+      tolerance: String,
+      timeBuckets: Int = 32
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightTs = "__right_ts"
     val r = right.withColumn(rightTs, col(tsCol))
-    val joined = joinAsOf(left, r, keyCols, tsCol, valueCols :+ rightTs)
+    val joined = joinAsOf(left, r, keyCols, tsCol, valueCols :+ rightTs, timeBuckets)
     val fresh = col(rightTs) >= col(tsCol) - expr(s"INTERVAL $tolerance")
     valueCols.foldLeft(joined)((df, c) =>
       df.withColumn(c, when(fresh, col(c)))

@@ -165,6 +165,62 @@ object MicroBench {
       return
     }
 
+    if (args.contains("hotkey")) {
+      // Skew stress: ONE user carries ~90% of events. Measures
+      //  - as-of join: single per-key window (timeBuckets=1, the
+      //    one-task-sort shape) vs the bucketed two-pass fill — at 1x
+      //    and 10x, the bucketed form should stay near-flat while the
+      //    single window degrades with the hot key's row count;
+      //  - plain shuffle join vs Skew.saltedJoin on the same hot key
+      //    (broadcast disabled so the join actually shuffles — with a
+      //    broadcastable dim there is no skew problem to solve).
+      val base = "/tmp/graft_hotkey"
+      val events = graft.sources.Tables.parquetDir(spark, sfDir)("events")
+      def materialize(path: String, df: DataFrame): DataFrame = {
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      def eventsX(n: Int): DataFrame = materialize(
+        s"$base/events$n",
+        (0 until n).map(i => events.select(
+          (col("event_id") + lit(i * 100000000L)).as("event_id"),
+          col("ts"),
+          // 99% of rows collapse onto user 0 — the hot key
+          when(pmod(col("event_id") + lit(i), lit(100)) =!= 0, lit(0L))
+            .otherwise(col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")
+        )).reduce(_.union(_))
+      )
+      def asof(ev: DataFrame, buckets: Int): DataFrame = {
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("last_purchase"))
+        AsOf.joinAsOf(ev, purchases, Seq("user_id"), "ts", Seq("last_purchase"),
+          timeBuckets = buckets)
+      }
+      val nBig = if (args.contains("x30")) 30 else 10
+      val e1 = eventsX(1); val e10 = eventsX(nBig)
+      time("asof hot 1x  buckets=1")(asof(e1, 1))
+      time("asof hot 1x  buckets=32")(asof(e1, 32))
+      time(s"asof hot ${nBig}x buckets=1")(asof(e10, 1))
+      time(s"asof hot ${nBig}x buckets=32")(asof(e10, 32))
+
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = materialize(
+        s"$base/dim",
+        e10.select(col("user_id").as("uid")).distinct()
+          .withColumn("tier", pmod(col("uid"), lit(5)))
+      )
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("tier").agg(count(lit(1)).as("n"), sum("value").as("v"))
+      time(s"join hot ${nBig}x plain-shuffle")(
+        agg(e10.join(dim, e10("user_id") === dim("uid"))))
+      time(s"join hot ${nBig}x salted-32")(
+        agg(Skew.saltedJoin(e10, dim, "user_id", "uid", nSalts = 32)))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      spark.stop()
+      return
+    }
+
     if (args.contains("scale10")) {
       // 10× replication with shifted ids: every doc becomes a 10-clone
       // clique — the adversarial shape for any PAIRS operator (output

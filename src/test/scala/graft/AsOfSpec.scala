@@ -76,13 +76,39 @@ class AsOfSpec extends SparkTestBase {
     assert(out(102L) == ((Some(12.0), None))) // A@10 ← quote@8: size stays NULL
   }
 
-  test("plan is union + keyed window: no range-join probing, one shuffle") {
-    val df = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
+  test("plan (timeBuckets=1) is union + keyed window: no range-join probing, one shuffle") {
+    val df = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"), timeBuckets = 1)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan) // not a join at all
     assert(plan.contains("Window"), plan)
+  }
+
+  test("bucketed plan splits the per-key sort on (key, bucket); no cartesian, no range probe") {
+    val df = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the fill window partitions on (key, __bucket) — a hot key's sort
+    // runs as up to timeBuckets parallel tasks, not one
+    assert(
+      plan.contains("hashpartitioning(sym") && plan.contains("__bucket"),
+      plan
+    )
+    // the only nested-loops are the ONE-ROW bounds broadcasts (cross
+    // join with a 1-row global min/max agg; once for the union, once
+    // for the bucket summary) — never a per-row range probe. Every
+    // BNLJ in the plan must be a Cross build of that bounds frame.
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, (\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_ == "Cross"), plan)
+    assert(plan.contains("Window"), plan)
+    // same answer as the single-window form
+    val single = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", Seq("px"), timeBuckets = 1)
+    assert(
+      df.orderBy("trade_id").collect().toSeq == single.orderBy("trade_id").collect().toSeq
+    )
   }
 }

@@ -47,14 +47,17 @@ class JoinPropSpec extends SparkTestBase {
       val left = ls.zipWithIndex.map { case ((k, m), i) => (k, ts(m), i.toLong) }.toDF("k", "ts", "lid")
       val right = rs.map { case (k, m, v) => (k, ts(m), v.toLong) }.toDF("k", "ts", "v")
 
-      val got = AsOf.joinAsOf(left, right, Seq("k"), "ts", Seq("v"))
+      // sweep the skew-split knob too: 1 (plain window), tiny counts
+      // (all ts in one bucket / boundary collisions), and the default
+      val buckets = Seq(1, 2, 3, 5, 32)(trial % 5)
+      val got = AsOf.joinAsOf(left, right, Seq("k"), "ts", Seq("v"), timeBuckets = buckets)
         .select("lid", "v").as[(Long, Option[Long])].collect().toMap
 
       val want = ls.zipWithIndex.map { case ((k, m), i) =>
         val prior = rs.filter(r => r._1 == k && r._2 <= m)
         i.toLong -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3.toLong))
       }.toMap
-      assert(got == want, s"trial $trial: left=$ls right=$rs")
+      assert(got == want, s"trial $trial (buckets $buckets): left=$ls right=$rs")
     }
   }
 

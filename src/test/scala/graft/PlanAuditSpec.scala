@@ -90,12 +90,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plans(df).contains("BroadcastHashJoin"), plans(df))
   }
 
-  test("asof_join_tolerant: no join operator at all (union + keyed window)") {
+  test("asof_join_tolerant: skew-split window fill, no range probing") {
     val plan = plans(SparkEntry.queries("asof_join_tolerant")(spark, sfDir))
     assert(!plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // the fill window partitions on (key, __bucket): a hot key's sort
+    // is split across timeBuckets tasks instead of one
     assert(plan.contains("Window"), plan)
+    assert(plan.contains("__bucket"), plan)
+    // nested-loop joins appear ONLY as the 1-row bounds broadcast
+    // (Cross build) — never as a per-row range probe
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, (\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(bnlj.forall(_ == "Cross"), plan)
   }
 
   test("skew_join gate entry joins with no cartesian and carries the salt") {
