@@ -35,6 +35,34 @@ object SparkEntry {
   private def q(pql: String, sql: String): Entry =
     Entry((s, dir) => Pql.query(s, pql, Tables.parquetDir(s, dir)), Some(sql))
 
+  /** Deterministic scratch dir for gate entries that must round-trip
+    * through a filesystem: ONE path per (entry, sfDir) instead of a
+    * fresh UUID dir per invocation, so repeated verify/test runs don't
+    * accumulate /tmp garbage.
+    */
+  private def gateScratch(tag: String, sfDir: String): String =
+    s"/tmp/graft_gate_${tag}_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** A Spark batch write to `path` finished (its _SUCCESS marker
+    * exists). Completed scratch writes are reused — the content is a
+    * deterministic function of the sf dir — which also keeps the
+    * process-wide [[Tables]] cache consistent (an overwrite would
+    * orphan a cached plan's file listing mid-session).
+    */
+  private def scratchComplete(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
+  /** Recursively delete and recreate a scratch dir. */
+  private def wipeScratch(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+  }
+
   // ---- §2.1 tabular operators + §2.2 expressions ----------------------
 
   private val pqlEntries: ListMap[String, Entry] = ListMap(
@@ -156,9 +184,10 @@ object SparkEntry {
     // infers integrals as LONG, so the entry casts back.
     "src_csv" -> Entry(
       (s, dir) => {
-        val tmp = s"/tmp/graft_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-        Tables.parquetDir(s, dir)("nation")
-          .write.option("header", "true").csv(s"$tmp/nation.csv")
+        val tmp = gateScratch("csv", dir)
+        if (!scratchComplete(s"$tmp/nation.csv"))
+          Tables.parquetDir(s, dir)("nation")
+            .write.mode("overwrite").option("header", "true").csv(s"$tmp/nation.csv")
         Tables.dir(s, tmp,
           csvSchemas = Map("nation" -> "n_nationkey INT, n_name STRING, n_regionkey INT")
         )("nation")
@@ -167,8 +196,9 @@ object SparkEntry {
     ),
     "src_json" -> Entry(
       (s, dir) => {
-        val tmp = s"/tmp/graft_gate_${java.util.UUID.randomUUID().toString.take(8)}"
-        Tables.parquetDir(s, dir)("region").write.json(s"$tmp/region.json")
+        val tmp = gateScratch("json", dir)
+        if (!scratchComplete(s"$tmp/region.json"))
+          Tables.parquetDir(s, dir)("region").write.mode("overwrite").json(s"$tmp/region.json")
         Tables.dir(s, tmp)("region")
           .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
       },
@@ -603,7 +633,11 @@ object SparkEntry {
     // watermark past every real window's end.
     "events_windowed_fsink" -> Entry(
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_fsink_gate").toString
+        // fixed per-sfDir path, wiped up front: a stale checkpoint
+        // would silently replay old commits against new source files,
+        // and UUID temp dirs accumulate across verify/test runs
+        val base = gateScratch("fsink", dir)
+        wipeScratch(base)
         val ev = Tables.parquetDir(s, dir)("events")
         val maxTs = ev.agg(org.apache.spark.sql.functions.max("ts")).head().getTimestamp(0)
         // source file 1: all events; file 2: a single sentinel far past

@@ -47,6 +47,10 @@ object Ann {
     val base = prep(corpus, vecCol, idCol)
     val q = prep(queries, vecCol, idCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // the =!= join plans as a broadcast-nested-loop on purpose: scoring
+    // every corpus row against every broadcast query IS brute force
+    // (the corpus side never shuffles). lshTopK/ivfTopK are the
+    // at-scale paths when the query set itself is large.
     val scored = base
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(

@@ -88,10 +88,17 @@ object NearDup {
     * the per-doc shingle set is unbounded (a 1M-token document is a
     * 1M-element array row at collect time); the bottom-k prefix is
     * deterministic (hashes are distinct within a doc after distinct(),
-    * so the order is total), partition-independent, and still a
-    * consistent Jaccard estimator when BOTH sides of every comparison
-    * use it. The row_number window partitions on the doc id — the same
-    * key as every downstream aggregation, so the shuffle is reused.
+    * so the order is total) and partition-independent.
+    *
+    * NOTE on the estimate: Jaccard over two INDEPENDENT bottom-k
+    * sketches is a biased approximation (the textbook consistent
+    * bottom-k estimator takes the k smallest of the UNION instead).
+    * For docs under `maxShingles` distinct shingles it is exact; above
+    * that it is a deterministic, oracle-mirrored approximation — the
+    * DuckDB oracle computes the identical sketch, so gate parity holds
+    * by construction, not by unbiasedness. The row_number window
+    * partitions on the doc id — the same key as every downstream
+    * aggregation, so the shuffle is reused.
     */
   private[ops] def cappedHashedShingles(
       df: DataFrame,
@@ -214,6 +221,12 @@ object NearDup {
     * not the strings: set sizes are identical up to hash collisions
     * (~52²/2^33 per pair) and the candidate join shuffles compact long
     * arrays instead of text. Pairs with Jaccard ≥ `minJaccard`.
+    *
+    * Docs with more than `maxShingles` (default 4096) distinct
+    * shingles are represented by their bottom-k sketch (see
+    * [[cappedHashedShingles]]): for such docs the reported `jaccard`
+    * is the deterministic sketch estimate, not the exact set Jaccard,
+    * and `minJaccard` thresholds against that estimate.
     * Output: `id_a, id_b, jaccard`.
     */
   def ngramJaccardPairs(

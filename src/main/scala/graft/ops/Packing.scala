@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * md5-derived and the in-shard order (`idCol, idxCol`) is total.
   *
   * Output: input columns + `seq_id` (string `"<shard>-<bin>"`).
+  *
+  * Sizing `nShards`: it caps BOTH the packing parallelism and the
+  * per-task sort size (≈ corpus rows / nShards). The default 64 suits
+  * a single fat node; on a wide cluster raise it toward ~2× the total
+  * executor cores (each shard is one window partition), at the cost of
+  * proportionally more slightly-underfilled final bins (≤ one per
+  * shard). Packing quality is otherwise independent of the count.
   */
 object Packing {
 

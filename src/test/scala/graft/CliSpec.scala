@@ -61,12 +61,15 @@ class CliSpec extends SparkTestBase {
 
   private def runCli(args: Seq[String], stdin: String): (Int, String) = {
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Dspark.ui.enabled=false", "-DSPARK_MASTER=local[4]",
+      "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"), "graft.Cli"
     ) ++ args
     val out = new StringBuilder
     val logger = ProcessLogger(line => out.append(line).append('\n'), _ => ())
-    val exit = (cmd #< new java.io.ByteArrayInputStream(stdin.getBytes("UTF-8"))).!(logger)
+    // Cli reads SPARK_MASTER from the ENVIRONMENT (sys.env), so it must
+    // be set on the process builder — a -D system property is ignored
+    val proc = scala.sys.process.Process(cmd, None, "SPARK_MASTER" -> "local[4]")
+    val exit = (proc #< new java.io.ByteArrayInputStream(stdin.getBytes("UTF-8"))).!(logger)
     (exit, out.toString)
   }
 

@@ -250,6 +250,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("LSH candidate joins stay equi-joins at band edge cases (bandRows/bandBits don't divide k/planes)") {
+    // leftover signature components that don't fill a whole band must
+    // be dropped, not turned into a degenerate always-equal band key
+    // (which would make the candidate join an all-pairs explosion)
+    for (
+      df <- Seq(
+        NearDup.minhashPairs(docs, "text", "doc_id", k = 31, bandRows = 2), // 31 = 15 bands + 1 leftover
+        NearDup.minhashPairs(docs, "text", "doc_id", k = 32, bandRows = 5), // 6 bands + 2 leftover
+        Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id",
+          dim = 8, k = 3, planes = 10, bandBits = 4), // 2 bands + 2 leftover bits
+        Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id",
+          dim = 8, k = 2, planes = 16, bandBits = 5) // 3 bands + 1 leftover bit
+      )
+    ) {
+      df.collect() // must execute
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    }
+  }
+
   test("brute-force ANN broadcasts the query side and group-limits top-k") {
     val plan = executedPlan(
       Ann.bruteTopK(vecs, vecs.filter($"vec_id" === 0), "embedding", "vec_id", k = 3)
