@@ -855,6 +855,33 @@ object SparkEntry {
       },
       Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
     ),
+    // Streaming NEAR-dup: per-row MinHash band rows (no shuffle before
+    // the stateful op) → watermark-bounded first-arrival state per
+    // (band_idx, band_key). Which doc owns a contested band follows
+    // arrival order, so the gated projection is the emitted BAND SET —
+    // deterministic under any partitioning — which the oracle
+    // recomputes from scratch with the batch signature SQL.
+    "stream_dedup_minhash" -> Entry(
+      (s, dir) => {
+        val sink = "sdm_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+        val bands = graft.streaming.Streaming
+          .dedupMinhashBands(stream, "text", "ts", "1 hour")
+          .select(col("band_idx"), col("band_key"))
+        val q = graft.streaming.Streaming.runToMemory(bands, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(
+        s"""WITH ${sqlHashedShingleCtes("documents")},
+           |sg AS (SELECT doc_id, ${sqlMinhashSig(32)} AS sig FROM hh),
+           |bd AS (${sqlBands(32, 2)})
+           |SELECT DISTINCT CAST(bi AS INT) AS band_idx, bk AS band_key FROM bd""".stripMargin
+      )
+    ),
     // The batched mapPartitions decode path, driver-gated end to end:
     // the stub histogram divides small counts by 32 (a power of two),
     // so float arithmetic is exact and DuckDB reproduces every value
@@ -899,13 +926,13 @@ object SparkEntry {
   // ---- §2.4 near-dup / ANN oracle SQL (mirrors NearDup's pipelines) ----
 
   /** DuckDB token array (mirrors [[NearDup.tokens]]). */
-  private val sqlTokens = s"regexp_split_to_array($sqlNorm, ' ')"
+  private def sqlTokens = s"regexp_split_to_array($sqlNorm, ' ')"
 
   /** DuckDB 32-bit string hash of expression `e` (mirrors NearDup.hash32). */
   private def sqlHash32Of(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
   /** DuckDB 32-bit string hash of lambda variable `x`. */
-  private val sqlHash32 = sqlHash32Of("x")
+  private def sqlHash32 = sqlHash32Of("x")
 
   /** CTE chain ending in `hh(doc_id, hs)`: hashed 3-gram shingles as in
     * [[NearDup.hashedShingles]] — per-token hashes combined with the

@@ -157,7 +157,7 @@ object NearDup {
   /** [[minhashSigs]] over an already-exploded `(id, h)` hashed-shingle
     * frame.
     */
-  private def minhashSigsFromHashed(hashed: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[ops] def minhashSigsFromHashed(hashed: DataFrame, idCol: String, k: Int): DataFrame = {
     val comps = (0 until k).map { j =>
       val (a, b) = perm(j)
       min((lit(a) * col("h") + lit(b)) % P).as(s"g$j")
@@ -169,7 +169,7 @@ object NearDup {
   /** (id, band_idx, band_key) rows: the signature split into
     * `k / bandRows` bands of `bandRows` components each.
     */
-  private def bandRowsOf(sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame = {
+  private[ops] def bandRowsOf(sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame = {
     val nBands = k / bandRows
     val bands = transform(
       sequence(lit(0), lit(nBands - 1)),
@@ -391,6 +391,70 @@ object NearDup {
         .select(col("u"), least(col("root"), coalesce(col("__rr"), col("root"))).as("root"))
     }
     labels.select(col("u").as(idCol), col("root").as("cluster_id"))
+  }
+
+  /** Per-ROW MinHash band rows, the streaming-safe form: the same
+    * tokens → hashed 3-gram shingles → k-component signature →
+    * `bandRows`-row bands as the batch pipeline (bit-identical band
+    * keys), but computed entirely inside row-local array expressions —
+    * no explode→groupBy, no window, no shuffle — so it composes with
+    * Structured Streaming's stateful operators (see
+    * `Streaming.dedupMinhashBands`).
+    *
+    * Each intermediate rides in a MULTI-referenced column alias:
+    * CollapseProject only re-inlines single-reference aliases, so the
+    * md5 token hashing runs once per row, not once per signature
+    * component (the measured 49× recompute trap). Higher-order array
+    * functions still evaluate interpreted — per-row cost is above the
+    * batch path's codegen explode→agg, which remains the bulk-batch
+    * path ([[minhashPairs]]).
+    *
+    * Output: input columns + `band_idx`, `band_key` (k/bandRows rows
+    * per input row).
+    */
+  def rowBandRows(df: DataFrame, textCol: String, k: Int = 32, bandRows: Int = 2): DataFrame = {
+    require(k >= 1 && bandRows >= 1 && k % bandRows == 0, "bandRows must divide k")
+    val nBands = k / bandRows
+    val hs = when(
+      size(col("__w")) < 3,
+      array(hash32(concat_ws(" ", col("__w"))) % P)
+    ).otherwise(
+      transform(
+        sequence(lit(1), size(col("__w")) - 2),
+        i =>
+          (element_at(col("__hw"), i) * C1 +
+            element_at(col("__hw"), i + 1) * C2 +
+            element_at(col("__hw"), i + 2)) % P
+      )
+    )
+    // component j (1-based here) = batch perm(j-1): a=(1103515245*j+12345)%P
+    val sig = transform(
+      sequence(lit(1), lit(k)),
+      j => {
+        val a = (lit(1103515245L) * j + lit(12345L)) % P
+        val b = (lit(987654321L) * j + lit(67890L)) % P
+        array_min(transform(col("__hs"), h => (a * h + b) % P))
+      }
+    )
+    val bands = transform(
+      sequence(lit(0), lit(nBands - 1)),
+      bi => struct(
+        bi.cast("int").as("band_idx"),
+        array_join(
+          transform(
+            sequence(lit(1), lit(bandRows)),
+            r => element_at(col("__sig"), bi * bandRows + r).cast("string")
+          ),
+          "|"
+        ).as("band_key")
+      )
+    )
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("__hw", transform(col("__w"), t => hash32(t) % P))
+      .withColumn("__hs", hs)
+      .withColumn("__sig", sig)
+      .withColumn("__band", explode(bands))
+      .select((df.columns.map(col) :+ col("__band.band_idx") :+ col("__band.band_key")): _*)
   }
 
   /** The production corpus-dedup pipeline: exact dedup FIRST (clone

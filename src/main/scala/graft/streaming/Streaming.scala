@@ -65,6 +65,35 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__graft_digest")
       .drop("__graft_digest")
 
+  /** Streaming MinHash NEAR-dup state: each incoming row expands to
+    * its LSH band rows ([[graft.ops.NearDup.rowBandRows]] — row-local
+    * expressions, no shuffle before the stateful operator) and each
+    * (band_idx, band_key) is kept only for its FIRST arrival within
+    * the watermark — the streaming analogue of the batch band join,
+    * with state bounded by event time exactly like
+    * [[dedupExact]]'s digest state.
+    *
+    * Downstream decides the doc-level policy from the emitted claims:
+    * a row that retains ALL `k/bandRows` of its bands collided with
+    * nothing seen before (novel); fewer means at least one band was
+    * claimed by an earlier row (near-dup candidate of it). The
+    * emitted BAND SET is deterministic under any partitioning /
+    * arrival interleaving; which row owns a contested band follows
+    * arrival order (same contract as [[dedupExact]]'s first-arrival
+    * representative).
+    */
+  def dedupMinhashBands(
+      df: DataFrame,
+      textCol: String,
+      tsCol: String,
+      maxLateness: String,
+      k: Int = 32,
+      bandRows: Int = 2
+  ): DataFrame =
+    graft.ops.NearDup
+      .rowBandRows(df.withWatermark(tsCol, maxLateness), textCol, k, bandRows)
+      .dropDuplicatesWithinWatermark("band_idx", "band_key")
+
   /** Run a compiled (streaming) plan into an in-memory table named
     * `name` — the test/debug sink. `complete` mode mirrors batch
     * results for unbounded aggregations; `append` emits only

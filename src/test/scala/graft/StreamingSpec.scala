@@ -176,6 +176,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming minhash band state: novel docs keep all bands, near-dups lose collided ones") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.dedupMinhashBands(
+      ms.toDF.toDF("ts", "doc_id", "text"), "text", "ts", "5 minutes", k = 32, bandRows = 2)
+    assert(out.isStreaming)
+    val q = Streaming.runToMemory(out, "stream_bands", "append")
+    try {
+      ms.addData(Seq((ts(0), 1L, "the quick brown fox jumps over the lazy dog")))
+      q.processAllAvailable()
+      // batch 2: a near-duplicate (one word changed) and an unrelated doc
+      ms.addData(Seq(
+        (ts(1), 2L, "the quick brown fox jumps over the lazy cat"),
+        (ts(2), 3L, "completely different text with no overlap at all whatsoever")
+      ))
+      q.processAllAvailable()
+      val claims = spark.table("stream_bands")
+        .select("doc_id").as[Long].collect().groupBy(identity).view.mapValues(_.length).toMap
+      val nBands = 32 / 2
+      assert(claims(1L) == nBands) // first arrival claims everything
+      assert(claims(3L) == nBands) // unrelated: no collisions
+      assert(claims.getOrElse(2L, 0) < nBands, claims.toString) // near-dup lost ≥1 band
+      assert(claims.getOrElse(2L, 0) > 0) // but is not an exact dup
+    } finally q.stop()
+  }
+
   private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
     name => m.getOrElse(name, sys.error(s"unknown table $name"))
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[NearDup.rowBandRows]] (the shuffle-free streaming form) must emit
+  * band keys BIT-IDENTICAL to the batch explode→agg pipeline — the
+  * whole point is that streaming state and batch dedup agree on what a
+  * band is.
+  */
+class RowBandSpec extends SparkTestBase {
+
+  import SparkTestBase.spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap at all whatsoever"),
+    (4L, "tiny doc"), // < 3 tokens → whole-text shingle path
+    (5L, "Punctuation,  CASE and   spacing must normalize! the same way?")
+  ).toDF("doc_id", "text")
+
+  test("per-row band keys are bit-identical to the batch explode/agg pipeline") {
+    for ((k, r) <- Seq((32, 2), (8, 1), (16, 4))) {
+      val batch = NearDup.bandRowsOf(
+        NearDup.minhashSigsFromHashed(
+          NearDup.hashedShingles(docs, "text", "doc_id"), "doc_id", k),
+        "doc_id", k, r
+      ).select(col("doc_id"), col("band_idx"), col("band_key"))
+        .as[(Long, Int, String)].collect().toSet
+      val perRow = NearDup.rowBandRows(docs, "text", k, r)
+        .select(col("doc_id"), col("band_idx"), col("band_key"))
+        .as[(Long, Int, String)].collect().toSet
+      assert(perRow == batch, s"k=$k r=$r:\nrow=$perRow\nbatch=$batch")
+      assert(perRow.size == docs.count() * (k / r)) // no dropped/dup bands
+    }
+  }
+
+  test("near-identical docs share bands; unrelated docs share none") {
+    val bands = NearDup.rowBandRows(docs, "text", 32, 2)
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .as[(Long, Int, String)].collect()
+    def of(id: Long) = bands.filter(_._1 == id).map(t => (t._2, t._3)).toSet
+    assert(of(1L).intersect(of(2L)).nonEmpty) // one-word difference
+    assert(of(1L).intersect(of(3L)).isEmpty)
+  }
+}
