@@ -78,7 +78,10 @@ def main():
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # Spark writes directory-style tables (part files); driver
+            # testdata is single files — glob either shape
+            pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
