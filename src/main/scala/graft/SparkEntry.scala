@@ -920,6 +920,35 @@ object SparkEntry {
           |  sha256(md5(text) || md5(text || 'x')) AS payload_sha
           |FROM documents""".stripMargin
       )
+    ),
+    // REAL-codec round trip, driver-gated end to end: encodeGrayPng
+    // writes genuine PNG bytes (javax.imageio, pure JVM), decodeImage
+    // reads them back, and because PNG is lossless the decoded 8-bin
+    // brightness histogram equals the one the oracle derives from the
+    // pixel FORMULA g(x,y) = (doc_id·31 + x·7 + y·13) mod 256 — DuckDB
+    // verifies a real image decode without decoding an image. 64 pixels
+    // (a power of two) → the normalization divides exactly in float.
+    "mm_decode" -> Entry(
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.attachImage(docs(s, dir), "doc_id").toDF(),
+          decode = Multimodal.decodeImage)
+        val flat = (0 until 8).map(i =>
+          org.apache.spark.sql.functions.element_at(col("features"), i + 1).cast("double").as(s"f$i")
+        )
+        feats.toDF().select(col("doc_id") +: flat: _*)
+      },
+      Some {
+        val bins =
+          "list_transform(generate_series(0, 63), i -> ((doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256) // 32)"
+        val fs = (0 until 8)
+          .map(i => s"CAST(len(list_filter(bins, x -> x = $i)) AS DOUBLE) / 64.0 AS f$i")
+          .mkString(",\n  ")
+        s"""WITH b AS (SELECT doc_id, $bins AS bins FROM documents)
+           |SELECT doc_id,
+           |  $fs
+           |FROM b""".stripMargin
+      }
     )
   )
 

@@ -89,21 +89,92 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** REAL image decode — pure-JVM `javax.imageio` (PNG/BMP/GIF ship
+    * with the JDK, no native deps). Decodes the payload and returns an
+    * 8-bin brightness histogram over the pixels, L1-normalized —
+    * the same 8-float feature shape as [[stubDecode]], so the two are
+    * drop-in interchangeable in [[extractFeatures]]. Non-image bytes
+    * (decoder returns null / throws) fall back to the stub, so a mixed
+    * corpus never kills the job. Brightness = mean of the raster bands
+    * (exact band value for grayscale images).
+    */
+  def decodeImage(payload: Array[Byte]): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) stubDecode(payload)
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            hist((s / bands) >>> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L).toFloat
+        hist.map(_ / n)
+      }
+    } catch { case _: java.io.IOException => stubDecode(payload) }
+
   /** Batched feature extraction over the multimodal records: one
     * decoder pass per partition, payloads processed in `batchSize`
     * groups (the shape a vectorized codec / model-inference library
     * needs), metadata carried through. No shuffle — a narrow map.
+    * `decode` picks the decoder: [[stubDecode]] (default, any bytes)
+    * or the real [[decodeImage]].
     */
-  def extractFeatures(mm: DataFrame, batchSize: Int = 64): Dataset[MMFeatures] = {
+  def extractFeatures(mm: DataFrame, batchSize: Int = 64,
+      decode: Array[Byte] => Array[Float] = stubDecode): Dataset[MMFeatures] = {
     val spark = mm.sparkSession
     import spark.implicits._
     mm.as[MMRecord].mapPartitions { rows =>
       // per-partition decoder init would go here (codec/model handle)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          MMFeatures(r.doc_id, r.mime, r.payload.length, stubDecode(r.payload))
+          MMFeatures(r.doc_id, r.mime, r.payload.length, decode(r.payload))
         }
       }
+    }
+  }
+
+  /** Deterministic 8×8 grayscale test image for `doc_id`: pixel
+    * `g(x, y) = (doc_id·31 + x·7 + y·13) mod 256`, PNG-encoded with
+    * `javax.imageio`. PNG is lossless, so `decodeImage` recovers the
+    * exact pixels — and the feature histogram is therefore computable
+    * from the FORMULA alone by a SQL oracle that never decodes PNG.
+    */
+  def encodeGrayPng(docId: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, java.lang.Math.floorMod(docId * 31 + x * 7 + y * 13, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-PNG multimodal records: one [[encodeGrayPng]] image per row.
+    * Narrow per-partition encode — the producer side of the real-codec
+    * round trip that [[extractFeatures]]`(decode = decodeImage)` closes.
+    */
+  def attachImage(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8): Dataset[MMRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map(id => MMRecord(id, "image/png", w, h, encodeGrayPng(id, w, h)))
     }
   }
 

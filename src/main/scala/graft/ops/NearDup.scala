@@ -351,21 +351,35 @@ object NearDup {
     *
     * `iterations` stays a FIXED count (not run-to-convergence) so the
     * result is exactly reproducible by an unrolled SQL oracle; the
-    * label frame is localCheckpoint'd once per round, which both
+    * label frame is checkpointed once per round, which both
     * truncates the otherwise-exponential self-join lineage and bounds
     * per-round work to one pass over the (id, label) frame.
+    *
+    * Fault tolerance: the default `localCheckpoint` stores blocks on
+    * executors — fast, but a lost executor on a real cluster kills the
+    * job instead of recomputing (lineage is gone). Pass `checkpointDir`
+    * (HDFS/S3/cluster FS) to use RELIABLE `checkpoint` instead: each
+    * round's tiny (id, label) frame is persisted to the shared FS and
+    * survives executor loss. Locally the default is unchanged.
     * Output: `idCol, cluster_id`.
     */
-  def clusters(df: DataFrame, pairs: DataFrame, idCol: String, iterations: Int = 6): DataFrame = {
+  def clusters(df: DataFrame, pairs: DataFrame, idCol: String, iterations: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        d => d.checkpoint(eager = true)
+      case None => d => d.localCheckpoint(eager = true)
+    }
     // materialize the edge set ONCE and truncate its lineage: the edge
     // frame is referenced in every round, and an expensive pairs
     // pipeline (LSH banding) would otherwise re-execute per iteration
-    // (measured 33 s -> 2.9 s at sf0.1). localCheckpoint stores only
+    // (measured 33 s -> 2.9 s at sf0.1). The checkpoint stores only
     // the tiny pair list, not the corpus.
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint(true)
+    val edges = ckpt(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
     // labels propagate in the id's OWN type: least/min are defined on
     // strings too, and a cast("long") would turn non-numeric doc ids
     // into NULL roots and silently collapse every cluster_id
@@ -378,10 +392,9 @@ object NearDup {
       // hop: smallest neighbour label. Checkpointed because the jump
       // self-join references it twice — without it the plan (and the
       // recompute cost) doubles every round.
-      val hopped = labels
+      val hopped = ckpt(labels
         .join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("root"), coalesce(col("minn"), col("root"))).as("root"))
-        .localCheckpoint(true)
+        .select(col("u"), least(col("root"), coalesce(col("minn"), col("root"))).as("root")))
       // jump: root ← root(root). A label is always the id of a node in
       // the same component (inductively: own id, a neighbour's label,
       // or a label's label), so chasing it stays in-component and only

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming state-store soak: runs the three gated streaming
+  * workloads (windowed agg → parquet sink, exact dedup, MinHash band
+  * dedup) over a MULTI-FILE, TIME-ORDERED copy of the input with
+  * `maxFilesPerTrigger=1` — one micro-batch per file, so the watermark
+  * advances between batches and state eviction actually happens (the
+  * situation a 100 TB stream lives in; the single-batch gate entries
+  * can't exercise it).
+  *
+  * For each workload it prints ONE JSON line with the max state rows /
+  * state memory bytes across all micro-batches, total input/output
+  * rows, and batch count. The claim under test: **state is bounded by
+  * the watermark**, i.e. max state rows tracks the distinct keys
+  * inside one lateness window, NOT the total keys in the run —
+  * recorded in BASELINE.md.
+  *
+  * Usage: sbt "runMain graft.streaming.Soak <sfDir> [nFiles]"
+  */
+object Soak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val nFiles = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scratch = "/tmp/graft_soak_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    wipe(scratch)
+
+    // ---- time-ordered multi-file sources ---------------------------
+    // repartitionByRange on the event-time column: file k holds the
+    // k-th time slice, so the per-file triggers replay the stream in
+    // (approximate) event-time order — the shape a real ingest has.
+    // read via Tables: driver testdata carries TIMESTAMP(NANOS) columns
+    // that a raw parquet read refuses; the scratch copies below are
+    // Spark-written (micros), so the streams read them raw.
+    val t = graft.sources.Tables.parquetDir(spark, sfDir)
+    t("events").repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$scratch/events")
+    val docs = t("documents")
+      .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+    docs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$scratch/docs")
+
+    def fileStream(path: String): DataFrame =
+      spark.readStream
+        .schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+
+    // ---- soak runner: drain the stream, track state highwater ------
+    def soak(name: String, outPath: String)(start: () => StreamingQuery): Unit = {
+      val q = start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // recentProgress is capped at 100 entries; nFiles stays far below
+      val progress = q.recentProgress.toSeq
+      val states = progress.flatMap(_.stateOperators.toSeq)
+      val maxRows = if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
+      val maxMem = if (states.isEmpty) 0L else states.map(_.memoryUsedBytes).max
+      val inRows = progress.map(_.numInputRows).sum
+      // the file sink reports -1 per batch; count the committed output
+      val outRows = spark.read.parquet(outPath).count()
+      println(
+        s"""{"soak":"$name","batches":${progress.size},"input_rows":$inRows,""" +
+          s""""output_rows":$outRows,"max_state_rows":$maxRows,"max_state_bytes":$maxMem}""")
+    }
+
+    // 1. windowed agg → parquet file sink (events_windowed_fsink shape)
+    soak("events_windowed_fsink", s"$scratch/fsink_out") { () =>
+      val agg = Streaming.withEventTime(fileStream(s"$scratch/events"), "ts", "10 minutes")
+        .groupBy(Streaming.binWindow(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("hb"), col("event_type"), col("n"))
+      Streaming.runToParquet(agg, s"$scratch/fsink_out", s"$scratch/fsink_ckpt")
+    }
+
+    // 2. streaming exact dedup (stream_dedup_exact shape)
+    soak("stream_dedup_exact", s"$scratch/sde_out") { () =>
+      val deduped = Streaming.dedupExact(fileStream(s"$scratch/docs"), "text", "ts", "1 hour")
+        .select(md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
+      Streaming.runToParquet(deduped, s"$scratch/sde_out", s"$scratch/sde_ckpt")
+    }
+
+    // 3. streaming MinHash band dedup (stream_dedup_minhash shape)
+    soak("stream_dedup_minhash", s"$scratch/sdm_out") { () =>
+      val bands = Streaming
+        .dedupMinhashBands(fileStream(s"$scratch/docs"), "text", "ts", "1 hour")
+        .select(col("band_idx"), col("band_key"))
+      Streaming.runToParquet(bands, s"$scratch/sdm_out", s"$scratch/sdm_ckpt")
+    }
+
+    spark.stop()
+  }
+
+  private def wipe(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

@@ -67,6 +67,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.payload.length == 8)) // 32 bytes / 4 frames
   }
 
+  test("real PNG round trip: ImageIO decode recovers the exact pixel histogram") {
+    // encodeGrayPng pixels follow g(x,y) = (id·31 + x·7 + y·13) mod 256;
+    // PNG is lossless, so the decoded histogram must equal the one
+    // computed from the formula directly — no tolerance.
+    for (id <- Seq(0L, 7L, 123456789L)) {
+      val png = Multimodal.encodeGrayPng(id)
+      assert(png.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G'))) // real PNG magic
+      val expected = new Array[Float](8)
+      for (y <- 0 until 8; x <- 0 until 8)
+        expected(java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt >>> 5) += 1f / 64f
+      assert(Multimodal.decodeImage(png).sameElements(expected))
+    }
+  }
+
+  test("decodeImage falls back to the stub on non-image bytes") {
+    val junk = Array.tabulate[Byte](32)(_.toByte)
+    assert(Multimodal.decodeImage(junk).sameElements(Multimodal.stubDecode(junk)))
+  }
+
+  test("attachImage + real decode: end-to-end features over a corpus") {
+    val feats = Multimodal
+      .extractFeatures(Multimodal.attachImage(docs, "doc_id").toDF(), decode = Multimodal.decodeImage)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 4)
+    for (f <- feats) {
+      assert(f.mime == "image/png")
+      assert(f.features.length == 8 && math.abs(f.features.sum - 1.0f) < 1e-6)
+      assert(f.n_bytes > 8) // a real encoded PNG, not the raw raster
+    }
+    // distinct ids → distinct pixel formulas → (generically) distinct features
+    assert(feats.map(_.features.toSeq).distinct.length == 4)
+  }
+
   test("decode stage is a narrow map: partitioning preserved, no shuffle") {
     val mm = Multimodal.attachBinary(docs.repartition(3), "text", "doc_id")
     val feats = Multimodal.extractFeatures(mm)

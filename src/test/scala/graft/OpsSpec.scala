@@ -171,6 +171,29 @@ class OpsSpec extends SparkTestBase {
     assert(out == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
   }
 
+  test("clusters reliable-checkpoint path matches the localCheckpoint default") {
+    // checkpointDir switches lineage truncation from executor-local
+    // blocks to reliable FS checkpoints (what a real cluster needs to
+    // survive executor loss); results must be identical either way.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      val ids = (1L to 12L).toDF("doc_id")
+      val pairs = ((1L until 8L).map(i => (i, i + 1)) :+ (10L, 11L)).toDF("id_a", "id_b")
+      val local = NearDup.clusters(ids, pairs, "doc_id").as[(Long, Long)].collect().toMap
+      val reliable = NearDup.clusters(ids, pairs, "doc_id", checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // the reliable path actually wrote RDD checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint data under $dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("packSequences: non-unique (id, idx) keys still sum per ROW, not per peer group") {
     import graft.ops.Packing
     // three tied rows at (1,0): a RANGE frame would give them all the
