@@ -17,7 +17,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       val target = java.nio.file.Paths.get(s"$outDir/$name.parquet")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates the
+      // 1-partition constraint up to the previous shuffle, so a
+      // shuffle-free pipeline (scan → per-row transforms → explode)
+      // would execute as ONE task — measured 8 min for the sf1
+      // text_chunk dump vs seconds. repartition inserts an exchange:
+      // upstream keeps its parallelism, only the write is single-task.
+      // Dump row order doesn't matter (the oracle compare sorts).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(target.toString)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -39,6 +39,34 @@ object MicroBench {
       return
     }
 
+    if (args.contains("chunk")) {
+      // old higher-order-function chunk formulation (replaced in
+      // TextOps.chunk by the linear \G-regex scan): transform(sequence)
+      // re-evaluates the inlined token split per CHUNK (interpreted,
+      // O(chunks × tokens) per doc) — kept here for the BASELINE
+      // before/after comparison only
+      val n = 64
+      time("chunk-hof (old)") {
+        val w = TextOps.tokens(col("text"))
+        val nChunks = greatest(ceil(size(w).cast("double") / n).cast("int"), lit(1))
+        val chunks = transform(
+          sequence(lit(0), nChunks - 1),
+          c => array_join(slice(w, c * n + 1, lit(n)), " ")
+        )
+        docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+          .withColumn(
+            "n_tokens",
+            when(length(col("chunk_text")) === 0, lit(0L))
+              .otherwise(size(split(col("chunk_text"), " ")).cast("long"))
+          )
+      }
+      time("chunk-regex (new)") {
+        TextOps.chunk(docs, "text", "doc_id", chunkTokens = n)
+      }
+      spark.stop()
+      return
+    }
+
     val t = col("text")
     time("dedup-exact") {
       Dedup.exact(docs, "text", "doc_id")

@@ -224,19 +224,26 @@ object TextOps {
     * count; empty docs yield one empty chunk (row-preserving for
     * downstream joins).
     *
-    * The per-chunk `array_join(slice(...))` lambda runs interpreted,
-    * but over ~len/chunkTokens elements per doc (a handful) — unlike
-    * per-shingle work, this costs nothing measurable.
+    * Single linear scan per document: whitespace runs collapse to one
+    * space (after which no token can contain whitespace), every
+    * `chunkTokens`-th token boundary is marked with `\n` (a character
+    * that cannot survive the collapse), and the marks become the chunk
+    * splits. `\G` pins each regex match to the end of the previous one
+    * and the quantifiers are possessive, so the engine neither rescans
+    * nor backtracks — O(doc length), all codegen. (The previous
+    * higher-order-function form — `transform(sequence)` + `slice` +
+    * `array_join` — ran interpreted and re-evaluated the token split
+    * per chunk: O(chunks × tokens) per doc, measured 8+ min for a
+    * single-task 50k-doc pass that this form does in seconds.)
+    * `[^ ]*` (not `+`) keeps the empty tokens a split on whitespace
+    * runs yields at the ends of a doc trimmed only of spaces.
     * Output: `idCol, chunk_idx, chunk_text, n_tokens`.
     */
   def chunk(df: DataFrame, textCol: String, idCol: String, chunkTokens: Int = 128): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val w = tokens(col(textCol))
-    val nChunks = greatest(ceil(size(w).cast("double") / chunkTokens).cast("int"), lit(1))
-    val chunks = transform(
-      sequence(lit(0), nChunks - 1),
-      c => array_join(slice(w, c * chunkTokens + 1, lit(chunkTokens)), " ")
-    )
+    val collapsed = regexp_replace(trim(col(textCol)), WsClass + "+", " ")
+    val cut = "\\G((?:[^ ]*+ ){" + (chunkTokens - 1) + "}[^ ]*+) "
+    val chunks = split(regexp_replace(collapsed, cut, "$1\n"), "\n", -1)
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
       .withColumn(
         "n_tokens",

@@ -220,6 +220,49 @@ class OpsSpec extends SparkTestBase {
     assert(out2 == out)
   }
 
+  test("chunk matches the token-slice reference on edge-shaped docs") {
+    // brute-force reference: split-on-whitespace-runs token array,
+    // groups of N joined by single space, empty doc → one "" chunk
+    def ref(text: String, n: Int): Seq[(Int, String, Long)] = {
+      // Spark's trim() strips SPACES only (Java's String.trim strips
+      // all ≤0x20 — that difference is the edge under test here)
+      val toks = text.replaceAll("^ +| +$", "").split("[ \\t\\n\\x0B\\f\\r]+", -1).toSeq
+      toks.grouped(n).toSeq.zipWithIndex.map { case (g, i) =>
+        val s = g.mkString(" ")
+        (i, s, if (s.isEmpty) 0L else s.split(" ", -1).length.toLong)
+      }
+    }
+    val docs = Seq(
+      1L -> "",                                   // empty → one "" chunk
+      2L -> "   ",                                // spaces-only: trim → ""
+      3L -> "\none two three",                    // leading \n survives trim → leading "" token
+      4L -> "one two three\t",                    // trailing \t survives trim → trailing "" token
+      5L -> (1 to 3).map("t" + _).mkString(" "),  // under one chunk
+      6L -> (1 to 4).map("t" + _).mkString(" "),  // exactly one chunk
+      7L -> (1 to 5).map("t" + _).mkString(" "),  // one full + one short
+      8L -> (1 to 12).map("t" + _).mkString("  \n "), // multi-ws runs
+      9L -> (1 to 64).map("t" + _).mkString(" ")  // many chunks at n=4
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunk(docs, "text", "doc_id", chunkTokens = 4)
+      .as[(Long, Int, String, Long)].collect().toSet
+    val want = (for {
+      (id, text) <- Seq(
+        1L -> "", 2L -> "   ", 3L -> "\none two three", 4L -> "one two three\t",
+        5L -> (1 to 3).map("t" + _).mkString(" "), 6L -> (1 to 4).map("t" + _).mkString(" "),
+        7L -> (1 to 5).map("t" + _).mkString(" "), 8L -> (1 to 12).map("t" + _).mkString("  \n "),
+        9L -> (1 to 64).map("t" + _).mkString(" "))
+      (idx, s, nt) <- ref(text, 4)
+    } yield (id, idx, s, nt)).toSet
+    assert(got == want)
+    // chunkTokens=1 cuts after every token
+    val one = TextOps.chunk(docs.filter($"doc_id" === 7L), "text", "doc_id", chunkTokens = 1)
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(one == ref((1 to 5).map("t" + _).mkString(" "), 1).map { case (i, s, n) => (7L, i, s, n) }.toSet)
+    // null text yields no rows (posexplode of null), as before
+    val withNull = Seq((10L, null: String)).toDF("doc_id", "text")
+    assert(TextOps.chunk(withNull, "text", "doc_id", 4).count() == 0L)
+  }
+
   test("urlStats counts urls, https share, and distinct lowercased domains") {
     val df = Seq(
       (1L, "see https://Example.COM/a?x=1 and http://mirror.org/b plus https://example.com/c"),
