@@ -39,6 +39,43 @@ object MicroBench {
       return
     }
 
+    if (args.contains("embed")) {
+      // dedup_embed stage split at the current SF: signature pass,
+      // candidate generation (the quadratic-in-bucket-size part), and
+      // the full rescore. Prints candidate counts so bucket growth is
+      // visible next to the times.
+      val vecs = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
+      val dim = 64
+      time("embed-sigs") {
+        NearDup.signSigs(vecs, "embedding", "vec_id", dim, 16)
+      }
+      val sigs = NearDup.signSigs(vecs, "embedding", "vec_id", dim, 16)
+      val bands = transform(
+        sequence(lit(0), lit(3)),
+        j => (col("sig") / pow(lit(2), j * 4).cast("long")).cast("long") % 16
+      )
+      val bandRows = sigs.select(col("vec_id"), posexplode(bands).as(Seq("band_idx", "band_key")))
+      println(s"vectors: ${vecs.count()}")
+      println(s"candidate pairs: ${
+        bandRows.as("a").join(
+          bandRows.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+      }")
+      time("embed-pairs (full)") {
+        NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim)
+      }
+      val full = NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim)
+      full.write.format("noop").mode("overwrite").save()
+      println(full.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .mkString("\n"))
+      spark.stop()
+      return
+    }
+
     if (args.contains("chunk")) {
       // old higher-order-function chunk formulation (replaced in
       // TextOps.chunk by the linear \G-regex scan): transform(sequence)
