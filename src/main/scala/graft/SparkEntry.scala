@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Dedup, Multimodal, NearDup, Sampling, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Sampling, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -1022,6 +1022,35 @@ object SparkEntry {
        |WHERE $jac >= 0.2""".stripMargin
   }
 
+  /** Shared decontamination CTE chain: hashed shingles over ALL
+    * documents, split into eval (`doc_id % 20 = 0`) and corpus rows,
+    * then the per-corpus-doc overlap aggregate (mirrors
+    * `Decontam.overlap` with the same hashed-3-gram family).
+    */
+  private def sqlDecontamCtes: String =
+    s"""${sqlHashedShingleCtes("documents")},
+       |ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM
+       |  (SELECT doc_id, unnest(hs) AS h FROM hh WHERE doc_id % 20 = 0)),
+       |co AS (SELECT DISTINCT doc_id, h FROM
+       |  (SELECT doc_id, unnest(hs) AS h FROM hh WHERE doc_id % 20 <> 0)),
+       |ol AS (SELECT co.doc_id, count(DISTINCT co.h) AS n_hits,
+       |  count(DISTINCT ev.eval_id) AS n_eval_docs
+       |  FROM co JOIN ev ON co.h = ev.h GROUP BY co.doc_id)""".stripMargin
+
+  private def sqlDecontamOverlap: String =
+    s"""WITH $sqlDecontamCtes
+       |SELECT d.doc_id, CAST(coalesce(ol.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(ol.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+       |  coalesce(ol.n_hits, 0) >= 2 AS contaminated
+       |FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id
+       |WHERE d.doc_id % 20 <> 0""".stripMargin
+
+  private def sqlDecontamDrop: String =
+    s"""WITH $sqlDecontamCtes
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id
+       |WHERE d.doc_id % 20 <> 0 AND coalesce(ol.n_hits, 0) < 2""".stripMargin
+
   private def sqlSimhashOracle: String = {
     // ±1 contribution of pre-hashed token h to bit i: sign of bit i.
     def contrib(i: Int): String =
@@ -1155,6 +1184,31 @@ object SparkEntry {
       (s, dir) => NearDup.ngramJaccardPairs(docs(s, dir), "text", "doc_id"),
       Some(sqlNgramOracle)
     ),
+    // Benchmark decontamination: docs with doc_id % 20 == 0 play the
+    // eval suite; the rest is the training corpus. Eval shingle set is
+    // broadcast — the corpus side never shuffles its shingles.
+    "decontam_overlap" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.overlap(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id"
+        )
+      },
+      Some(sqlDecontamOverlap)
+    ),
+    "decontam_drop" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.decontaminate(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id"
+        )
+      },
+      Some(sqlDecontamDrop)
+    ),
     "dedup_simhash" -> Entry(
       (s, dir) => NearDup.simhashPairs(docs(s, dir), "text", "doc_id"),
       Some(sqlSimhashOracle)
@@ -1259,6 +1313,6 @@ object SparkEntry {
       "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
       "dedup_embed", "dedup_clusters", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
       "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features",
-      "pack_sequences", "skew_join"
+      "pack_sequences", "skew_join", "decontam_overlap"
     )
 }

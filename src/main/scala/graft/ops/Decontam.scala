@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share n-gram
+  * shingles with an evaluation/benchmark set, so eval material can be
+  * held out of training data (the standard n-gram-overlap
+  * decontamination procedure from the GPT-3 / PaLM data cards).
+  *
+  * Plan shape, chosen for the 100 TB case:
+  *   - The EVAL side is a benchmark suite — thousands of documents,
+  *     not billions. Its distinct hashed-shingle set is tiny, so it is
+  *     `broadcast()` to every executor: the 100 TB corpus side is
+  *     matched map-side with NO shuffle of corpus shingles.
+  *   - The corpus side reuses [[NearDup.hashedShingles]] — tokens are
+  *     exploded once, each token hashed once in a codegen projection,
+  *     consecutive hashes combined with integer arithmetic. No shingle
+  *     strings are built.
+  *   - The only shuffle is the final per-document aggregation of hit
+  *     counts, and that is map-side combined (two `count(distinct)`
+  *     over an already doc-clustered stream).
+  *
+  * The shingle order here is the shared 3-gram family (so the DuckDB
+  * oracle reuses the same CTEs as the near-dup gates); production
+  * decontamination typically uses 8–13-gram windows, which is the same
+  * plan with a wider hash combine — the shape, broadcast asymmetry,
+  * and costs are identical.
+  */
+object Decontam {
+
+  /** Per-corpus-document overlap report against `evalDf`.
+    *
+    * Output: `idCol, n_hits` (distinct shingles shared with ANY eval
+    * doc), `n_eval_docs` (distinct eval docs hit), `contaminated`
+    * (`n_hits >= minHits`). Every corpus row appears exactly once —
+    * zero-hit documents report `(0, 0, false)`.
+    */
+  def overlap(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      minHits: Int = 2
+  ): DataFrame = {
+    // Distinct (shingle, eval_id) pairs of the benchmark set: small by
+    // assumption, broadcast below.
+    val evalShingles = NearDup
+      .hashedShingles(evalDf, textCol, idCol)
+      .select(col("h"), col(idCol).as("eval_id"))
+      .distinct()
+
+    // Corpus side: distinct per-doc shingles, matched map-side against
+    // the broadcast eval set, then one doc-keyed aggregation.
+    val hits = NearDup
+      .hashedShingles(corpus, textCol, idCol)
+      .distinct()
+      .join(broadcast(evalShingles), "h")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("h")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs")
+      )
+
+    corpus
+      .select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated")
+      )
+  }
+
+  /** Decontaminated corpus: drops documents whose shingle overlap with
+    * the eval set reaches `minHits`. Same plan as [[overlap]] plus one
+    * broadcast-able anti-join of the (small) contaminated-id set.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      minHits: Int = 2
+  ): DataFrame = {
+    val bad = overlap(corpus, evalDf, textCol, idCol, minHits)
+      .filter(col("contaminated"))
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

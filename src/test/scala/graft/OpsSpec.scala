@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Dedup, NearDup, Sampling, TextOps}
+import graft.ops.{Ann, Decontam, Dedup, NearDup, Sampling, TextOps}
 
 /** Behavior + plan-shape tests for the graft.ops layer.
   *
@@ -299,7 +299,34 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("decontam flags docs sharing shingles with the eval set and keeps the rest") {
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val evalSet = docs.filter($"doc_id" === 2L) // same text as doc 1 after normalize
+    val rep = Decontam.overlap(corpus, evalSet, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep.keySet == Set(1L, 3L, 4L, 5L)) // every corpus doc reported once
+    // doc 1 is an exact normalize-dup of the eval doc: all 7 shingles hit
+    assert(rep(1L).getBoolean(3) && rep(1L).getLong(1) == 7 && rep(1L).getLong(2) == 1)
+    // doc 3 differs in one token: shares the shingles not touching it
+    assert(rep(3L).getBoolean(3) && rep(3L).getLong(1) == 4)
+    // unrelated docs: zero hits, not contaminated
+    assert(!rep(4L).getBoolean(3) && rep(4L).getLong(1) == 0)
+    assert(!rep(5L).getBoolean(3) && rep(5L).getLong(1) == 0)
+    val kept = Decontam.decontaminate(corpus, evalSet, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(4L, 5L)))
+  }
+
   // ---- plan shape (the 100-TB contract) --------------------------------
+
+  test("decontam matches corpus shingles against a broadcast eval set") {
+    val plan = executedPlan(
+      Decontam.overlap(docs.filter($"doc_id" =!= 2L), docs.filter($"doc_id" === 2L), "text", "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"), s"eval shingle set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join in:\n$plan")
+  }
+
 
   test("near-dup candidate generation is an equi-join, never a cartesian product") {
     for (
