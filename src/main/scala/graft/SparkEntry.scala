@@ -1085,8 +1085,8 @@ object SparkEntry {
   /** 16-bit sign-LSH signature expression over double list `v` (dim 64);
     * mirrors NearDup.signSignature.
     */
-  private def sqlSignSig(dim: Int): String =
-    (0 until 16).map { p =>
+  private def sqlSignSig(dim: Int, planes: Int = 16): String =
+    (0 until planes).map { p =>
       val d = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
         s"j -> v[j+1] * (${sqlPlane(s"$p * $dim + j")})), (x, y) -> x + y)"
       s"CASE WHEN $d >= 0 THEN ${1L << p} ELSE 0 END"
@@ -1101,9 +1101,12 @@ object SparkEntry {
 
   private def sqlEmbedOracle: String = {
     val dim = 64
-    val sigBits = sqlSignSig(dim)
+    // 32 planes / 8-bit bands: mirrors embedCosinePairs' defaults —
+    // 256 buckets per band keep candidate growth linear in the corpus
+    // (the 16/4 parameters went quadratic at sf1; see BASELINE.md).
+    val sigBits = sqlSignSig(dim, planes = 32)
     val bands = (0 until 4)
-      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (4 * j)}) % 16 AS bk FROM sg")
+      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
       .mkString("\nUNION ALL ")
     val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
     s"""${sqlEmbedBase(dim)},

@@ -46,13 +46,14 @@ object MicroBench {
       // visible next to the times.
       val vecs = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
       val dim = 64
+      // mirror embedCosinePairs' defaults (32 planes, 8-bit bands)
       time("embed-sigs") {
-        NearDup.signSigs(vecs, "embedding", "vec_id", dim, 16)
+        NearDup.signSigs(vecs, "embedding", "vec_id", dim, 32)
       }
-      val sigs = NearDup.signSigs(vecs, "embedding", "vec_id", dim, 16)
+      val sigs = NearDup.signSigs(vecs, "embedding", "vec_id", dim, 32)
       val bands = transform(
         sequence(lit(0), lit(3)),
-        j => (col("sig") / pow(lit(2), j * 4).cast("long")).cast("long") % 16
+        j => (col("sig") / pow(lit(2), j * 8).cast("long")).cast("long") % 256
       )
       val bandRows = sigs.select(col("vec_id"), posexplode(bands).as(Seq("band_idx", "band_key")))
       println(s"vectors: ${vecs.count()}")

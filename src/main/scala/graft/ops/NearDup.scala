@@ -538,8 +538,8 @@ object NearDup {
       vecCol: String,
       idCol: String,
       dim: Int,
-      planes: Int = 16,
-      bandBits: Int = 4,
+      planes: Int = 32,
+      bandBits: Int = 8,
       minCos: Double = 0.4
   ): DataFrame = {
     val sigs = signSigs(df, vecCol, idCol, dim, planes)
