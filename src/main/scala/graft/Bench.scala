@@ -26,9 +26,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // dimension tables broadcast: 64 MB covers every TPC-H dim at
-      // bench scale, the same call a real cluster tunes per-executor-mem
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Spark's default 10 MB: broadcasts the dims and ONLY the dims.
+      // Round 8's sf1 sweep showed a 64 MB threshold flipping the
+      // fact-side joins to driver-built broadcasts (a 6M-row lineitem
+      // HashedRelation) — 2.3x slower at sf1, no gain at sf0.1, and
+      // the wrong shape for a cluster (facts shuffle, dims broadcast).
+      .config("spark.sql.autoBroadcastJoinThreshold", (10 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

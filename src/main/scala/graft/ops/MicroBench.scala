@@ -17,7 +17,7 @@ object MicroBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", (!args.contains("noaqe")).toString)
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (10 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -282,7 +282,7 @@ object MicroBench {
         agg(e10.join(dim, e10("user_id") === dim("uid"))))
       time(s"join hot ${nBig}x salted-32")(
         agg(Skew.saltedJoin(e10, dim, "user_id", "uid", nSalts = 32)))
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10 * 1024 * 1024).toString)
       spark.stop()
       return
     }
