@@ -75,9 +75,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED, DISTINCT `array<long>` columns via
+  * a two-pointer merge — one pass, zero allocation.
+  *
+  * Replaces `size(array_intersect(a, b))` (and, via
+  * `|A∪B| = |A| + |B| − |A∩B|`, the `array_union` twin) on the
+  * near-dup rescoring path: the builtin pair builds a hash set and an
+  * output array per evaluation, measured as ~70% of dedup_ngram's
+  * wall-time at sf1 (4.3 s of 6.3 s over 824k candidate pairs).
+  * PRECONDITION: both arrays ascending-sorted with distinct elements —
+  * exactly what [[graft.ops.NearDup.cappedHashedShingles]] produces
+  * (`array_distinct` → `array_sort`). Unsorted input silently
+  * undercounts; keep this expression on sketch arrays only.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedIntersectSize.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  /** Two-pointer merge count. Called from generated code. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 object ArrayMath {
 
   /** Left-fold dot product of two `array<double>` columns (codegen). */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Intersection size of two sorted distinct `array<long>`s (codegen). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectSize(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native codegen hashed-3-gram shingles over a token array.
+  *
+  * Replaces the explode → per-token md5 projection → doc-keyed window
+  * (`lead` ×2) pipeline that every shingle consumer (MinHash, n-gram
+  * Jaccard, decontamination) used for candidate generation: the window
+  * form pays a full shuffle + sort of the exploded token stream — at
+  * sf1 that is ~5M rows through an Exchange before any signature work
+  * starts. This expression computes the identical shingle-hash ARRAY
+  * inside whole-stage codegen (one tight loop per row, one md5 per
+  * token), so the first shuffle in the pipeline is the already-partial
+  * per-doc aggregation that follows.
+  *
+  * Bit-for-bit parity with the window form and the DuckDB oracle
+  * (see SparkEntry.sqlHashedShingleCtes):
+  *   - per-token hash: first 8 md5 hex digits of the UTF-8 token as a
+  *     long (= unsigned big-endian first 4 digest bytes), mod P;
+  *   - shingle combine: `(h(i)·C1 + h(i+1)·C2 + h(i+2)) mod P` — all
+  *     inputs < P = 2^31−1 so the sum stays < 2^62, no overflow;
+  *   - arrays shorter than 3 tokens hash the whole text (tokens joined
+  *     by one space), yielding a single-element array;
+  *   - a null token array yields NULL (DuckDB's NULL list propagates
+  *     the same way; `explode` then drops the row).
+  */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashes.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // One static call per row: the md5-per-token loop dominates, so a
+    // JVM method call (vs fully inlined codegen) costs nothing while
+    // keeping the expression inside the whole-stage-codegen pipeline.
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val P = 2147483647L
+  private val C1 = 1000003L
+  private val C2 = 10007L
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 hex digits of the bytes as a long, mod P. */
+  private def hash32(bytes: Array[Byte]): Long = {
+    val d = digest.get().digest(bytes)
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u % P
+  }
+
+  /** Shingle-hash array of a token array (see class doc for the
+    * contract). Called from generated code — must stay public.
+    */
+  def compute(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) {
+      // whole-text shingle: tokens joined by one space (same string
+      // concat_ws(" ", w) builds), hashed once
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        val t = tokens.getUTF8String(i)
+        if (t != null) sb.append(t.toString)
+        i += 1
+      }
+      new GenericArrayData(Array(hash32(sb.toString.getBytes("UTF-8"))))
+    } else {
+      val hw = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val t = tokens.getUTF8String(i)
+        hw(i) = if (t == null) 0L else hash32(t.getBytes)
+        i += 1
+      }
+      val out = new Array[Long](n - 2)
+      i = 0
+      while (i < n - 2) {
+        out(i) = (hw(i) * C1 + hw(i + 1) * C2 + hw(i + 2)) % P
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+object TextHash {
+
+  /** Hashed 3-gram shingle array of a token array (codegen). */
+  def shingleHashes(tokens: Column): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens)))
+}

@@ -31,6 +31,45 @@ object MicroBench {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
+    if (args.contains("entry")) {
+      // time arbitrary SparkEntry gate entries: MicroBench entry <name>...
+      args.dropWhile(_ != "entry").drop(1).foreach { k =>
+        time(k)(graft.SparkEntry.queries(k)(spark, sfDir))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("ngprobe")) {
+      // dedup_ngram stage bisection: capped sketch arrays, signatures,
+      // band candidates, full pipeline.
+      val max = 4096
+      val sets = docs.select(
+        col("doc_id"),
+        slice(array_sort(array_distinct(graft.functions.TextHash.shingleHashes(NearDup.tokens(col("text"))))), 1, max).as("hs"))
+      time("ng-sets (arrays)")(sets)
+      val hashed = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+      time("ng-hashed (explode)")(hashed)
+      val sigs = NearDup.minhashSigsFromHashed(hashed, "doc_id", 8)
+      time("ng-sigs (k=8)")(sigs)
+      val cand = NearDup.bandCandidates(NearDup.bandRowsOf(sigs, "doc_id", 8, 1), "doc_id")
+      println(s"candidates: ${cand.count()}")
+      time("ng-candidates")(cand)
+      time("ng-full")(NearDup.ngramJaccardPairs(docs, "text", "doc_id"))
+      val j1 = cand.as("c")
+        .join(sets.as("h1"), col("c.id_a") === col("h1.doc_id"))
+        .join(sets.as("h2"), col("c.id_b") === col("h2.doc_id"))
+      time("ng-join-size-only")(j1.select(col("c.id_a"), col("c.id_b"),
+        (size(col("h1.hs")) + size(col("h2.hs"))).as("sz")))
+      val jac = size(array_intersect(col("h1.hs"), col("h2.hs"))).cast("double") /
+        size(array_union(col("h1.hs"), col("h2.hs")))
+      time("ng-join-jaccard")(j1.select(col("c.id_a"), col("c.id_b"), jac.as("jaccard")))
+      time("ng-join-jaccard-filter")(
+        j1.select(col("c.id_a"), col("c.id_b"), jac.as("jaccard")).filter(col("jaccard") >= 0.2))
+      spark.stop()
+      return
+    }
+
     if (args.contains("headline")) {
       Seq("q1_agg", "q3_shipping", "q5_local", "events_windowed").foreach { k =>
         time(k)(graft.SparkEntry.queries(k)(spark, sfDir))

@@ -58,30 +58,24 @@ object NearDup {
 
   /** Exploded hashed 3-gram shingles: `(id, h)` with `h < P`.
     *
-    * Plan shape: explode TOKENS (cheap — the array comes from one
-    * codegen'd `split`), hash each token once in a codegen projection,
-    * then combine the 3 consecutive token hashes per position with
-    * integer arithmetic over a `lead` window. No shingle strings are
-    * ever built. The window's doc-keyed shuffle is REUSED by the
-    * signature aggregation that follows (same partitioning key), so
-    * the stage count at scale is unchanged. Docs shorter than 3 tokens
-    * hash their whole normalized text (= tokens joined by one space).
+    * Plan shape: ONE codegen projection per row — the
+    * [[graft.functions.ShingleHashes]] native expression computes the
+    * whole shingle-hash array from the token array (one md5 per token,
+    * integer 3-gram combine in a tight loop), then a generator explodes
+    * it. No shingle strings are ever built and NO shuffle happens here:
+    * round 8 replaced the earlier explode → hash → `lead`-window
+    * formulation, whose doc-keyed window shuffled + sorted the entire
+    * exploded token stream (~5M rows at sf1) before any signature
+    * work. The first shuffle in every consumer is now the map-side
+    * combined per-doc aggregation that follows. Docs shorter than 3
+    * tokens hash their whole normalized text (= tokens joined by one
+    * space).
     */
-  private[ops] def hashedShingles(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df.select(col(idCol), tokens(col(textCol)).as("w"))
-    val short = base.filter(size(col("w")) < 3)
-      .select(col(idCol), (hash32(concat_ws(" ", col("w"))) % P).as("h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    val long = base.filter(size(col("w")) >= 3)
-      .select(col(idCol), posexplode(col("w")).as(Seq("i", "t")))
-      .select(col(idCol), col("i"), (hash32(col("t")) % P).as("hw"))
-      .select(
-        col(idCol),
-        ((col("hw") * C1 + lead("hw", 1).over(win) * C2 + lead("hw", 2).over(win)) % P).as("h")
-      )
-      .filter(col("h").isNotNull)
-    short.union(long)
-  }
+  private[ops] def hashedShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      explode(graft.functions.TextHash.shingleHashes(tokens(col(textCol)))).as("h")
+    )
 
   /** [[hashedShingles]], distinct, capped to each document's
     * `maxShingles` SMALLEST hashes — a bottom-k sketch. Without a cap
@@ -95,23 +89,32 @@ object NearDup {
     * bottom-k estimator takes the k smallest of the UNION instead).
     * For docs under `maxShingles` distinct shingles it is exact; above
     * that it is a deterministic, oracle-mirrored approximation — the
-    * DuckDB oracle computes the identical sketch, so gate parity holds
-    * by construction, not by unbiasedness. The row_number window
-    * partitions on the doc id — the same key as every downstream
-    * aggregation, so the shuffle is reused.
+    * DuckDB oracle computes the identical sketch
+    * (`list_slice(list_sort(list_distinct(hs)), 1, k)`), so gate
+    * parity holds by construction, not by unbiasedness.
+    *
+    * The dedup + sort + cap all happen IN THE ARRAY DOMAIN
+    * (`array_distinct` → `array_sort` → `slice`, all codegen
+    * collection expressions) before the explode — zero shuffle, and
+    * the cap bounds the row width before anything is materialized.
+    * (The pre-round-8 form shuffled the exploded stream through
+    * distinct() + a row_number window.)
     */
   private[ops] def cappedHashedShingles(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxShingles: Int
-  ): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("h"))
-    hashedShingles(df, textCol, idCol).distinct()
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxShingles)
-      .drop("__rn")
-  }
+  ): DataFrame =
+    df.select(
+      col(idCol),
+      explode(
+        slice(
+          array_sort(array_distinct(graft.functions.TextHash.shingleHashes(tokens(col(textCol))))),
+          1, maxShingles
+        )
+      ).as("h")
+    )
 
   // ---- MinHash + LSH ---------------------------------------------------
 
@@ -179,7 +182,7 @@ object NearDup {
   }
 
   /** Distinct candidate pairs (`id_a < id_b`) sharing at least one band. */
-  private def bandCandidates(bandRows: DataFrame, idCol: String): DataFrame =
+  private[ops] def bandCandidates(bandRows: DataFrame, idCol: String): DataFrame =
     bandRows.as("a")
       .join(
         bandRows.as("b"),
@@ -238,21 +241,44 @@ object NearDup {
       maxShinglesPerDoc: Int = 4096
   ): DataFrame = {
     require(maxShinglesPerDoc > 0, "maxShinglesPerDoc must be positive")
-    val hashed = cappedHashedShingles(df, textCol, idCol, maxShinglesPerDoc)
-    // Two aggregations over the same distinct frame (codegen min-agg
-    // signatures + collected sets). A one-agg variant deriving the
-    // signature from the collected array via interpreted array_min/
-    // transform measured SLOWER (2.55 s vs 2.32 s) — the codegen
-    // min-aggregate beats saving a shuffle at this shape.
-    val sigs = minhashSigsFromHashed(hashed, idCol, k)
-    val sets = hashed.groupBy(col(idCol)).agg(sort_array(collect_list(col("h"))).as("hs"))
+    // The capped sketch is born as an ARRAY (one codegen projection,
+    // see cappedHashedShingles) — so the per-doc sets need no
+    // explode + collect_list round trip: `sets` IS that projection,
+    // and only the signature path explodes (its min-aggregates are
+    // map-side combined before the one small shuffle). The two
+    // join-backs below shuffle the same `sets` subtree, which
+    // ReuseExchange deduplicates into one exchange. (The pre-round-8
+    // window formulation instead re-collected the exploded stream —
+    // a full shuffle of every shingle hash.)
+    val sets = df.select(
+      col(idCol),
+      slice(
+        array_sort(array_distinct(graft.functions.TextHash.shingleHashes(tokens(col(textCol))))),
+        1, maxShinglesPerDoc
+      ).as("hs")
+    )
+    val sigs = minhashSigsFromHashed(
+      sets.select(col(idCol), explode(col("hs")).as("h")), idCol, k)
     val cand = bandCandidates(bandRowsOf(sigs, idCol, k, 1), idCol)
-    val jac = size(array_intersect(col("h1.hs"), col("h2.hs"))).cast("double") /
-      size(array_union(col("h1.hs"), col("h2.hs")))
+    // Sketch arrays are sorted + distinct, so |A∩B| is a single
+    // two-pointer merge (codegen SortedIntersectSize) and |A∪B| is
+    // |A| + |B| − |A∩B| — replacing the hash-set-building
+    // array_intersect/array_union pair, which was ~70% of the
+    // operator's sf1 wall-time. `inter` is aliased behind a projection
+    // so the merge runs once per pair.
     cand.as("c")
       .join(sets.as("h1"), col("c.id_a") === col(s"h1.$idCol"))
       .join(sets.as("h2"), col("c.id_b") === col(s"h2.$idCol"))
-      .select(col("c.id_a"), col("c.id_b"), jac.as("jaccard"))
+      .select(
+        col("c.id_a"), col("c.id_b"),
+        graft.functions.ArrayMath.sortedIntersectSize(col("h1.hs"), col("h2.hs"))
+          .cast("double").as("inter"),
+        (size(col("h1.hs")) + size(col("h2.hs"))).cast("double").as("tot")
+      )
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter") / (col("tot") - col("inter"))).as("jaccard")
+      )
       .filter(col("jaccard") >= minJaccard)
   }
 
