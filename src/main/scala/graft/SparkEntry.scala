@@ -1052,18 +1052,23 @@ object SparkEntry {
        |WHERE d.doc_id % 20 <> 0 AND coalesce(ol.n_hits, 0) < 2""".stripMargin
 
   private def sqlSimhashOracle: String = {
+    // 60-bit signature, 4 bands × 15 bits — mirrors NearDup.SimBits /
+    // SimBandBits (see the scale rationale there). Token hash: first
+    // 15 md5 hex digits (60 bits, positive BIGINT on both engines).
+    val bits = 60
+    val bandBits = 15
     // ±1 contribution of pre-hashed token h to bit i: sign of bit i.
     def contrib(i: Int): String =
       s"CASE WHEN (h & ${1L << i}) > 0 THEN 1 ELSE -1 END"
-    val bitSums = (0 until 32)
+    val bitSums = (0 until bits)
       .map(i => s"list_sum(list_transform(hw, h -> ${contrib(i)})) AS s$i")
       .mkString(",\n  ")
-    val sim = (0 until 32).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val sim = (0 until bits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     val bands = (0 until 4)
-      .map(j => s"SELECT doc_id, $j AS bi, (sim // ${1L << (8 * j)}) % 256 AS bk FROM sm")
+      .map(j => s"SELECT doc_id, $j AS bi, (sim // ${1L << (bandBits * j)}) % ${1 << bandBits} AS bk FROM sm")
       .mkString("\nUNION ALL ")
     s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-       |th AS (SELECT doc_id, list_transform(w, x -> $sqlHash32) AS hw FROM t),
+       |th AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hw FROM t),
        |bs AS (SELECT doc_id,
        |  $bitSums
        |FROM th),
@@ -1158,7 +1163,7 @@ object SparkEntry {
 
   private def sqlAnnIvfOracle: String = {
     val dim = 64
-    val nCells = 8
+    val nCells = 32
     val nProbe = 2
     val dC = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
       s"j -> v[j+1] * (${sqlPlane(s"${1000 * dim} + c * $dim + j")})), (x, y) -> x + y)"

@@ -84,7 +84,12 @@ object Ann {
       idCol: String,
       dim: Int,
       k: Int = 5,
-      nCells: Int = 8,
+      // Size the index to the corpus: probe cost per query is
+      // ~nProbe·n/nCells rescans, so nCells should grow ~√n (the
+      // sf1 sweep measured a 9× slope at 10× data with the old fixed
+      // 8 cells — 2.5k vectors per cell). 32 is right for the 10^4-ish
+      // gate corpora; a 10^9-vector index wants thousands of cells.
+      nCells: Int = 32,
       nProbe: Int = 2
   ): DataFrame = {
     val spark = corpus.sparkSession

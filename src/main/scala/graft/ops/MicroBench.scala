@@ -70,6 +70,20 @@ object MicroBench {
       return
     }
 
+    if (args.contains("tqprobe")) {
+      val t = col("text")
+      time("tq-scan-only")(docs.select(col("doc_id")))
+      time("tq-length")(docs.select(col("doc_id"), length(t).as("x")))
+      time("tq-split-size")(docs.select(col("doc_id"), size(TextOps.tokens(t)).as("x")))
+      time("tq-punct-regex")(docs.select(col("doc_id"),
+        regexp_count(t, lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).as("x")))
+      time("tq-stop-hits")(docs.select(col("doc_id"),
+        graft.functions.TokenSetHits.tokenSetHits(TextOps.tokens(lower(t)), TextOps.Stopwords("en")).as("x")))
+      time("tq-full")(TextOps.qualityScore(docs, "text", "doc_id"))
+      spark.stop()
+      return
+    }
+
     if (args.contains("headline")) {
       Seq("q1_agg", "q3_shipping", "q5_local", "events_windowed").foreach { k =>
         time(k)(graft.SparkEntry.queries(k)(spark, sfDir))

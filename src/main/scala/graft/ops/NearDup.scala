@@ -284,29 +284,49 @@ object NearDup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 32-bit SimHash values, one row per id: `(id, sim)`. Bit i of the
-    * result is the sign of `Σ_tokens (2·bit_i(hash32(token)) − 1)`
-    * (term-frequency weighted). Same explode → codegen hash →
-    * 32-primitive-aggregate shape as [[minhashSigs]], for the same
+  /** SimHash signature width: 60 bits (4 bands × 15 bits).
+    *
+    * Round 8 widened this from 32 bits (4 × 8): 256 buckets per band
+    * made candidate pairs quadratic in the corpus — ~195 docs per
+    * bucket at sf1 ⇒ 19.6M candidate pairs before the hamming filter.
+    * 15-bit bands give 32768 buckets per band; the pigeonhole recall
+    * guarantee is IDENTICAL (any pair within hamming ≤ 3 of a 4-band
+    * signature still agrees on ≥ 1 whole band). 60 (not 64) keeps the
+    * signature and every band arithmetic inside a positive signed
+    * long on both engines.
+    */
+  private[ops] val SimBits = 60
+  private[ops] val SimBandBits = 15
+
+  /** 60-bit token hash: the first 15 md5 hex digits (DuckDB:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`).
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5hex(c), 1, 15), 16, 10).cast("long")
+
+  /** [[SimBits]]-bit SimHash values, one row per id: `(id, sim)`. Bit
+    * i of the result is the sign of `Σ_tokens (2·bit_i(hash(token)) −
+    * 1)` (term-frequency weighted). Same explode → codegen hash →
+    * primitive-aggregate shape as [[minhashSigs]], for the same
     * reason: everything stays in whole-stage codegen with map-side
     * partial sums.
     */
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hashed = df
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .select(col(idCol), hash32(col("t")).as("h"))
-    val bitSums = (0 until 32).map { i =>
+      .select(col(idCol), hash60(col("t")).as("h"))
+    val bitSums = (0 until SimBits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1)).as(s"s$i")
     }
     hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(
         col(idCol),
-        (0 until 32).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim")
+        (0 until SimBits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim")
       )
   }
 
-  /** SimHash near-duplicate pairs: 4 bands of 8 bits generate
-    * candidates; pairs within `maxHamming` bits survive.
+  /** SimHash near-duplicate pairs: 4 bands of [[SimBandBits]] bits
+    * generate candidates; pairs within `maxHamming` bits survive.
     * Output: `id_a, id_b, hamming`.
     *
     * Unlike the MinHash/embedding pipelines (band rows carry ids only;
@@ -325,7 +345,7 @@ object NearDup {
     val sims = simhashSigs(df, textCol, idCol)
     val bands = transform(
       sequence(lit(0), lit(3)),
-      j => (col("sim") / pow(lit(2), j * 8).cast("long")).cast("long") % 256
+      j => (col("sim") / pow(lit(2), j * SimBandBits).cast("long")).cast("long") % (1 << SimBandBits)
     )
     val bandRows = sims.select(col(idCol), col("sim"), posexplode(bands).as(Seq("band_idx", "band_key")))
     val a = bandRows.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band_idx"), col("band_key"))

@@ -55,11 +55,18 @@ object TextOps {
     "zh" -> Seq.empty // scored by CJK character presence instead
   )
 
-  /** Count of tokens appearing in `words` (case-insensitive). */
+  /** Count of tokens appearing in `words` (case-insensitive).
+    *
+    * Codegen TokenSetHits instead of
+    * `size(filter(tokens, array_contains(...)))`: the higher-order
+    * filter runs its lambda INTERPRETED per token (languageId makes
+    * four such passes) — the dominant cost of text_quality/text_langid
+    * at sf1. Same token-equality, occurrence-counting semantics, so
+    * the DuckDB oracles are unchanged.
+    */
   private def stopwordHits(text: Column, words: Seq[String]): Column =
     if (words.isEmpty) lit(0)
-    else
-      size(filter(tokens(lower(text)), t => array_contains(array(words.map(lit): _*), t)))
+    else graft.functions.TokenSetHits.tokenSetHits(tokens(lower(text)), words)
 
   /** Heuristic quality scoring: length, punctuation ratio, stopword
     * ratio, mean word length, and a composite score. Per-row double
@@ -69,19 +76,33 @@ object TextOps {
     */
   def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t).cast("double")
-    val nWords = size(tokens(t)).cast("double")
-    val punct = regexp_count(t, lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).cast("double")
-    val stops = stopwordHits(t, Stopwords("en")).cast("double")
-    val punctRatio = punct / greatest(nChars, lit(1.0))
-    val stopRatio = stops / greatest(nWords, lit(1.0))
+    // Stage 1: each raw count is ALIASED so it evaluates once — the
+    // single-projection form re-evaluated the split() and the regex
+    // scan at every use site (ratios, score, output columns: ~4
+    // splits + 2 regex passes per row, most of the operator's sf1
+    // wall-time). Multi-referenced aliases survive CollapseProject,
+    // so stage 2's arithmetic reuses the counts.
+    val counts = df.select(
+      col(idCol),
+      length(t).cast("double").as("__nc"),
+      size(tokens(t)).cast("double").as("__nw"),
+      // codegen byte-loop (PunctCount) — the regexp_count form paid a
+      // java.util.regex step per punctuation char: 4.3 s of the
+      // operator's 4.5 s at sf1
+      graft.functions.PunctCount.punctCount(t).cast("double").as("__pc"),
+      stopwordHits(t, Stopwords("en")).cast("double").as("__sc")
+    )
+    val nChars = col("__nc")
+    val nWords = col("__nw")
+    val punctRatio = col("__pc") / greatest(nChars, lit(1.0))
+    val stopRatio = col("__sc") / greatest(nWords, lit(1.0))
     val meanWordLen = (nChars - (nWords - lit(1.0))) / greatest(nWords, lit(1.0))
     // Heuristic blend: long enough, some stopwords, not punctuation soup.
     val score =
       least(nWords / lit(100.0), lit(1.0)) * lit(0.4) +
         least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4) +
         (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
-    df.select(
+    counts.select(
       col(idCol),
       nChars.cast("long").as("n_chars"),
       nWords.cast("long").as("n_words"),
