@@ -343,10 +343,15 @@ object NearDup {
       maxHamming: Int = 3
   ): DataFrame = {
     val sims = simhashSigs(df, textCol, idCol)
-    val bands = transform(
-      sequence(lit(0), lit(3)),
-      j => (col("sim") / pow(lit(2), j * SimBandBits).cast("long")).cast("long") % (1 << SimBandBits)
-    )
+    // Band extraction MUST be integer arithmetic: the `/ pow(2, …)`
+    // form divides as DOUBLE, and a 60-bit sim exceeds the 53-bit
+    // mantissa — the rounded quotient lands ~1% of keys in the wrong
+    // band (caught by the sf1 gate: 13,273 vs 13,408 pairs). The
+    // 32-bit signature never hit this; shiftrightunsigned is exact at
+    // any width and mirrors DuckDB's BIGINT `//`.
+    val bands = array((0 until 4).map { j =>
+      shiftrightunsigned(col("sim"), j * SimBandBits) % (1 << SimBandBits)
+    }: _*)
     val bandRows = sims.select(col(idCol), col("sim"), posexplode(bands).as(Seq("band_idx", "band_key")))
     val a = bandRows.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band_idx"), col("band_key"))
     val b = bandRows.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band_idx"), col("band_key"))
