@@ -1087,10 +1087,10 @@ object SparkEntry {
   private def sqlPlane(idx: String): String =
     s"(((1103515245 * ($idx) + 12345) % 2147483648) / 2147483648.0) - 0.5"
 
-  /** 16-bit sign-LSH signature expression over double list `v` (dim 64);
-    * mirrors NearDup.signSignature.
+  /** Sign-LSH signature expression over double list `v` (dim 64);
+    * mirrors NearDup.signSigs.
     */
-  private def sqlSignSig(dim: Int, planes: Int = 16): String =
+  private def sqlSignSig(dim: Int, planes: Int): String =
     (0 until planes).map { p =>
       val d = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
         s"j -> v[j+1] * (${sqlPlane(s"$p * $dim + j")})), (x, y) -> x + y)"
@@ -1143,12 +1143,15 @@ object SparkEntry {
 
   private def sqlAnnLshOracle: String = {
     val dim = 64
+    // 32 planes / 8-bit bands — mirrors Ann.lshTopK's defaults (the
+    // 16/4 geometry had 16 buckets per band: quadratic candidates,
+    // the shape embedCosinePairs outgrew at sf1).
     val bands = (0 until 4)
-      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (4 * j)}) % 16 AS bk FROM sg")
+      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
       .mkString("\nUNION ALL ")
     val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> s1.v[i] * qs.qv[i]), (x, y) -> x + y)"
     s"""${sqlEmbedBase(dim)},
-       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim)} AS BIGINT) AS sig FROM n),
+       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim, planes = 32)} AS BIGINT) AS sig FROM n),
        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig FROM sg WHERE $annQueryPred),
        |bd AS ($bands),
        |qb AS (SELECT vec_id AS query_id, bi, bk FROM bd WHERE $annQueryPred),

@@ -137,6 +137,17 @@ object Ann {
     * signature split into bands; candidates share at least one band
     * (equi-join on band keys — no full scoring pass), then exact cosine
     * rescoring keeps the k best candidates per query.
+    *
+    * Band-space sizing (the same rule as `NearDup.embedCosinePairs`
+    * and `ivfTopK`): each band's expected bucket holds
+    * corpus / 2^bandBits ids, so candidates per query grow linearly in
+    * the corpus UNLESS bandBits grows with it — grow the bucket space
+    * ~√n (the 16-plane/4-bit default shipped through round 8 had 16
+    * buckets per band, exactly the geometry embedCosinePairs outgrew
+    * at sf1: 46.5M candidate pairs). 32/8 = 256 buckets per band is
+    * right for the 10^4-ish gate corpora; a 10^9-vector index wants
+    * 64/16. Recall comes from ADDING bands, not widening buckets:
+    * P(band collision) = (1 − θ/π)^bandBits per band.
     * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
     */
   def lshTopK(
@@ -146,17 +157,18 @@ object Ann {
       idCol: String,
       dim: Int,
       k: Int = 5,
-      planes: Int = 16,
-      bandBits: Int = 4
+      planes: Int = 32,
+      bandBits: Int = 8
   ): DataFrame = {
+    // leftover signature bits that don't fill a whole band are dropped
+    // (nBands floors), never folded into a degenerate always-equal key
+    require(bandBits >= 1, "bandBits must be positive")
     val base = signSigs(corpus, vecCol, idCol, dim, planes)
     val q = signSigs(queries, vecCol, idCol, dim, planes)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
     val nBands = planes / bandBits
-    def bandKeys(sig: org.apache.spark.sql.Column) = transform(
-      sequence(lit(0), lit(nBands - 1)),
-      j => (sig / pow(lit(2), j * bandBits).cast("long")).cast("long") % (1 << bandBits)
-    )
+    def bandKeys(sig: org.apache.spark.sql.Column) =
+      NearDup.signBandKeys(sig, nBands, bandBits)
     // band rows carry ONLY (id, band): the candidate shuffle moves two
     // longs per row, not the vectors — those join back for rescoring
     val baseBands = base.select(col(idCol), posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_key")))

@@ -52,7 +52,7 @@ object MicroBench {
       time("ng-hashed (explode)")(hashed)
       val sigs = NearDup.minhashSigsFromHashed(hashed, "doc_id", 8)
       time("ng-sigs (k=8)")(sigs)
-      val cand = NearDup.bandCandidates(NearDup.bandRowsOf(sigs, "doc_id", 8, 1), "doc_id")
+      val cand = NearDup.bandCandidates(sigs, "doc_id", 8, 1).select("id_a", "id_b")
       println(s"candidates: ${cand.count()}")
       time("ng-candidates")(cand)
       time("ng-full")(NearDup.ngramJaccardPairs(docs, "text", "doc_id"))
@@ -104,10 +104,9 @@ object MicroBench {
         NearDup.signSigs(vecs, "embedding", "vec_id", dim, 32)
       }
       val sigs = NearDup.signSigs(vecs, "embedding", "vec_id", dim, 32)
-      val bands = transform(
-        sequence(lit(0), lit(3)),
-        j => (col("sig") / pow(lit(2), j * 8).cast("long")).cast("long") % 256
-      )
+      // the SHARED band-key helper, not a re-derived copy: the probe
+      // must count the exact candidate set embedCosinePairs generates
+      val bands = NearDup.signBandKeys(col("sig"), nBands = 4, bandBits = 8)
       val bandRows = sigs.select(col("vec_id"), posexplode(bands).as(Seq("band_idx", "band_key")))
       println(s"vectors: ${vecs.count()}")
       println(s"candidate pairs: ${

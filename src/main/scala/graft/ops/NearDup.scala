@@ -169,29 +169,73 @@ object NearDup {
       .select(col(idCol), array((0 until k).map(j => col(s"g$j")): _*).as("sig"))
   }
 
+  /** Pipe-joined string band keys of a k-component signature array:
+    * element j covers components [j·bandRows, (j+1)·bandRows).
+    */
+  private def bandKeysOfSig(sig: Column, nBands: Int, bandRows: Int): Column = transform(
+    sequence(lit(0), lit(nBands - 1)),
+    j => array_join(transform(slice(sig, j * bandRows + 1, lit(bandRows)), _.cast("string")), "|")
+  )
+
   /** (id, band_idx, band_key) rows: the signature split into
     * `k / bandRows` bands of `bandRows` components each.
     */
-  private[ops] def bandRowsOf(sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame = {
-    val nBands = k / bandRows
-    val bands = transform(
-      sequence(lit(0), lit(nBands - 1)),
-      j => array_join(transform(slice(col("sig"), j * bandRows + 1, lit(bandRows)), _.cast("string")), "|")
-    )
-    sigs.select(col(idCol), posexplode(bands).as(Seq("band_idx", "band_key")))
-  }
+  private[ops] def bandRowsOf(sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(bandKeysOfSig(col("sig"), k / bandRows, bandRows)).as(Seq("band_idx", "band_key")))
 
-  /** Distinct candidate pairs (`id_a < id_b`) sharing at least one band. */
-  private[ops] def bandCandidates(bandRows: DataFrame, idCol: String): DataFrame =
-    bandRows.as("a")
+  /** Components of band `i` all agree between the two signatures —
+    * codegen'd element_at equalities, no array allocation.
+    */
+  private def bandEq(aSig: Column, bSig: Column, i: Int, bandRows: Int): Column =
+    (0 until bandRows).map { o =>
+      element_at(aSig, i * bandRows + o + 1) === element_at(bSig, i * bandRows + o + 1)
+    }.reduce(_ && _)
+
+  /** Index of the FIRST band whose components all agree (`nBands` when
+    * none do — unreachable for rows already matched on a band key).
+    */
+  private def firstMatchingBand(aSig: Column, bSig: Column, nBands: Int, bandRows: Int): Column =
+    (0 until nBands).foldRight(lit(nBands)) { (i, rest) =>
+      when(bandEq(aSig, bSig, i, bandRows), lit(i)).otherwise(rest)
+    }
+
+  /** Candidate pairs (`id_a < id_b`) sharing at least one band, each
+    * emitted EXACTLY ONCE — in its first matching band — with both
+    * signatures carried for downstream scoring.
+    *
+    * The "no earlier band also matches" test is a join conjunct
+    * (`firstMatchingBand == band_idx`), evaluated inside the generated
+    * join loop, so duplicate candidates die before materializing — the
+    * same first-collision trick [[embedCosinePairs]] uses on its
+    * integer signatures. This deletes the `distinct()` that previously
+    * shuffled the FULL candidate multiset (a pair colliding in m bands
+    * appeared m times), and carrying `sig` on the band rows lets
+    * MinHash consumers score candidates with zero signature join-backs.
+    * Cost trade: band rows widen by the k-long signature (~k·8 bytes),
+    * vs. a full candidate-set exchange plus two joins back to the
+    * signature table — the embed path measured the same trade at 2.7×
+    * in favor of carrying (round 8, BASELINE.md).
+    */
+  private[ops] def bandCandidates(sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame = {
+    val nBands = k / bandRows
+    val br = sigs.select(
+      col(idCol), col("sig"),
+      posexplode(bandKeysOfSig(col("sig"), nBands, bandRows)).as(Seq("band_idx", "band_key")))
+    br.as("a")
       .join(
-        bandRows.as("b"),
+        br.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol")
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          firstMatchingBand(col("a.sig"), col("b.sig"), nBands, bandRows) === col("a.band_idx")
       )
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+      .select(
+        col(s"a.$idCol").as("id_a"),
+        col(s"b.$idCol").as("id_b"),
+        col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b")
+      )
+  }
 
   /** MinHash-LSH near-duplicate pairs with estimated similarity
     * (fraction of matching signature components) at or above
@@ -206,15 +250,18 @@ object NearDup {
       minEstSim: Double = 0.25
   ): DataFrame = {
     val sigs = minhashSigsFromHashed(hashedShingles(df, textCol, idCol), idCol, k)
-    val cand = bandCandidates(bandRowsOf(sigs, idCol, k, bandRows), idCol)
-    val est = size(filter(
-      sequence(lit(1), lit(k)),
-      i => element_at(col("s1.sig"), i) === element_at(col("s2.sig"), i)
-    )).cast("double") / k
-    cand.as("c")
-      .join(sigs.as("s1"), col("c.id_a") === col(s"s1.$idCol"))
-      .join(sigs.as("s2"), col("c.id_b") === col(s"s2.$idCol"))
-      .select(col("c.id_a"), col("c.id_b"), est.as("est_sim"))
+    val cand = bandCandidates(sigs, idCol, k, bandRows)
+    // matching-component count as a codegen'd indicator sum (not a
+    // higher-order filter(sequence(...)), which evaluates interpreted
+    // with one closure call per component per pair)
+    val est = (0 until k)
+      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / k
+    // the signatures ride on the candidate rows (bandCandidates), so
+    // scoring is a projection — no signature join-backs, no distinct()
+    cand
+      .select(col("id_a"), col("id_b"), est.as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }
 
@@ -259,7 +306,10 @@ object NearDup {
     )
     val sigs = minhashSigsFromHashed(
       sets.select(col(idCol), explode(col("hs")).as("h")), idCol, k)
-    val cand = bandCandidates(bandRowsOf(sigs, idCol, k, 1), idCol)
+    // first-collision band join: each candidate pair arrives exactly
+    // once (no distinct() shuffle); the carried signatures are dropped
+    // — Jaccard needs the sketch sets, which join back below
+    val cand = bandCandidates(sigs, idCol, k, 1).select(col("id_a"), col("id_b"))
     // Sketch arrays are sorted + distinct, so |A∩B| is a single
     // two-pointer merge (codegen SortedIntersectSize) and |A∪B| is
     // |A| + |B| − |A∩B| — replacing the hash-set-building
@@ -547,6 +597,25 @@ object NearDup {
   private[ops] def dot(a: Column, b: Column): Column =
     graft.functions.ArrayMath.dotProduct(a, b)
 
+  /** Band keys of a sign-LSH signature: element j is bits
+    * [j·bandBits, (j+1)·bandBits) of `sig`. MUST be integer
+    * arithmetic: the `/ pow(2, …)` form divides as DOUBLE and is exact
+    * only while the signature fits the 53-bit mantissa — the comment in
+    * [[embedCosinePairs]] recommends 64/16 geometry at real scale,
+    * where rounding would land ~1% of keys in wrong bands (the same
+    * bug class the 60-bit simhash hit at sf1, fixed in 7dd42e9).
+    * `shiftrightunsigned` is exact at any width and mirrors DuckDB's
+    * BIGINT `//`; it is also the form [[embedCosinePairs]]'s
+    * first-collision predicate uses, so the two can never disagree.
+    * Shared by embedCosinePairs, Ann.lshTopK, and MicroBench's embed
+    * probe — the probe must measure the EXACT candidate set the
+    * operator generates (a re-derived copy drifted once in round 8).
+    */
+  private[ops] def signBandKeys(sig: Column, nBands: Int, bandBits: Int): Column =
+    array((0 until nBands).map { j =>
+      shiftrightunsigned(sig, j * bandBits) % (1 << bandBits)
+    }: _*)
+
   /** Per-row sign-LSH signatures + norms for an embedding frame:
     * `(id, v, nrm, sig)` where bit p of `sig` is the sign of the dot
     * product with deterministic hyperplane p ([[planeComponent]]).
@@ -565,6 +634,10 @@ object NearDup {
       dim: Int,
       planes: Int
   ): DataFrame = {
+    // 62, not 64: bit p of the signature is built as `lit(1L << p)` and
+    // summed, so every partial sum must stay a positive signed long
+    // (1L << 63 is negative; 62 leaves headroom for the reduce).
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     val base = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
     val exploded = base.select(col(idCol), posexplode(col("v")).as(Seq("j", "x")))
     val planeSums = (0 until planes).map { p =>
@@ -593,12 +666,12 @@ object NearDup {
       bandBits: Int = 8,
       minCos: Double = 0.4
   ): DataFrame = {
+    // leftover signature bits that don't fill a whole band are dropped
+    // (nBands floors), never folded into a degenerate always-equal key
+    require(bandBits >= 1, "bandBits must be positive")
     val sigs = signSigs(df, vecCol, idCol, dim, planes)
     val nBands = planes / bandBits
-    val bands = transform(
-      sequence(lit(0), lit(nBands - 1)),
-      j => (col("sig") / pow(lit(2), j * bandBits).cast("long")).cast("long") % (1 << bandBits)
-    )
+    val bands = signBandKeys(col("sig"), nBands, bandBits)
     // Band rows carry (sig, v, nrm) so the self-join needs NO
     // join-backs and NO distinct(): a pair that collides in k bands is
     // emitted exactly once, in its FIRST colliding band — the "no
