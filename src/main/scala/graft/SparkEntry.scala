@@ -949,6 +949,35 @@ object SparkEntry {
            |  $fs
            |FROM b""".stripMargin
       }
+    ),
+    // REAL-codec AUDIO round trip (round 9, same proof shape as
+    // mm_decode): encodePcmWav writes a genuine 8-bit PCM WAV
+    // (javax.sound.sampled, pure JVM), decodeAudio parses it back, and
+    // because PCM is lossless the decoded amplitude histogram equals
+    // the one the oracle derives from the sample FORMULA
+    // s(i) = (doc_id·31 + i·7) mod 256 — DuckDB verifies a real audio
+    // decode without parsing a WAV. 64 samples → exact float division.
+    "mm_decode_audio" -> Entry(
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.attachAudio(docs(s, dir), "doc_id").toDF(),
+          decode = Multimodal.decodeAudio)
+        val flat = (0 until 8).map(i =>
+          org.apache.spark.sql.functions.element_at(col("features"), i + 1).cast("double").as(s"f$i")
+        )
+        feats.toDF().select(col("doc_id") +: flat: _*)
+      },
+      Some {
+        val bins =
+          "list_transform(generate_series(0, 63), i -> ((doc_id * 31 + i * 7) % 256) // 32)"
+        val fs = (0 until 8)
+          .map(i => s"CAST(len(list_filter(bins, x -> x = $i)) AS DOUBLE) / 64.0 AS f$i")
+          .mkString(",\n  ")
+        s"""WITH b AS (SELECT doc_id, $bins AS bins FROM documents)
+           |SELECT doc_id,
+           |  $fs
+           |FROM b""".stripMargin
+      }
     )
   )
 

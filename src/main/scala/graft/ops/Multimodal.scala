@@ -122,6 +122,79 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException => stubDecode(payload) }
 
+  /** REAL audio decode — pure-JVM `javax.sound.sampled` (WAV/AIFF/AU
+    * parsers ship with the JDK, like round 8's `javax.imageio` image
+    * path; no native codecs needed). Parses the container, reads the
+    * PCM frames, and returns an 8-bin amplitude histogram over the
+    * samples, L1-normalized — the same 8-float feature shape as
+    * [[stubDecode]]/[[decodeImage]], drop-in for [[extractFeatures]].
+    * 8-bit PCM only (the synthesized-WAV round trip [[encodePcmWav]]
+    * closes); anything the parser rejects — or wider sample formats —
+    * falls back to the stub so a mixed corpus never kills the job.
+    */
+  def decodeAudio(payload: Array[Byte]): Array[Float] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 8) stubDecode(payload)
+        else {
+          // amplitude of a frame byte: unsigned PCM is the raw byte;
+          // signed PCM shifts to the same [0, 255] scale
+          val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val frames = ais.readAllBytes()
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < frames.length) {
+            val amp = if (signed) (frames(i) + 128) & 0xff else frames(i) & 0xff
+            hist(amp >>> 5) += 1f
+            i += 1
+          }
+          val n = math.max(frames.length, 1).toFloat
+          hist.map(_ / n)
+        }
+      } finally ais.close()
+    } catch {
+      case _: java.io.IOException => stubDecode(payload)
+      case _: javax.sound.sampled.UnsupportedAudioFileException => stubDecode(payload)
+    }
+
+  /** Deterministic 8-bit unsigned PCM WAV for `doc_id`: sample
+    * `s(i) = (doc_id·31 + i·7) mod 256`, WAV-encoded with
+    * `javax.sound.sampled`. PCM is lossless, so [[decodeAudio]]
+    * recovers the exact samples — and the amplitude histogram is
+    * computable from the FORMULA alone by a SQL oracle that never
+    * parses WAV. 64 samples (a power of two) keeps the float
+    * normalization exact.
+    */
+  def encodePcmWav(docId: Long, nSamples: Int = 64): Array[Byte] = {
+    val samples = Array.tabulate(nSamples)(i =>
+      java.lang.Math.floorMod(docId * 31 + i * 7, 256L).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, /* signed = */ false, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real-WAV multimodal records: one [[encodePcmWav]] clip per row
+    * (width = sample count, height = 1). The producer side of the
+    * audio round trip that [[extractFeatures]]`(decode = decodeAudio)`
+    * closes — narrow per-partition encode, same shape as
+    * [[attachImage]].
+    */
+  def attachAudio(df: DataFrame, idCol: String, nSamples: Int = 64): Dataset[MMRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map(id => MMRecord(id, "audio/wav", nSamples, 1, encodePcmWav(id, nSamples)))
+    }
+  }
+
   /** Batched feature extraction over the multimodal records: one
     * decoder pass per partition, payloads processed in `batchSize`
     * groups (the shape a vectorized codec / model-inference library

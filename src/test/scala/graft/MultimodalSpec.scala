@@ -86,6 +86,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeImage(junk).sameElements(Multimodal.stubDecode(junk)))
   }
 
+  test("real WAV round trip: javax.sound decode recovers the exact sample histogram") {
+    // encodePcmWav samples follow s(i) = (id·31 + i·7) mod 256; PCM is
+    // lossless, so the decoded amplitude histogram must equal the one
+    // computed from the formula directly — no tolerance.
+    for (id <- Seq(0L, 7L, 123456789L)) {
+      val wav = Multimodal.encodePcmWav(id)
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF") // real WAV container
+      val expected = new Array[Float](8)
+      for (i <- 0 until 64)
+        expected(java.lang.Math.floorMod(id * 31 + i * 7, 256L).toInt >>> 5) += 1f / 64f
+      assert(Multimodal.decodeAudio(wav).sameElements(expected))
+    }
+  }
+
+  test("decodeAudio falls back to the stub on non-audio bytes") {
+    val junk = Array.tabulate[Byte](32)(_.toByte)
+    assert(Multimodal.decodeAudio(junk).sameElements(Multimodal.stubDecode(junk)))
+  }
+
+  test("attachAudio + real decode: end-to-end features over a corpus") {
+    val feats = Multimodal
+      .extractFeatures(Multimodal.attachAudio(docs, "doc_id").toDF(), decode = Multimodal.decodeAudio)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 4)
+    for (f <- feats) {
+      assert(f.mime == "audio/wav")
+      assert(f.features.length == 8 && math.abs(f.features.sum - 1.0f) < 1e-6)
+      assert(f.n_bytes > 64) // a real WAV container, not the raw samples
+    }
+    assert(feats.map(_.features.toSeq).distinct.length == 4)
+  }
+
   test("attachImage + real decode: end-to-end features over a corpus") {
     val feats = Multimodal
       .extractFeatures(Multimodal.attachImage(docs, "doc_id").toDF(), decode = Multimodal.decodeImage)
