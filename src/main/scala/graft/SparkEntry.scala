@@ -992,18 +992,27 @@ object SparkEntry {
   /** DuckDB 32-bit string hash of lambda variable `x`. */
   private def sqlHash32 = sqlHash32Of("x")
 
-  /** CTE chain ending in `hh(doc_id, hs)`: hashed 3-gram shingles as in
+  /** CTE chain ending in `hh(doc_id, hs)`: hashed n-gram shingles as in
     * [[NearDup.hashedShingles]] — per-token hashes combined with the
-    * C1/C2 linear mix, whole-text hash for docs under 3 tokens.
+    * C1/C2 linear mix at the default n=3 (bit-identical to every
+    * recorded gate), Horner's rule `(acc·C1 + h) mod P` for wider
+    * windows; whole-text hash for docs under n tokens. Mirrors
+    * [[graft.functions.ShingleHashes]].
     */
-  private def sqlHashedShingleCtes(src: String): String =
+  private def sqlHashedShingleCtes(src: String, n: Int = 3): String = {
+    val combine =
+      if (n == 3)
+        s"(hw[i] * ${NearDup.C1} + hw[i+1] * ${NearDup.C2} + hw[i+2]) % 2147483647"
+      else
+        s"list_reduce(hw[i:i+${n - 1}], (a, b) -> (a * ${NearDup.C1} + b) % 2147483647)"
     s"""t AS (SELECT doc_id, $sqlTokens AS w FROM $src),
        |tw AS (SELECT doc_id, w, list_transform(w, x -> $sqlHash32 % 2147483647) AS hw FROM t),
-       |hh AS (SELECT doc_id, CASE WHEN len(w) < 3
+       |hh AS (SELECT doc_id, CASE WHEN len(w) < $n
        |  THEN [${sqlHash32Of("array_to_string(w, ' ')")} % 2147483647]
-       |  ELSE list_transform(generate_series(1, len(w) - 2),
-       |    i -> (hw[i] * ${NearDup.C1} + hw[i+1] * ${NearDup.C2} + hw[i+2]) % 2147483647) END AS hs
+       |  ELSE list_transform(generate_series(1, len(w) - ${n - 1}),
+       |    i -> $combine) END AS hs
        |FROM tw)""".stripMargin
+  }
 
   /** DuckDB MinHash signature over hashed-shingle list `hs` (mirrors
     * NearDup.minhashSignature's universal-hash family mod 2^31-1).
@@ -1051,13 +1060,13 @@ object SparkEntry {
        |WHERE $jac >= 0.2""".stripMargin
   }
 
-  /** Shared decontamination CTE chain: hashed shingles over ALL
+  /** Shared decontamination CTE chain: hashed n-gram shingles over ALL
     * documents, split into eval (`doc_id % 20 = 0`) and corpus rows,
     * then the per-corpus-doc overlap aggregate (mirrors
-    * `Decontam.overlap` with the same hashed-3-gram family).
+    * `Decontam.overlap` with the same hashed-shingle family).
     */
-  private def sqlDecontamCtes: String =
-    s"""${sqlHashedShingleCtes("documents")},
+  private def sqlDecontamCtes(n: Int): String =
+    s"""${sqlHashedShingleCtes("documents", n)},
        |ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM
        |  (SELECT doc_id, unnest(hs) AS h FROM hh WHERE doc_id % 20 = 0)),
        |co AS (SELECT DISTINCT doc_id, h FROM
@@ -1066,8 +1075,8 @@ object SparkEntry {
        |  count(DISTINCT ev.eval_id) AS n_eval_docs
        |  FROM co JOIN ev ON co.h = ev.h GROUP BY co.doc_id)""".stripMargin
 
-  private def sqlDecontamOverlap: String =
-    s"""WITH $sqlDecontamCtes
+  private def sqlDecontamOverlap(n: Int = 3): String =
+    s"""WITH ${sqlDecontamCtes(n)}
        |SELECT d.doc_id, CAST(coalesce(ol.n_hits, 0) AS BIGINT) AS n_hits,
        |  CAST(coalesce(ol.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
        |  coalesce(ol.n_hits, 0) >= 2 AS contaminated
@@ -1075,7 +1084,7 @@ object SparkEntry {
        |WHERE d.doc_id % 20 <> 0""".stripMargin
 
   private def sqlDecontamDrop: String =
-    s"""WITH $sqlDecontamCtes
+    s"""WITH ${sqlDecontamCtes(3)}
        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
        |FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id
        |WHERE d.doc_id % 20 <> 0 AND coalesce(ol.n_hits, 0) < 2""".stripMargin
@@ -1236,7 +1245,20 @@ object SparkEntry {
           "text", "doc_id"
         )
       },
-      Some(sqlDecontamOverlap)
+      Some(sqlDecontamOverlap())
+    ),
+    // The production geometry: 8-gram windows (the PaLM data-card
+    // procedure; GPT-3 uses 13). Same broadcast plan, Horner combine.
+    "decontam_overlap_8" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.overlap(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", minHits = 2, shingleN = 8
+        )
+      },
+      Some(sqlDecontamOverlap(8))
     ),
     "decontam_drop" -> Entry(
       (s, dir) => {

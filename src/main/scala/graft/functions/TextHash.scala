@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native codegen hashed-3-gram shingles over a token array.
+/** Native codegen hashed word-n-gram shingles over a token array.
   *
   * Replaces the explode → per-token md5 projection → doc-keyed window
   * (`lead` ×2) pipeline that every shingle consumer (MinHash, n-gram
@@ -25,16 +25,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * (see SparkEntry.sqlHashedShingleCtes):
   *   - per-token hash: first 8 md5 hex digits of the UTF-8 token as a
   *     long (= unsigned big-endian first 4 digest bytes), mod P;
-  *   - shingle combine: `(h(i)·C1 + h(i+1)·C2 + h(i+2)) mod P` — all
-  *     inputs < P = 2^31−1 so the sum stays < 2^62, no overflow;
-  *   - arrays shorter than 3 tokens hash the whole text (tokens joined
+  *   - shingle combine at the default n=3:
+  *     `(h(i)·C1 + h(i+1)·C2 + h(i+2)) mod P` — all inputs < P =
+  *     2^31−1 so the sum stays < 2^62, no overflow. Wider n (the
+  *     GPT-3/PaLM decontamination procedure uses 8–13-gram windows)
+  *     combines by Horner's rule, `acc ← (acc·C1 + h(i+o)) mod P` —
+  *     acc < P and C1 < 2^20 keep every step < 2^52. n=3 keeps its
+  *     legacy two-multiplier form so existing gates/goldens stay
+  *     bit-identical;
+  *   - arrays shorter than n tokens hash the whole text (tokens joined
   *     by one space), yielding a single-element array;
   *   - a null token array yields NULL (DuckDB's NULL list propagates
   *     the same way; `explode` then drops the row).
+  *
+  * PRECONDITION: token arrays must not contain null elements — the
+  * expected input type is effectively
+  * `ArrayType(StringType, containsNull = false)`, which every caller
+  * satisfies by construction (`NearDup.tokens` is a `split()`, whose
+  * output never holds nulls). A null element would hash as 0L in the
+  * n-gram path but as an EMPTY string inside the short-array
+  * whole-text join (where `concat_ws` would skip it) — a silent
+  * divergence from the oracle's semantics, so it is not supported
+  * rather than half-defined.
   */
-case class ShingleHashes(child: Expression)
+case class ShingleHashes(child: Expression, n: Int = 3)
     extends UnaryExpression
     with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle width must be positive, got $n")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -42,13 +60,13 @@ case class ShingleHashes(child: Expression)
   override def prettyName: String = "graft_shingle_hashes"
 
   override def nullSafeEval(a: Any): Any =
-    ShingleHashes.compute(a.asInstanceOf[ArrayData])
+    ShingleHashes.compute(a.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     // One static call per row: the md5-per-token loop dominates, so a
     // JVM method call (vs fully inlined codegen) costs nothing while
     // keeping the expression inside the whole-stage-codegen pipeline.
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -73,14 +91,14 @@ object ShingleHashes {
   /** Shingle-hash array of a token array (see class doc for the
     * contract). Called from generated code — must stay public.
     */
-  def compute(tokens: ArrayData): ArrayData = {
-    val n = tokens.numElements()
-    if (n < 3) {
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) {
       // whole-text shingle: tokens joined by one space (same string
       // concat_ws(" ", w) builds), hashed once
       val sb = new java.lang.StringBuilder
       var i = 0
-      while (i < n) {
+      while (i < len) {
         if (i > 0) sb.append(' ')
         val t = tokens.getUTF8String(i)
         if (t != null) sb.append(t.toString)
@@ -88,18 +106,34 @@ object ShingleHashes {
       }
       new GenericArrayData(Array(hash32(sb.toString.getBytes("UTF-8"))))
     } else {
-      val hw = new Array[Long](n)
+      val hw = new Array[Long](len)
       var i = 0
-      while (i < n) {
+      while (i < len) {
         val t = tokens.getUTF8String(i)
         hw(i) = if (t == null) 0L else hash32(t.getBytes)
         i += 1
       }
-      val out = new Array[Long](n - 2)
+      val out = new Array[Long](len - (n - 1))
       i = 0
-      while (i < n - 2) {
-        out(i) = (hw(i) * C1 + hw(i + 1) * C2 + hw(i + 2)) % P
-        i += 1
+      if (n == 3) {
+        // legacy three-term combine — bit-identical to every recorded
+        // gate/golden since round 4
+        while (i < out.length) {
+          out(i) = (hw(i) * C1 + hw(i + 1) * C2 + hw(i + 2)) % P
+          i += 1
+        }
+      } else {
+        // Horner's rule: acc < P, C1 < 2^20 ⇒ acc·C1 + h < 2^52
+        while (i < out.length) {
+          var acc = hw(i)
+          var o = 1
+          while (o < n) {
+            acc = (acc * C1 + hw(i + o)) % P
+            o += 1
+          }
+          out(i) = acc
+          i += 1
+        }
       }
       new GenericArrayData(out)
     }
@@ -108,7 +142,7 @@ object ShingleHashes {
 
 object TextHash {
 
-  /** Hashed 3-gram shingle array of a token array (codegen). */
-  def shingleHashes(tokens: Column): Column =
-    Bridge.column(ShingleHashes(Bridge.expression(tokens)))
+  /** Hashed word-n-gram shingle array of a token array (codegen). */
+  def shingleHashes(tokens: Column, n: Int = 3): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
 }

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *     counts, and that is map-side combined (two `count(distinct)`
   *     over an already doc-clustered stream).
   *
-  * The shingle order here is the shared 3-gram family (so the DuckDB
-  * oracle reuses the same CTEs as the near-dup gates); production
-  * decontamination typically uses 8–13-gram windows, which is the same
-  * plan with a wider hash combine — the shape, broadcast asymmetry,
+  * The default shingle order is the shared 3-gram family (so the
+  * DuckDB oracle reuses the same CTEs as the near-dup gates); pass
+  * `shingleN` in [3, 13] to match the production procedure — the
+  * GPT-3 data card uses 13-grams, PaLM 8-grams. Any width is the same
+  * plan with a wider Horner hash combine (see
+  * [[graft.functions.ShingleHashes]]) — shape, broadcast asymmetry,
   * and costs are identical.
   */
 object Decontam {
@@ -41,12 +43,13 @@ object Decontam {
       evalDf: DataFrame,
       textCol: String,
       idCol: String,
-      minHits: Int = 2
+      minHits: Int = 2,
+      shingleN: Int = 3
   ): DataFrame = {
     // Distinct (shingle, eval_id) pairs of the benchmark set: small by
     // assumption, broadcast below.
     val evalShingles = NearDup
-      .hashedShingles(evalDf, textCol, idCol)
+      .hashedShingles(evalDf, textCol, idCol, shingleN)
       .select(col("h"), col(idCol).as("eval_id"))
       .distinct()
 
@@ -56,7 +59,7 @@ object Decontam {
     // whole operator's cost at sf1). countDistinct below dedups the
     // few surviving hit rows instead.
     val hits = NearDup
-      .hashedShingles(corpus, textCol, idCol)
+      .hashedShingles(corpus, textCol, idCol, shingleN)
       .join(broadcast(evalShingles), "h")
       .groupBy(col(idCol))
       .agg(
@@ -84,9 +87,10 @@ object Decontam {
       evalDf: DataFrame,
       textCol: String,
       idCol: String,
-      minHits: Int = 2
+      minHits: Int = 2,
+      shingleN: Int = 3
   ): DataFrame = {
-    val bad = overlap(corpus, evalDf, textCol, idCol, minHits)
+    val bad = overlap(corpus, evalDf, textCol, idCol, minHits, shingleN)
       .filter(col("contaminated"))
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")

@@ -71,10 +71,10 @@ object NearDup {
     * tokens hash their whole normalized text (= tokens joined by one
     * space).
     */
-  private[ops] def hashedShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  private[ops] def hashedShingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     df.select(
       col(idCol),
-      explode(graft.functions.TextHash.shingleHashes(tokens(col(textCol)))).as("h")
+      explode(graft.functions.TextHash.shingleHashes(tokens(col(textCol)), n)).as("h")
     )
 
   /** [[hashedShingles]], distinct, capped to each document's
