@@ -41,7 +41,14 @@ object Bench {
     // sentinel expectation: 0.24 s is the recorded sf0.1 constant
     // (BASELINE.md "Why the gap is a constant"); other scales pass
     // their own constant via the env var.
-    val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC").map(_.toDouble)
+    // a malformed override must degrade to the default, not abort the
+    // whole bench run with a NumberFormatException before Spark starts
+    val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
+      .flatMap { s =>
+        val p = scala.util.Try(s.toDouble).toOption
+        if (p.isEmpty) System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_SENTINEL_SEC=$s")
+        p
+      }
       .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1181,15 +1181,16 @@ object SparkEntry {
 
   private def sqlAnnLshOracle: String = {
     val dim = 64
-    // 32 planes / 8-bit bands — mirrors Ann.lshTopK's defaults (the
-    // 16/4 geometry had 16 buckets per band: quadratic candidates,
-    // the shape embedCosinePairs outgrew at sf1).
-    val bands = (0 until 4)
+    // 56 planes / 8-bit bands — mirrors Ann.lshTopK's defaults: 256
+    // buckets per band keep candidates linear (the 16/4 geometry went
+    // quadratic at sf1), and SEVEN bands restore the recall that
+    // round 9's 4-band 32/8 gave up (recall comes from band count).
+    val bands = (0 until 7)
       .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
       .mkString("\nUNION ALL ")
     val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> s1.v[i] * qs.qv[i]), (x, y) -> x + y)"
     s"""${sqlEmbedBase(dim)},
-       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim, planes = 32)} AS BIGINT) AS sig FROM n),
+       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim, planes = 56)} AS BIGINT) AS sig FROM n),
        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig FROM sg WHERE $annQueryPred),
        |bd AS ($bands),
        |qb AS (SELECT vec_id AS query_id, bi, bk FROM bd WHERE $annQueryPred),

@@ -144,10 +144,16 @@ object Ann {
     * the corpus UNLESS bandBits grows with it — grow the bucket space
     * ~√n (the 16-plane/4-bit default shipped through round 8 had 16
     * buckets per band, exactly the geometry embedCosinePairs outgrew
-    * at sf1: 46.5M candidate pairs). 32/8 = 256 buckets per band is
-    * right for the 10^4-ish gate corpora; a 10^9-vector index wants
-    * 64/16. Recall comes from ADDING bands, not widening buckets:
-    * P(band collision) = (1 − θ/π)^bandBits per band.
+    * at sf1: 46.5M candidate pairs). Recall comes from ADDING bands,
+    * not widening buckets: P(per-band miss) = 1 − (1 − θ/π)^bandBits,
+    * so round 9's 32/8 (4 bands) silently traded recall for the wider
+    * buckets — the default is now 56/8 = SEVEN 256-bucket bands (56 is
+    * the largest multiple of 8 under the 62-bit signature cap), which
+    * keeps candidate linearity AND more band draws than the old 16/4's
+    * four. A 10^9-vector index wants 16-bit bands — then buy recall
+    * back with more planes, never fewer bands. Recall vs bruteTopK is
+    * asserted in OpsSpec so a future geometry change can't silently
+    * trade it again.
     * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
     */
   def lshTopK(
@@ -157,12 +163,14 @@ object Ann {
       idCol: String,
       dim: Int,
       k: Int = 5,
-      planes: Int = 32,
+      planes: Int = 56,
       bandBits: Int = 8
   ): DataFrame = {
     // leftover signature bits that don't fill a whole band are dropped
-    // (nBands floors), never folded into a degenerate always-equal key
-    require(bandBits >= 1, "bandBits must be positive")
+    // (nBands floors), never folded into a degenerate always-equal key;
+    // width bounds (≤ 62 bits, Long band arithmetic) are enforced in
+    // NearDup.signBandKeys
+    require(bandBits >= 1 && bandBits <= 62, s"bandBits must be in [1, 62], got $bandBits")
     val base = signSigs(corpus, vecCol, idCol, dim, planes)
     val q = signSigs(queries, vecCol, idCol, dim, planes)
       .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
@@ -181,6 +189,13 @@ object Ann {
           col(idCol) =!= col("query_id")
       )
       .select(col("query_id"), col(idCol))
+      // dropDuplicates, NOT the first-collision conjunct the pair ops
+      // use: the candidate set here is bounded by queries × bucket size
+      // (queries are small by construction), so this distinct is a tiny
+      // shuffle — while the conjunct would widen every CORPUS band row
+      // by the signature. The asymmetry is deliberate: pair ops have
+      // corpus-sized candidate sets (distinct is the bottleneck there),
+      // top-k has a queries-sized one (narrow band rows win).
       .dropDuplicates("query_id", idCol)
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col(idCol))
     cand

@@ -120,7 +120,11 @@ object Multimodal {
         val n = math.max(w.toLong * h, 1L).toFloat
         hist.map(_ / n)
       }
-    } catch { case _: java.io.IOException => stubDecode(payload) }
+      // NonFatal, not just IOException: the JDK header parsers throw
+      // unchecked exceptions (NegativeArraySize, Arithmetic, …) on
+      // adversarially malformed containers, and one poison payload in a
+      // mixed corpus must not kill the whole job
+    } catch { case scala.util.control.NonFatal(_) => stubDecode(payload) }
 
   /** REAL audio decode — pure-JVM `javax.sound.sampled` (WAV/AIFF/AU
     * parsers ship with the JDK, like round 8's `javax.imageio` image
@@ -156,8 +160,10 @@ object Multimodal {
         }
       } finally ais.close()
     } catch {
-      case _: java.io.IOException => stubDecode(payload)
-      case _: javax.sound.sampled.UnsupportedAudioFileException => stubDecode(payload)
+      // NonFatal (same contract as decodeImage): bogus chunk sizes in a
+      // malformed WAV/AIFF header can surface as unchecked exceptions
+      // from the JDK parser — fall back to the stub, never kill the job
+      case scala.util.control.NonFatal(_) => stubDecode(payload)
     }
 
   /** Deterministic 8-bit unsigned PCM WAV for `doc_id`: sample

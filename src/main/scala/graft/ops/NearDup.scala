@@ -611,10 +611,18 @@ object NearDup {
     * probe — the probe must measure the EXACT candidate set the
     * operator generates (a re-derived copy drifted once in round 8).
     */
-  private[ops] def signBandKeys(sig: Column, nBands: Int, bandBits: Int): Column =
+  private[ops] def signBandKeys(sig: Column, nBands: Int, bandBits: Int): Column = {
+    // Long modulus, bounded width: `1 << bandBits` as Int wraps to 1 at
+    // bandBits = 32 (and the sign bit corrupts 31), making every band
+    // key 0 — a degenerate always-equal key that would turn the band
+    // join into a cross join. Signatures are ≤ 62 bits (signSigs), so
+    // any wider band is a sizing bug worth failing fast on.
+    require(bandBits >= 1 && bandBits <= 62, s"bandBits must be in [1, 62], got $bandBits")
+    require(nBands.toLong * bandBits <= 62, s"nBands*bandBits must fit a 62-bit signature, got $nBands*$bandBits")
     array((0 until nBands).map { j =>
-      shiftrightunsigned(sig, j * bandBits) % (1 << bandBits)
+      shiftrightunsigned(sig, j * bandBits) % (1L << bandBits)
     }: _*)
+  }
 
   /** Per-row sign-LSH signatures + norms for an embedding frame:
     * `(id, v, nrm, sig)` where bit p of `sig` is the sign of the dot
@@ -667,8 +675,9 @@ object NearDup {
       minCos: Double = 0.4
   ): DataFrame = {
     // leftover signature bits that don't fill a whole band are dropped
-    // (nBands floors), never folded into a degenerate always-equal key
-    require(bandBits >= 1, "bandBits must be positive")
+    // (nBands floors), never folded into a degenerate always-equal key;
+    // width bounds are enforced in signBandKeys
+    require(bandBits >= 1 && bandBits <= 62, s"bandBits must be in [1, 62], got $bandBits")
     val sigs = signSigs(df, vecCol, idCol, dim, planes)
     val nBands = planes / bandBits
     val bands = signBandKeys(col("sig"), nBands, bandBits)
@@ -693,9 +702,10 @@ object NearDup {
       col(idCol), col("v"), col("nrm"), col("sig"),
       posexplode(bands).as(Seq("band_idx", "band_key")))
     // first-collision index: lowest band whose bits agree in both sigs
+    // (Long modulus for the same overflow reason as signBandKeys)
     def firstCollision(x: Column): Column =
       (0 until nBands).foldRight(lit(nBands)) { (i, rest) =>
-        when(shiftrightunsigned(x, i * bandBits) % (1 << bandBits) === 0L, lit(i)).otherwise(rest)
+        when(shiftrightunsigned(x, i * bandBits) % (1L << bandBits) === 0L, lit(i)).otherwise(rest)
       }
     // The cosine threshold is the LAST join conjunct (not a filter():
     // predicate pushdown would prepend it to the condition, running

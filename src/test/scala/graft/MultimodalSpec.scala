@@ -105,6 +105,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeAudio(junk).sameElements(Multimodal.stubDecode(junk)))
   }
 
+  test("decoders survive adversarially malformed containers (bogus chunk sizes)") {
+    // valid magic, corrupted length fields: these reach deeper into the
+    // JDK header parsers than plain junk and can throw unchecked
+    // exceptions — the NonFatal catch must still fall back to the stub
+    val wav = Multimodal.encodePcmWav(7L)
+    for (off <- Seq(4, 16, 40); b <- Seq(0xff.toByte, 0x80.toByte)) {
+      val bad = wav.clone(); bad(off) = b; bad(off + 1) = b; bad(off + 2) = b; bad(off + 3) = b
+      val out = Multimodal.decodeAudio(bad) // must not throw
+      assert(out.length == 8)
+    }
+    val png = Multimodal.encodeGrayPng(7L)
+    for (off <- Seq(8, 16, 20)) {
+      val bad = png.clone(); bad(off) = 0xff.toByte; bad(off + 1) = 0xff.toByte
+      val out = Multimodal.decodeImage(bad) // must not throw
+      assert(out.length == 8)
+    }
+  }
+
   test("attachAudio + real decode: end-to-end features over a corpus") {
     val feats = Multimodal
       .extractFeatures(Multimodal.attachAudio(docs, "doc_id").toDF(), decode = Multimodal.decodeAudio)

@@ -92,6 +92,40 @@ class OpsSpec extends SparkTestBase {
     assert(lsh == brute)
   }
 
+  test("LSH ANN recall on planted near neighbors stays above the geometry floor") {
+    // The geometry contract (Ann.lshTopK doc): recall is bought with
+    // band COUNT. The gate cannot catch a recall trade (the DuckDB
+    // oracle mirrors any geometry), so this assertion pins it instead.
+    //
+    // Probe design: the sf0.001 embeddings are near-uniform (brute top-5
+    // cosines cluster at ~0.33, where ANY bucket-bounded sign-LSH has
+    // single-digit recall by math — overall recall@5 vs brute is the
+    // wrong yardstick). LSH's actual promise is recall on GENUINELY
+    // near neighbors, so plant them: q = v + 0.48·w (w = the vector 37
+    // ids over) puts the source vector at cos ≈ 0.90 (θ ≈ 26°) from
+    // each query. Measured planted-neighbor recall, deterministic:
+    //   16/4 (pre-r9):  0.942  — high recall but quadratic candidates
+    //   32/8 (r9):      0.688  — the silent 4-band recall trade
+    //   56/8 (current): 0.818  — 7 bands, buckets stay 256
+    // Floor 0.80 admits the current default and rejects the r9 shape.
+    val emb = graft.sources.Tables.parquetDir(spark, "/root/testdata/sf0.001")("embeddings")
+    val partner = emb.select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+    val queries = emb.join(partner, col("vec_id") + 37 === col("pid"))
+      .select(
+        (col("vec_id") + 10000000).as("vec_id"),
+        zip_with(col("embedding"), col("pemb"), (x, y) => x + lit(0.48) * y).as("embedding"))
+      .filter(col("vec_id") % 3 === 0)
+    val planted = Ann.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .filter { case (q, id) => q - 10000000 == id }.toSet
+    assert(planted.size >= 100) // brute must see essentially all planted sources
+    val lsh = Ann.lshTopK(emb, queries, "embedding", "vec_id", dim = 64, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = planted.count(lsh).toDouble / planted.size
+    info(f"planted-neighbor recall = $recall%.3f (${planted.count(lsh)}/${planted.size})")
+    assert(recall >= 0.80, f"lshTopK planted-neighbor recall $recall%.3f < 0.80 — geometry change traded recall")
+  }
+
   test("token stats and fingerprint agree with direct computation") {
     val t = TextOps.tokenStats(docs, "text", "doc_id").filter($"doc_id" === 1).head()
     assert(t.getAs[Long]("n_ws") == 9L)
