@@ -1075,11 +1075,11 @@ object SparkEntry {
        |  count(DISTINCT ev.eval_id) AS n_eval_docs
        |  FROM co JOIN ev ON co.h = ev.h GROUP BY co.doc_id)""".stripMargin
 
-  private def sqlDecontamOverlap(n: Int = 3): String =
+  private def sqlDecontamOverlap(n: Int = 3, minHits: Int = 2): String =
     s"""WITH ${sqlDecontamCtes(n)}
        |SELECT d.doc_id, CAST(coalesce(ol.n_hits, 0) AS BIGINT) AS n_hits,
        |  CAST(coalesce(ol.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
-       |  coalesce(ol.n_hits, 0) >= 2 AS contaminated
+       |  coalesce(ol.n_hits, 0) >= $minHits AS contaminated
        |FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id
        |WHERE d.doc_id % 20 <> 0""".stripMargin
 
@@ -1225,6 +1225,31 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  private def sqlAnnIvfSeededOracle: String = {
+    val dim = 64
+    val nCells = 32
+    val nProbe = 2
+    // hash-sampled seeds: the nCells rows with the smallest 32-bit md5
+    // id hash (mirrors Ann.ivfTopKSeeded / NearDup.hash32)
+    val dC = s"list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * ct.cv[i]), (x, y) -> x + y)"
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |hs AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM n),
+       |sd AS (SELECT vec_id, v, h FROM hs ORDER BY h, vec_id LIMIT $nCells),
+       |ct AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c, v AS cv FROM sd),
+       |cd AS (SELECT n.vec_id, ct.c, $dC AS d FROM n CROSS JOIN ct),
+       |rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r FROM cd),
+       |cell AS (SELECT vec_id, c FROM rk WHERE r = 1),
+       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $annQueryPred),
+       |cand AS (SELECT qc.query_id, cell.vec_id FROM cell JOIN qc USING (c)
+       |         WHERE cell.vec_id <> qc.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, $dotQ / (b.nrm * qn.nrm) AS cos_sim
+       |       FROM cand JOIN n b ON cand.vec_id = b.vec_id JOIN n qn ON cand.query_id = qn.vec_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private val nearDupEntries: ListMap[String, Entry] = ListMap(
     "dedup_minhash" -> Entry(
       (s, dir) => NearDup.minhashPairs(docs(s, dir), "text", "doc_id"),
@@ -1260,6 +1285,21 @@ object SparkEntry {
         )
       },
       Some(sqlDecontamOverlap(8))
+    ),
+    // The GPT-3 data-card geometry: 13-gram windows, flagged on ANY
+    // collision (minHits = 1 — the 13-gram false-positive rate is low
+    // enough that one hit is the documented trigger). Same broadcast
+    // plan; only the Horner combine widens (TextHash n ∈ [3, 13]).
+    "decontam_overlap_13" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.overlap(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0),
+          "text", "doc_id", minHits = 1, shingleN = 13
+        )
+      },
+      Some(sqlDecontamOverlap(13, minHits = 1))
     ),
     "decontam_drop" -> Entry(
       (s, dir) => {
@@ -1349,6 +1389,13 @@ object SparkEntry {
         Ann.ivfTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
       },
       Some(sqlAnnIvfOracle)
+    ),
+    "ann_ivf_seeded" -> Entry(
+      (s, dir) => {
+        val emb = Tables.parquetDir(s, dir)("embeddings")
+        Ann.ivfTopKSeeded(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+      },
+      Some(sqlAnnIvfSeededOracle)
     )
   )
 

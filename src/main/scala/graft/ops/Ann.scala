@@ -91,27 +91,88 @@ object Ann {
       // gate corpora; a 10^9-vector index wants thousands of cells.
       nCells: Int = 32,
       nProbe: Int = 2
-  ): DataFrame = {
-    val spark = corpus.sparkSession
-    // centroid component (c, j): LCG stream offset past the LSH planes
-    val centroids = spark.range(nCells.toLong * dim).select(
+  ): DataFrame =
+    ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
+      lcgCentroids(corpus.sparkSession, dim, nCells))
+
+  /** Data-independent centroid components `(c, j, w)`: LCG stream
+    * offset past the LSH planes.
+    */
+  private[ops] def lcgCentroids(
+      spark: org.apache.spark.sql.SparkSession, dim: Int, nCells: Int): DataFrame =
+    spark.range(nCells.toLong * dim).select(
       (col("id") / dim).cast("int").as("c"),
       (col("id") % dim).cast("int").as("j"),
       planeComponent(lit(1000) * dim + col("id")).as("w")
     )
 
-    def cellRanks(df: DataFrame, outId: String): DataFrame = {
-      val vx = prep(df, vecCol, idCol)
-        .select(col(idCol).as(outId), posexplode(col("v")).as(Seq("j", "x")))
-      val w = Window.partitionBy(outId).orderBy(col("d").desc, col("c"))
-      vx.join(broadcast(centroids), Seq("j"))
-        .groupBy(col(outId), col("c"))
-        .agg(sum(col("x") * col("w")).as("d"))
-        .withColumn("r", row_number().over(w))
-    }
+  /** [[ivfTopK]] with DATA-DEPENDENT centroids: the `nCells` corpus
+    * vectors with the smallest md5 id hash seed the Voronoi cells.
+    *
+    * The LCG centroids above are data-independent — right for a
+    * zero-pass oracle-reproducible default, wrong as the only option at
+    * 100 TB: on a CLUSTERED corpus most vectors fall into the few cells
+    * whose random centroid happens to point near the data manifold, and
+    * one hot cell absorbs the scan (see MicroBench `ivfprobe` for the
+    * measured imbalance). A deterministic hash-sample follows the data
+    * distribution (a dense region contributes proportionally many seed
+    * candidates) while staying engine-reproducible: the seed set is
+    * `ORDER BY md5(id) LIMIT nCells` in any engine — no RNG state, no
+    * k-means iterations, no extra full pass (the seed scan is
+    * TakeOrderedAndProject: O(nCells) heap per partition, merged on the
+    * driver side of the exchange).
+    * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
+    */
+  def ivfTopKSeeded(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int = 5,
+      nCells: Int = 32,
+      nProbe: Int = 2
+  ): DataFrame =
+    ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
+      seededCentroids(corpus, vecCol, idCol, nCells))
 
-    val corpusCells = cellRanks(corpus, idCol).filter(col("r") === 1).select(col(idCol), col("c"))
-    val queryCells = cellRanks(queries, "query_id").filter(col("r") <= nProbe).select(col("query_id"), col("c"))
+  /** Hash-sampled centroid components `(c, j, w)` (see
+    * [[ivfTopKSeeded]]).
+    */
+  private[ops] def seededCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): DataFrame = {
+    val base = prep(corpus, vecCol, idCol)
+    // 32-bit md5 hash of the id TEXT (portable: DuckDB spells it
+    // ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT)
+    val h = NearDup.hash32(col(idCol).cast("string"))
+    val seeds = base.select(col(idCol), col("v"), h.as("h"))
+      .orderBy(col("h"), col(idCol)).limit(nCells)
+    // cell index = rank within the (tiny) seed set; the window runs
+    // over nCells rows, not the corpus
+    val seedC = seeds.withColumn(
+      "c", (row_number().over(Window.orderBy(col("h"), col(idCol))) - 1).cast("int"))
+    seedC
+      .select(col("c"), posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("c"), col("j"), col("x").as("w"))
+  }
+
+  /** Shared IVF machinery: assign cells by max centroid dot product,
+    * probe `nProbe` cells per query, rescore exactly. `centroids` is a
+    * small `(c, j, w)` component frame — always broadcast.
+    */
+  private def ivfWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int,
+      centroids: DataFrame
+  ): DataFrame = {
+    val corpusCells = cellRanks(corpus, vecCol, idCol, idCol, centroids)
+      .filter(col("r") === 1).select(col(idCol), col("c"))
+    val queryCells = cellRanks(queries, vecCol, idCol, "query_id", centroids)
+      .filter(col("r") <= nProbe).select(col("query_id"), col("c"))
     val cand = corpusCells
       .join(broadcast(queryCells), Seq("c"))
       .filter(col(idCol) =!= col("query_id"))
@@ -131,6 +192,24 @@ object Ann {
       )
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-row centroid ranks `(outId, c, d, r)`: dot product with every
+    * (broadcast) centroid, ranked descending per row. `r = 1` is the
+    * assigned cell. Shared by the IVF paths and MicroBench's
+    * `ivfprobe` cell-balance probe — the probe must measure the exact
+    * assignment the operator computes.
+    */
+  private[ops] def cellRanks(
+      df: DataFrame, vecCol: String, idCol: String, outId: String,
+      centroids: DataFrame): DataFrame = {
+    val vx = prep(df, vecCol, idCol)
+      .select(col(idCol).as(outId), posexplode(col("v")).as(Seq("j", "x")))
+    val w = Window.partitionBy(outId).orderBy(col("d").desc, col("c"))
+    vx.join(broadcast(centroids), Seq("j"))
+      .groupBy(col(outId), col("c"))
+      .agg(sum(col("x") * col("w")).as("d"))
+      .withColumn("r", row_number().over(w))
   }
 
   /** Sign-LSH ANN: corpus and queries get a `planes`-bit hyperplane

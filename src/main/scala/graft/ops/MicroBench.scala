@@ -33,9 +33,30 @@ object MicroBench {
 
     if (args.contains("entry")) {
       // time arbitrary SparkEntry gate entries: MicroBench entry <name>...
+      //
+      // Sentinel (same trust marker as Bench): the never-changing
+      // lineitem scan is timed before and after the entries, so a
+      // one-off A/B measurement carries its own evidence of whether the
+      // environment was degraded (this VM's memory-compaction stalls
+      // have faked 2-3× regressions). Expected constant: 0.24 s at
+      // sf0.1 (BASELINE.md), overridable via SPARK_GRAFT_SENTINEL_SEC.
+      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce() // warm-up
+      val s0 = sentinelOnce()
       args.dropWhile(_ != "entry").drop(1).foreach { k =>
         time(k)(graft.SparkEntry.queries(k)(spark, sfDir))
       }
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
       spark.stop()
       return
     }
@@ -88,6 +109,40 @@ object MicroBench {
       Seq("q1_agg", "q3_shipping", "q5_local", "events_windowed").foreach { k =>
         time(k)(graft.SparkEntry.queries(k)(spark, sfDir))
       }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("ivfprobe")) {
+      // IVF cell-balance probe: max/mean occupied-cell size under the
+      // LCG (data-independent) vs hash-sampled (data-dependent)
+      // centroids, on (a) the raw embeddings and (b) a CLUSTERED
+      // synthetic (every vector pulled 4:1 toward one of 4 anchor
+      // vectors — the shape real embedding corpora have). The claim
+      // under test: LCG centroids let one hot Voronoi cell absorb a
+      // clustered corpus; sampled seeds track the data distribution.
+      val emb = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
+      val dim = 64
+      val nCells = 32
+      val anchors = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") % 4).as("aid"), col("embedding").as("aemb"))
+      val clustered = emb.join(broadcast(anchors), col("vec_id") % 4 === col("aid"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("aemb"), (x, y) => lit(0.25) * x + y).as("embedding"))
+      def balance(name: String, df: DataFrame, centroids: DataFrame): Unit = {
+        val cells = Ann.cellRanks(df, "embedding", "vec_id", "vec_id", centroids)
+          .filter(col("r") === 1)
+          .groupBy("c").agg(count(lit(1)).as("n"))
+          .select("n").collect().map(_.getLong(0))
+        val total = cells.sum.toDouble
+        println(f"$name%-24s occupied=${cells.length}%3d/$nCells max=${cells.max}%6d " +
+          f"mean=${total / cells.length}%9.1f max/mean=${cells.max / (total / cells.length)}%6.2f " +
+          f"hottest-cell-share=${cells.max / total}%5.3f")
+      }
+      balance("raw lcg", emb, Ann.lcgCentroids(spark, dim, nCells))
+      balance("raw seeded", emb, Ann.seededCentroids(emb, "embedding", "vec_id", nCells))
+      balance("clustered lcg", clustered, Ann.lcgCentroids(spark, dim, nCells))
+      balance("clustered seeded", clustered, Ann.seededCentroids(clustered, "embedding", "vec_id", nCells))
       spark.stop()
       return
     }
