@@ -115,8 +115,23 @@ object Sessionize {
                 state.remove()
               } else {
                 state.update(acc)
-                // close when the watermark passes last-event + gap
-                state.setTimeoutTimestamp(acc.lastMs + gapMs)
+                // Close when the watermark passes last-event + gap —
+                // CLAMPED to just above the current watermark: Spark
+                // does NOT filter late input for flatMapGroupsWithState,
+                // so a straggler event older than the watermark would
+                // otherwise request a timeout in the past, and
+                // setTimeoutTimestamp THROWS on that — one late event
+                // killing the whole stream (caught by the Soak harness,
+                // round 10). The clamp closes such a session at the next
+                // trigger instead; the emitted row is identical (close()
+                // reads the accumulator, not the timeout). In batch
+                // execution there is no watermark to read (the getter
+                // throws) and timeouts never fire — skip the clamp.
+                val wmMs =
+                  try state.getCurrentWatermarkMs()
+                  catch { case _: UnsupportedOperationException => Long.MinValue }
+                state.setTimeoutTimestamp(
+                  math.max(acc.lastMs + gapMs, wmMs + 1))
               }
             }
             emitted.result().iterator

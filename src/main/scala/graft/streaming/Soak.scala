@@ -48,10 +48,12 @@ object Soak {
     val t = graft.sources.Tables.parquetDir(spark, sfDir)
     t("events").repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$scratch/events")
+    forceMtimeOrder(s"$scratch/events")
     val docs = t("documents")
       .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
     docs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$scratch/docs")
+    forceMtimeOrder(s"$scratch/docs")
 
     def fileStream(path: String): DataFrame =
       spark.readStream
@@ -101,7 +103,36 @@ object Soak {
       Streaming.runToParquet(bands, s"$scratch/sdm_out", s"$scratch/sdm_ckpt")
     }
 
+    // 4. capped sessions (sessions_capped shape): the one CUSTOM-state
+    // path (flatMapGroupsWithState + event-time timeout) — the
+    // likeliest state leak, previously proven only by single-batch
+    // gates that never fire a timeout. State must stay bounded by the
+    // keys active inside one gap window, not the total user count.
+    soak("sessions_capped", s"$scratch/sc_out") { () =>
+      val sessions = Sessionize.cappedSessions(
+        Streaming.withEventTime(fileStream(s"$scratch/events"), "ts", "10 minutes"),
+        "user_id", "ts",
+        gapMs = 30L * 60 * 1000,
+        capMs = 60L * 60 * 1000
+      ).toDF().select(col("key"), col("session_start"), col("session_end"), col("n_events"), col("capped"))
+      Streaming.runToParquet(sessions, s"$scratch/sc_out", s"$scratch/sc_ckpt")
+    }
+
     spark.stop()
+  }
+
+  /** FileStreamSource picks files by MODIFICATION TIME, not name — the
+    * 32 range files above are written in parallel, so mtime order is
+    * write-completion order (≈ random), and `maxFilesPerTrigger=1`
+    * would replay slices up to days out of event-time order. Stamp
+    * mtimes in part-name order (= range order) so the replay is the
+    * time-ordered stream the harness promises.
+    */
+  private def forceMtimeOrder(dir: String): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
   }
 
   private def wipe(dir: String): Unit = {
