@@ -61,6 +61,57 @@ object MicroBench {
       return
     }
 
+    if (args.contains("mhab")) {
+      // Carried-sig vs join-back A/B for the minhash candidate path
+      // (round-9 verdict adjudication): bandCandidates carries the
+      // k=32-long signature on every band row to delete the candidate
+      // distinct() and all signature join-backs;
+      // bandCandidatesJoinBack ships narrow band rows but pays the
+      // distinct + two join-backs. Signatures are MATERIALIZED to
+      // parquet first so the timed stage is exactly the candidate
+      // generation + scoring, and the full pipelines are timed too.
+      // Sentinel-bracketed like `entry` mode.
+      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      val k = 32; val bandRows = 2; val minEstSim = 0.25
+      NearDup.minhashSigsFromHashed(NearDup.hashedShingles(docs, "text", "doc_id"), "doc_id", k)
+        .write.mode("overwrite").parquet("/tmp/graft_mhab_sigs")
+      val sigs = spark.read.parquet("/tmp/graft_mhab_sigs")
+      def score(cand: DataFrame): DataFrame = {
+        val est = (0 until k)
+          .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
+          .reduce(_ + _)
+          .cast("double") / k
+        cand.select(col("id_a"), col("id_b"), est.as("est_sim"))
+          .filter(col("est_sim") >= minEstSim)
+      }
+      println(s"docs: ${docs.count()}  pairs: ${score(NearDup.bandCandidates(sigs, "doc_id", k, bandRows)).count()}")
+      time("cand carried-sig")(score(NearDup.bandCandidates(sigs, "doc_id", k, bandRows)))
+      time("cand join-back")(score(NearDup.bandCandidatesJoinBack(sigs, "doc_id", k, bandRows)))
+      time("full carried-sig")(NearDup.minhashPairs(docs, "text", "doc_id"))
+      time("full join-back") {
+        val s = NearDup.minhashSigsFromHashed(
+          NearDup.hashedShingles(docs, "text", "doc_id"), "doc_id", k)
+        score(NearDup.bandCandidatesJoinBack(s, "doc_id", k, bandRows))
+      }
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("ngprobe")) {
       // dedup_ngram stage bisection: capped sketch arrays, signatures,
       // band candidates, full pipeline.
@@ -76,6 +127,8 @@ object MicroBench {
       val cand = NearDup.bandCandidates(sigs, "doc_id", 8, 1).select("id_a", "id_b")
       println(s"candidates: ${cand.count()}")
       time("ng-candidates")(cand)
+      time("ng-candidates-joinback")(
+        NearDup.bandCandidatesJoinBack(sigs, "doc_id", 8, 1).select("id_a", "id_b"))
       time("ng-full")(NearDup.ngramJaccardPairs(docs, "text", "doc_id"))
       val j1 = cand.as("c")
         .join(sets.as("h1"), col("c.id_a") === col("h1.doc_id"))

@@ -210,11 +210,14 @@ object NearDup {
     * integer signatures. This deletes the `distinct()` that previously
     * shuffled the FULL candidate multiset (a pair colliding in m bands
     * appeared m times), and carrying `sig` on the band rows lets
-    * MinHash consumers score candidates with zero signature join-backs.
+    * consumers score candidates with zero signature join-backs.
     * Cost trade: band rows widen by the k-long signature (~k·8 bytes),
     * vs. a full candidate-set exchange plus two joins back to the
-    * signature table — the embed path measured the same trade at 2.7×
-    * in favor of carrying (round 8, BASELINE.md).
+    * signature table. Carrying wins when the signature is narrow
+    * (embed: one long, 2.7× — round 8; ngram: k=8 with a ~1M-row
+    * candidate multiset at sf1) and LOSES when it is wide (minhash
+    * k=32: 5× at sf1 — round-10 `MicroBench mhab`), so
+    * [[minhashPairs]] uses [[bandCandidatesJoinBack]] instead.
     */
   private[ops] def bandCandidates(sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame = {
     val nBands = k / bandRows
@@ -237,6 +240,36 @@ object NearDup {
       )
   }
 
+  /** Join-back candidates (same output as [[bandCandidates]]):
+    * sig-free band rows → band equi-join → `distinct()` over the
+    * candidate multiset → two joins back to the signature table. The
+    * band rows stay narrow (id + two ints, no k-long signature), at
+    * the price of a candidate-set exchange plus two signature
+    * join-backs. Used by [[minhashPairs]] (wide k=32 sigs, small
+    * candidate set — wins 5× at sf1 over carrying); see the A/B note
+    * there and `MicroBench mhab`. [[ngramJaccardPairs]] keeps the
+    * carried form (narrow k=8 sigs, ~1M-row candidate multiset).
+    */
+  private[ops] def bandCandidatesJoinBack(
+      sigs: DataFrame, idCol: String, k: Int, bandRows: Int): DataFrame = {
+    val nBands = k / bandRows
+    val br = sigs.select(
+      col(idCol),
+      posexplode(bandKeysOfSig(col("sig"), nBands, bandRows)).as(Seq("band_idx", "band_key")))
+    val cand = br.as("a")
+      .join(
+        br.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with estimated similarity
     * (fraction of matching signature components) at or above
     * `minEstSim`. Output: `id_a, id_b, est_sim`.
@@ -250,7 +283,16 @@ object NearDup {
       minEstSim: Double = 0.25
   ): DataFrame = {
     val sigs = minhashSigsFromHashed(hashedShingles(df, textCol, idCol), idCol, k)
-    val cand = bandCandidates(sigs, idCol, k, bandRows)
+    // JOIN-BACK candidates, not carried-sig (round-10 A/B, `MicroBench
+    // mhab`, sentinel-clean both scales): with k=32 the carried
+    // signature widens every band row by 256 B and the first-collision
+    // conjunct re-evaluates a 32-element equality chain inside the
+    // generated join loop — sf0.1 0.455 vs 0.864 s, sf1 1.33 vs 9.49 s
+    // (candidate stage). The trade flips for ngram (k=8 sigs, ~1M-row
+    // candidate multiset at sf1: the distinct + join-backs cost more
+    // than the narrow carry — 1.37 vs 1.56 s), so ngramJaccardPairs
+    // keeps [[bandCandidates]]. Verdict + numbers in BASELINE.md.
+    val cand = bandCandidatesJoinBack(sigs, idCol, k, bandRows)
     // matching-component count as a codegen'd indicator sum (not a
     // higher-order filter(sequence(...)), which evaluates interpreted
     // with one closure call per component per pair)
@@ -258,8 +300,6 @@ object NearDup {
       .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
       .reduce(_ + _)
       .cast("double") / k
-    // the signatures ride on the candidate rows (bandCandidates), so
-    // scoring is a projection — no signature join-backs, no distinct()
     cand
       .select(col("id_a"), col("id_b"), est.as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
