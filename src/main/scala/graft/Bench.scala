@@ -54,6 +54,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Spark's default 10 MB: broadcasts the dims and ONLY the dims.
       // Round 8's sf1 sweep showed a 64 MB threshold flipping the
       // fact-side joins to driver-built broadcasts (a 6M-row lineitem

@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Sampling, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Sampling, SemDedup, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -1225,21 +1225,30 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
-  private def sqlAnnIvfSeededOracle: String = {
-    val dim = 64
-    val nCells = 32
-    val nProbe = 2
-    // hash-sampled seeds: the nCells rows with the smallest 32-bit md5
-    // id hash (mirrors Ann.ivfTopKSeeded / NearDup.hash32)
+  /** CTE chain (appended after [[sqlEmbedBase]]): hash-seeded
+    * centroids and the resulting Voronoi assignment `cell(vec_id, c)`
+    * plus the full rank frame `rk` — mirrors Ann.seededCentroids +
+    * Ann.cellRanks (seeds = the nCells rows with the smallest 32-bit
+    * md5 id hash, NearDup.hash32). Shared by the seeded-IVF and
+    * SemDeDup oracles so the two can't drift.
+    */
+  private def sqlSeededCellCtes(dim: Int, nCells: Int): String = {
     val dC = s"list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * ct.cv[i]), (x, y) -> x + y)"
-    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
-       |hs AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM n),
+    s"""hs AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM n),
        |sd AS (SELECT vec_id, v, h FROM hs ORDER BY h, vec_id LIMIT $nCells),
        |ct AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c, v AS cv FROM sd),
        |cd AS (SELECT n.vec_id, ct.c, $dC AS d FROM n CROSS JOIN ct),
        |rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r FROM cd),
-       |cell AS (SELECT vec_id, c FROM rk WHERE r = 1),
+       |cell AS (SELECT vec_id, c FROM rk WHERE r = 1)""".stripMargin
+  }
+
+  private def sqlAnnIvfSeededOracle: String = {
+    val dim = 64
+    val nCells = 32
+    val nProbe = 2
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |${sqlSeededCellCtes(dim, nCells)},
        |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $annQueryPred),
        |cand AS (SELECT qc.query_id, cell.vec_id FROM cell JOIN qc USING (c)
        |         WHERE cell.vec_id <> qc.query_id),
@@ -1248,6 +1257,21 @@ object SparkEntry {
        |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** SemDeDup oracle (mirrors SemDedup.pairs): within-cell pairs of
+    * the hash-seeded Voronoi assignment, exact cosine >= minCos.
+    */
+  private def sqlSemDedupPairs(minCos: Double): String = {
+    val dim = 64
+    val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |${sqlSeededCellCtes(dim, nCells = 32)},
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c AS c
+       |       FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, CAST(c AS INT) AS cell, $dotAB / (e1.nrm * e2.nrm) AS cos_sim
+       |FROM pr JOIN n e1 ON pr.id_a = e1.vec_id JOIN n e2 ON pr.id_b = e2.vec_id
+       |WHERE $dotAB / (e1.nrm * e2.nrm) >= $minCos""".stripMargin
   }
 
   private val nearDupEntries: ListMap[String, Entry] = ListMap(
@@ -1396,6 +1420,23 @@ object SparkEntry {
         Ann.ivfTopKSeeded(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
       },
       Some(sqlAnnIvfSeededOracle)
+    ),
+    // SemDeDup (cluster-then-prune): within-cell cosine pairs over the
+    // hash-seeded Voronoi cells. The 0.4 threshold matches dedup_embed
+    // so the two candidate strategies are comparable on the same data.
+    "dedup_semantic" -> Entry(
+      (s, dir) => SemDedup.pairs(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4),
+      Some(sqlSemDedupPairs(0.4))
+    ),
+    "dedup_semantic_drop" -> Entry(
+      (s, dir) => SemDedup.deduplicate(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4)
+        .select(col("vec_id"), col("label")),
+      Some(
+        s"""SELECT vec_id, label FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
+      )
     )
   )
 
@@ -1423,6 +1464,6 @@ object SparkEntry {
       "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
       "dedup_embed", "dedup_clusters", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
       "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features",
-      "pack_sequences", "skew_join", "decontam_overlap"
+      "pack_sequences", "skew_join", "decontam_overlap", "dedup_semantic"
     )
 }

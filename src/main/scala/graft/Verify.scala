@@ -15,6 +15,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // The testdata parquet carries naive timestamp[us]; Spark 4 would
+      // infer TIMESTAMP_NTZ, but the DuckDB oracle compares values as
+      // UTC instants — read them as TIMESTAMP_LTZ (UTC session) so both
+      // engines see identical instants. Set at every builder in graft.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,7 @@ object MicroBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", (!args.contains("noaqe")).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (10 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

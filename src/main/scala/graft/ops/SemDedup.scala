@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540): cluster the embedding space,
+  * then prune within-cluster pairs whose cosine similarity exceeds a
+  * threshold. Complements the LSH family ([[NearDup.embedCosinePairs]])
+  * with the published cluster-then-prune recipe: LSH finds pairs whose
+  * SIGNATURES collide anywhere in the corpus; SemDeDup restricts the
+  * quadratic work to semantically coherent cells, which is what makes
+  * very high thresholds (0.9+) affordable on web-scale corpora.
+  *
+  * Scale posture (100 TB):
+  *   - Cell assignment is the shared IVF machinery
+  *     ([[Ann.cellRanks]] over broadcast [[Ann.seededCentroids]]):
+  *     exploded-vector ⋈ broadcast(centroid components) → one groupBy —
+  *     the corpus never shuffles for assignment beyond its own id key.
+  *   - The within-cell pair join shuffles each side once, keyed on the
+  *     cell id; pairs are enumerated inside the generated sort-merge
+  *     join loop (id_a < id_b and the cosine threshold are join-side
+  *     predicates), never materialized as a cross product.
+  *   - Quadratic work is bounded per cell: E[cell size] = n / nCells,
+  *     so nCells must scale ~n / targetCellSize (the paper uses
+  *     ~n/10k-row clusters at web scale; 32 cells is right for the
+  *     10^3..10^4-vector gate corpora). Centroids are DATA-DEPENDENT
+  *     (hash-sampled seeds, [[Ann.ivfTopKSeeded]]'s rationale), so a
+  *     clustered corpus contributes proportionally many seeds and no
+  *     single Voronoi cell absorbs the manifold; a residual hot cell is
+  *     the skew-join problem and salts the same way ([[Skew]]).
+  *
+  * Determinism: centroid seeds are `ORDER BY md5(id) LIMIT nCells`
+  * (engine-portable, no RNG state, no k-means iterations), and cosines
+  * use the fixed-order left-fold dot product, so an independent engine
+  * (the DuckDB oracle) reproduces pairs bit-for-bit.
+  */
+object SemDedup {
+
+  import NearDup.dot
+
+  /** Within-cell near-duplicate pairs: `(id_a, id_b, cell, cos_sim)`
+    * with `id_a < id_b` and `cos_sim >= minCos`, where both ids are
+    * assigned to the same Voronoi `cell` of the hash-seeded centroids.
+    */
+  def pairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int = 32,
+      minCos: Double = 0.9
+  ): DataFrame = {
+    val centroids = Ann.seededCentroids(df, vecCol, idCol, nCells)
+    val cells = Ann.cellRanks(df, vecCol, idCol, idCol, centroids)
+      .filter(col("r") === 1).select(col(idCol), col("c"))
+    val base = df
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .join(cells, Seq(idCol))
+    val a = base.select(
+      col("c"), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(
+      col("c").as("cb"), col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // equi-join on the cell key; the ordering and threshold predicates
+    // evaluate inside the join so sub-threshold pairs die in the
+    // generated loop (same evaluation-order shape as embedCosinePairs)
+    a.join(b, col("c") === col("cb") && col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("c").cast("int").as("cell"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Corpus with semantic near-duplicates removed: for every
+    * within-cell pair above `minCos`, the larger id is dropped (the
+    * smallest id in each similarity neighborhood survives — the
+    * deterministic stand-in for the paper's keep-one-per-group).
+    */
+  def deduplicate(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int = 32,
+      minCos: Double = 0.9
+  ): DataFrame =
+    NearDup.dropNearDuplicates(df, pairs(df, vecCol, idCol, nCells, minCos), idCol)
+}

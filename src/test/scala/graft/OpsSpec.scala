@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Decontam, Dedup, NearDup, Sampling, TextOps}
+import graft.ops.{Ann, Decontam, Dedup, NearDup, Sampling, SemDedup, TextOps}
 
 /** Behavior + plan-shape tests for the graft.ops layer.
   *
@@ -417,6 +417,24 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("SemDeDup finds the planted near-parallel pairs and keeps one per pair") {
+    val pairs = SemDedup.pairs(vecs, "embedding", "vec_id", nCells = 2, minCos = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ids i and i+5 are jitter-copies (cos ≈ 1); cross-phase pairs sit
+    // well below 0.99 — exactly the five planted pairs must survive
+    assert(pairs == (0L until 5L).map(i => (i, i + 5)).toSet)
+    val kept = SemDedup.deduplicate(vecs, "embedding", "vec_id", nCells = 2, minCos = 0.99)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+  }
+
+  test("SemDeDup within-cell pair join is an equi-join on the cell key") {
+    val plan = executedPlan(
+      SemDedup.pairs(vecs, "embedding", "vec_id", nCells = 2, minCos = 0.99))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join in:\n$plan")
   }
 
   test("LSH ANN buckets via equi-join on band keys (no full scoring pass)") {
