@@ -978,6 +978,64 @@ object SparkEntry {
            |  $fs
            |FROM b""".stripMargin
       }
+    ),
+    // REAL-container VIDEO round trip (round 10, closing the last
+    // stubbed modality): encodeDibAvi writes a genuine AVI — RIFF
+    // chunk tree, BI_RGB uncompressed 24-bit DIB frames — and
+    // decodeVideo hand-parses it back. Raw DIB is lossless, so the
+    // brightness histogram over all 4 frames equals the one the oracle
+    // derives from the pixel FORMULA
+    // g(f,x,y) = (doc_id·31 + f·17 + x·7 + y·13) mod 256 — DuckDB
+    // verifies a real video decode without touching AVI. 4·64 = 256
+    // pixels (a power of two) → exact float normalization.
+    "mm_decode_video" -> Entry(
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.attachVideo(docs(s, dir), "doc_id").toDF(),
+          decode = Multimodal.decodeVideo)
+        val flat = (0 until 8).map(i =>
+          org.apache.spark.sql.functions.element_at(col("features"), i + 1).cast("double").as(s"f$i")
+        )
+        feats.toDF().select(col("doc_id") +: flat: _*)
+      },
+      Some {
+        val bins =
+          "flatten(list_transform(generate_series(0, 3), f -> list_transform(generate_series(0, 63), " +
+            "i -> ((doc_id * 31 + f * 17 + (i % 8) * 7 + (i // 8) * 13) % 256) // 32)))"
+        val fs = (0 until 8)
+          .map(i => s"CAST(len(list_filter(bins, x -> x = $i)) AS DOUBLE) / 256.0 AS f$i")
+          .mkString(",\n  ")
+        s"""WITH b AS (SELECT doc_id, $bins AS bins FROM documents)
+           |SELECT doc_id,
+           |  $fs
+           |FROM b""".stripMargin
+      }
+    ),
+    // REAL frame sampling (every 2nd frame of the AVI round trip):
+    // stats are derived FROM the extracted grayscale frame payloads on
+    // the Spark side, so the gate proves container parsing, frame
+    // stepping, AND pixel recovery; the oracle recomputes them from the
+    // pixel formula. mean = (integer sum)/64.0 — exact in double.
+    "mm_frames" -> Entry(
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Multimodal.frameSampleVideo(
+          Multimodal.attachVideo(docs(s, dir), "doc_id").toDF(), step = 2)
+          .map { fr =>
+            var sum = 0L
+            fr.payload.foreach(b => sum += (b & 0xff))
+            (fr.doc_id, fr.frame_idx, fr.payload.length, sum / fr.payload.length.toDouble)
+          }
+          .toDF("doc_id", "frame_idx", "n_pixels", "mean_brightness")
+      },
+      Some(
+        """SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(64 AS INT) AS n_pixels,
+          |  CAST(list_sum(list_transform(generate_series(0, 63),
+          |    i -> (doc_id * 31 + f * 17 + (i % 8) * 7 + (i // 8) * 13) % 256)) AS DOUBLE) / 64.0
+          |    AS mean_brightness
+          |FROM documents, (SELECT unnest([0, 2]) AS f)""".stripMargin
+      )
     )
   )
 

@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, plus a batched decode/feature-extract path.
   *
-  * The decode step itself is STUBBED (this environment has no
-  * image/audio codecs): [[stubDecode]] derives a deterministic fake
-  * feature vector from the payload bytes. Everything around it — the
-  * binary column representation, the typed-metadata schema, the
-  * `Dataset[T].mapPartitions` batch shape (fixed-size batches, one
-  * decoder init per partition), and the partitioning — is the real
-  * production plumbing a codec-backed decoder would drop into.
+  * All three modalities decode REAL container bytes pure-JVM:
+  * [[decodeImage]] (javax.imageio PNG/BMP/GIF), [[decodeAudio]]
+  * (javax.sound.sampled PCM WAV/AIFF), [[decodeVideo]] (hand-parsed
+  * RIFF/AVI with uncompressed DIB frames — raw pixels need no codec).
+  * [[stubDecode]] remains the deterministic fallback for bytes none of
+  * them can parse — notably COMPRESSED video, the one decode this
+  * codec-less environment genuinely cannot do. Everything around the
+  * decoders — the binary column representation, the typed-metadata
+  * schema, the `Dataset[T].mapPartitions` batch shape (fixed-size
+  * batches, one decoder init per partition), and the partitioning — is
+  * the production plumbing a library-backed decoder drops into.
   *
   * Scale posture (100 TB): payloads stay opaque binary all the way to
   * the decode stage (no driver collect, no per-row UDF dispatch);
@@ -278,8 +282,235 @@ object Multimodal {
     }
   }
 
+  // ---- REAL video: AVI/RIFF container, uncompressed DIB frames ------
+  //
+  // "No codecs in this environment" blocks compressed video only. An
+  // AVI container with BI_RGB (uncompressed) 24-bit DIB frames is raw
+  // pixels inside a RIFF chunk tree — encoding and decoding it is pure
+  // byte arithmetic, no codec involved, exactly like the WAV path
+  // (PCM inside RIFF). That upgrades the last stubbed modality to a
+  // real container round trip; only COMPRESSED video stays out of
+  // reach here, and [[stubDecode]] remains the fallback for it.
+
+  private def writeLE32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def writeLE16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+  }
+  private def writeFcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Deterministic grayscale test video for `doc_id`: `nFrames` frames
+    * of pixel `g(f, x, y) = (doc_id·31 + f·17 + x·7 + y·13) mod 256`,
+    * AVI-encoded by hand (RIFF → hdrl(avih, strl(strh, strf)) →
+    * movi('00db' BI_RGB bottom-up 24-bit rows, stride padded to 4)).
+    * Uncompressed DIB is lossless raw pixels, so [[decodeVideo]]
+    * recovers them exactly — and the brightness histogram is computable
+    * from the FORMULA alone by a SQL oracle that never parses AVI.
+    * Defaults give 4·64 = 256 pixels (a power of two): exact float
+    * normalization.
+    */
+  def encodeDibAvi(docId: Long, w: Int = 8, h: Int = 8, nFrames: Int = 4): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    // one '00db' chunk per frame: raw DIB, bottom-up rows, B=G=R=g
+    val frames = (0 until nFrames).map { f =>
+      val px = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = java.lang.Math.floorMod(docId * 31 + f * 17 + x * 7 + y * 13, 256L).toByte
+          val off = (h - 1 - y) * stride + x * 3 // bottom-up row order
+          px(off) = g; px(off + 1) = g; px(off + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    val strf = { // BITMAPINFOHEADER (40 bytes)
+      val b = new java.io.ByteArrayOutputStream()
+      writeLE32(b, 40); writeLE32(b, w); writeLE32(b, h)
+      writeLE16(b, 1); writeLE16(b, 24) // planes, bitCount
+      writeLE32(b, 0) // biCompression = BI_RGB (uncompressed)
+      writeLE32(b, frameBytes); writeLE32(b, 0); writeLE32(b, 0)
+      writeLE32(b, 0); writeLE32(b, 0)
+      b.toByteArray
+    }
+    val strh = { // AVIStreamHeader (56 bytes)
+      val b = new java.io.ByteArrayOutputStream()
+      writeFcc(b, "vids"); writeFcc(b, "DIB ")
+      writeLE32(b, 0); writeLE16(b, 0); writeLE16(b, 0) // flags, prio, lang
+      writeLE32(b, 0) // initialFrames
+      writeLE32(b, 1); writeLE32(b, 10) // scale, rate → 10 fps
+      writeLE32(b, 0); writeLE32(b, nFrames) // start, length
+      writeLE32(b, frameBytes); writeLE32(b, -1); writeLE32(b, 0) // bufSize, quality, sampleSize
+      writeLE16(b, 0); writeLE16(b, 0); writeLE16(b, w); writeLE16(b, h) // rcFrame
+      b.toByteArray
+    }
+    val avih = { // MainAVIHeader (56 bytes)
+      val b = new java.io.ByteArrayOutputStream()
+      writeLE32(b, 100000); writeLE32(b, frameBytes * 10) // usPerFrame, bytesPerSec
+      writeLE32(b, 0); writeLE32(b, 0) // padding, flags
+      writeLE32(b, nFrames); writeLE32(b, 0); writeLE32(b, 1) // totalFrames, initial, streams
+      writeLE32(b, frameBytes); writeLE32(b, w); writeLE32(b, h)
+      writeLE32(b, 0); writeLE32(b, 0); writeLE32(b, 0); writeLE32(b, 0)
+      b.toByteArray
+    }
+    def chunk(fcc: String, data: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      writeFcc(b, fcc); writeLE32(b, data.length); b.write(data, 0, data.length)
+      if (data.length % 2 == 1) b.write(0) // RIFF chunks pad to even
+      b.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      writeFcc(b, "LIST"); writeLE32(b, body.length + 4); writeFcc(b, kind)
+      b.write(body, 0, body.length)
+      b.toByteArray
+    }
+    val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    val movi = list("movi", frames.flatMap(chunk("00db", _)).toArray)
+    val body = hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    writeFcc(out, "RIFF"); writeLE32(out, body.length + 4); writeFcc(out, "AVI ")
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  private def readLE32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def readLE16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def fcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parsed AVI: (width, height, frames as raw bottom-up BGR bytes).
+    * None for anything that isn't an uncompressed 24-bit DIB AVI.
+    */
+  private def parseDibAvi(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (b.length < 12 || fcc(b, 0) != "RIFF" || fcc(b, 8) != "AVI ") return None
+    var strf: Option[Array[Byte]] = None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk the chunk tree; LIST bodies recurse, leaves are (fcc, size, data)
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fcc(b, p)
+        val sz = readLE32(b, p + 4)
+        if (sz < 0 || p + 8 + sz > end) return // malformed size: stop
+        if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+        else if (id == "strf" && strf.isEmpty) strf = Some(b.slice(p + 8, p + 8 + sz))
+        else if (id.endsWith("db") || id.endsWith("dc")) frames += b.slice(p + 8, p + 8 + sz)
+        p += 8 + sz + (sz % 2) // chunks pad to even
+      }
+    }
+    walk(12, b.length)
+    strf.flatMap { s =>
+      if (s.length < 40) None
+      else {
+        val (w, h) = (readLE32(s, 4), readLE32(s, 8))
+        val (bitCount, compression) = (readLE16(s, 14), readLE32(s, 16))
+        val stride = ((w * 3 + 3) / 4) * 4
+        if (w <= 0 || h <= 0 || bitCount != 24 || compression != 0 ||
+          frames.isEmpty || frames.exists(_.length < stride * h)) None
+        else Some((w, h, frames.toSeq))
+      }
+    }
+  }
+
+  /** REAL video decode — hand-parsed RIFF/AVI with uncompressed 24-bit
+    * DIB frames (raw pixels; no codec exists or is needed for BI_RGB).
+    * Returns the 8-bin brightness histogram over every pixel of every
+    * frame, L1-normalized — the same 8-float shape as the other
+    * decoders, drop-in for [[extractFeatures]]. Compressed video (the
+    * part that genuinely needs codecs this environment lacks) and
+    * anything malformed falls back to [[stubDecode]]: a mixed corpus
+    * never kills the job.
+    */
+  def decodeVideo(payload: Array[Byte]): Array[Float] =
+    try {
+      parseDibAvi(payload) match {
+        case None => stubDecode(payload)
+        case Some((w, h, frames)) =>
+          val stride = ((w * 3 + 3) / 4) * 4
+          val hist = new Array[Float](8)
+          frames.foreach { px =>
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val off = y * stride + x * 3 // row order is irrelevant to a histogram
+                val s = (px(off) & 0xff) + (px(off + 1) & 0xff) + (px(off + 2) & 0xff)
+                hist((s / 3) >>> 5) += 1f
+                x += 1
+              }
+              y += 1
+            }
+          }
+          val n = math.max(frames.size.toLong * w * h, 1L).toFloat
+          hist.map(_ / n)
+      }
+    } catch { case scala.util.control.NonFatal(_) => stubDecode(payload) }
+
+  /** Real-AVI multimodal records: one [[encodeDibAvi]] clip per row.
+    * The producer side of the video round trip that
+    * [[extractFeatures]]`(decode = decodeVideo)` closes — narrow
+    * per-partition encode, same shape as [[attachImage]]/[[attachAudio]].
+    */
+  def attachVideo(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8,
+      nFrames: Int = 4): Dataset[MMRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map(id => MMRecord(id, "video/avi", w, h, encodeDibAvi(id, w, h, nFrames)))
+    }
+  }
+
   /** One sampled frame: parent doc, frame index, frame payload. */
   final case class MMFrame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** REAL frame sampling over AVI payloads: parse the container
+    * ([[parseDibAvi]]) and emit every `step`-th frame as one
+    * [[MMFrame]] whose payload is the frame's grayscale pixels
+    * (top-down row order, one byte per pixel; `frame_idx` keeps the
+    * ORIGINAL frame number) — the keyframe-extraction explode shape,
+    * fed by real container bytes. Payloads that aren't uncompressed-DIB
+    * AVI yield no frames (there is nothing to extract) rather than
+    * failing the job. Narrow flatMap: pipelines with the scan,
+    * shuffles nothing.
+    */
+  def frameSampleVideo(mm: DataFrame, step: Int = 1): Dataset[MMFrame] = {
+    require(step > 0, "step must be positive")
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.as[MMRecord].flatMap { r =>
+      parseDibAvi(r.payload).toSeq.flatMap { case (w, h, frames) =>
+        val stride = ((w * 3 + 3) / 4) * 4
+        (0 until frames.size by step).map { f =>
+          val px = frames(f)
+          val gray = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val off = (h - 1 - y) * stride + x * 3 // flip bottom-up → top-down
+              val s = (px(off) & 0xff) + (px(off + 1) & 0xff) + (px(off + 2) & 0xff)
+              gray(y * w + x) = (s / 3).toByte
+              x += 1
+            }
+            y += 1
+          }
+          MMFrame(r.doc_id, f, gray)
+        }
+      }
+    }
+  }
 
   /** STUB frame sampling — stands in for video keyframe extraction:
     * `nFrames` deterministic slices of the payload per record, one

@@ -150,6 +150,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.map(_.features.toSeq).distinct.length == 4)
   }
 
+  test("real AVI round trip: RIFF/DIB parse recovers the exact pixel histogram") {
+    // encodeDibAvi pixels follow g(f,x,y) = (id·31 + f·17 + x·7 + y·13)
+    // mod 256; uncompressed DIB is raw pixels, so the decoded
+    // brightness histogram must equal the formula's — no tolerance.
+    for (id <- Seq(0L, 7L, 123456789L)) {
+      val avi = Multimodal.encodeDibAvi(id)
+      assert(new String(avi.take(4), "US-ASCII") == "RIFF") // real RIFF container
+      assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+      val expected = new Array[Float](8)
+      for (f <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
+        expected(java.lang.Math.floorMod(id * 31 + f * 17 + x * 7 + y * 13, 256L).toInt >>> 5) += 1f / 256f
+      assert(Multimodal.decodeVideo(avi).sameElements(expected))
+    }
+  }
+
+  test("decodeVideo falls back to the stub on non-video and malformed bytes") {
+    val junk = Array.tabulate[Byte](32)(_.toByte)
+    assert(Multimodal.decodeVideo(junk).sameElements(Multimodal.stubDecode(junk)))
+    // a WAV is valid RIFF but not AVI — must also fall back, not throw
+    val wav = Multimodal.encodePcmWav(7L)
+    assert(Multimodal.decodeVideo(wav).sameElements(Multimodal.stubDecode(wav)))
+    // corrupted chunk sizes inside a real AVI must never throw
+    val avi = Multimodal.encodeDibAvi(7L)
+    for (off <- Seq(16, 40, 100); b <- Seq(0xff.toByte, 0x80.toByte)) {
+      val bad = avi.clone(); bad(off) = b; bad(off + 1) = b; bad(off + 2) = b; bad(off + 3) = b
+      assert(Multimodal.decodeVideo(bad).length == 8) // must not throw
+    }
+  }
+
+  test("frameSampleVideo extracts every step-th frame with exact grayscale pixels") {
+    val mm = Multimodal.attachVideo(docs, "doc_id").toDF()
+    val frames = Multimodal.frameSampleVideo(mm, step = 2).collect()
+    assert(frames.length == 4 * 2) // 4 docs × frames {0, 2}
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSet ==
+      (for (id <- 0L until 4L; f <- Seq(0, 2)) yield (id, f)).toSet)
+    for (fr <- frames; y <- 0 until 8; x <- 0 until 8)
+      assert((fr.payload(y * 8 + x) & 0xff) ==
+        java.lang.Math.floorMod(fr.doc_id * 31 + fr.frame_idx * 17 + x * 7 + y * 13, 256L).toInt)
+    // non-AVI payloads yield no frames, and never throw
+    val nonAvi = Multimodal.attachBinary(docs, "text", "doc_id")
+    assert(Multimodal.frameSampleVideo(nonAvi).collect().isEmpty)
+  }
+
+  test("attachVideo + real decode: end-to-end features over a corpus") {
+    val feats = Multimodal
+      .extractFeatures(Multimodal.attachVideo(docs, "doc_id").toDF(), decode = Multimodal.decodeVideo)
+      .collect().sortBy(_.doc_id)
+    assert(feats.length == 4)
+    for (f <- feats) {
+      assert(f.mime == "video/avi")
+      assert(f.features.length == 8 && math.abs(f.features.sum - 1.0f) < 1e-6)
+      assert(f.n_bytes > 4 * 192) // a real container: headers + 4 raw DIB frames
+    }
+    assert(feats.map(_.features.toSeq).distinct.length == 4)
+  }
+
   test("decode stage is a narrow map: partitioning preserved, no shuffle") {
     val mm = Multimodal.attachBinary(docs.repartition(3), "text", "doc_id")
     val feats = Multimodal.extractFeatures(mm)
