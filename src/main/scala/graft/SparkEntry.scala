@@ -1036,6 +1036,35 @@ object SparkEntry {
           |    AS mean_brightness
           |FROM documents, (SELECT unnest([0, 2]) AS f)""".stripMargin
       )
+    ),
+    // REAL resize round trip (round 10): the 8×8 formula PNG is
+    // nearest-neighbor downsampled to 4×4 (source pixel (2x, 2y) —
+    // integer floor, no interpolation) and re-encoded as PNG; decoding
+    // the result must yield the histogram the oracle derives from the
+    // formula AT THE SAMPLED COORDINATES:
+    // g(x,y) = (doc_id·31 + 2x·7 + 2y·13) mod 256. 16 pixels → exact.
+    "mm_resize" -> Entry(
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.resize(
+            Multimodal.attachImage(docs(s, dir), "doc_id").toDF(), 4, 4).toDF(),
+          decode = Multimodal.decodeImage)
+        val flat = (0 until 8).map(i =>
+          org.apache.spark.sql.functions.element_at(col("features"), i + 1).cast("double").as(s"f$i")
+        )
+        feats.toDF().select(col("doc_id") +: flat: _*)
+      },
+      Some {
+        val bins =
+          "list_transform(generate_series(0, 15), i -> ((doc_id * 31 + (i % 4) * 14 + (i // 4) * 26) % 256) // 32)"
+        val fs = (0 until 8)
+          .map(i => s"CAST(len(list_filter(bins, x -> x = $i)) AS DOUBLE) / 16.0 AS f$i")
+          .mkString(",\n  ")
+        s"""WITH b AS (SELECT doc_id, $bins AS bins FROM documents)
+           |SELECT doc_id,
+           |  $fs
+           |FROM b""".stripMargin
+      }
     )
   )
 

@@ -261,6 +261,68 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize — ImageIO decode, deterministic nearest-neighbor
+    * resample of per-pixel brightness (`sx = x·srcW / tw`, integer
+    * floor — no interpolation, so the result is bit-exact on every JVM,
+    * unlike Graphics2D scaling), PNG re-encode. The output is a
+    * single-band brightness raster: the downstream feature path
+    * ([[decodeImage]]) consumes brightness only, and collapsing bands
+    * at resize time is the usual pre-embedding normalization. Returns
+    * None for bytes ImageIO can't parse — [[resize]] falls back to the
+    * stub for those records so a mixed corpus still flows.
+    */
+  def resizeImage(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (sw, sh, raster, bands) = (img.getWidth, img.getHeight, img.getRaster, img.getRaster.getNumBands)
+        val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val outRaster = out.getRaster
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * sh / th).toInt
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * sw / tw).toInt
+            var s = 0; var b = 0
+            while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
+            outRaster.setSample(x, y, 0, s / bands)
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bytes)
+        Some(bytes.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resize pass over multimodal records: REAL nearest-neighbor
+    * resample ([[resizeImage]]) for payloads ImageIO can decode, the
+    * deterministic byte-cycling stub for everything else. Narrow
+    * per-partition map, metadata updated either way.
+    */
+  def resize(mm: DataFrame, targetW: Int, targetH: Int): Dataset[MMRecord] = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.as[MMRecord].mapPartitions { rows =>
+      rows.map { r =>
+        resizeImage(r.payload, targetW, targetH) match {
+          case Some(png) => r.copy(width = targetW, height = targetH, payload = png)
+          case None =>
+            if (r.payload.isEmpty) r.copy(width = targetW, height = targetH)
+            else {
+              val outLen = math.max(1, (r.payload.length.toLong * (targetW.toLong * targetH) /
+                math.max(1L, r.width.toLong * r.height)).toInt)
+              val out = Array.tabulate(outLen)(i => r.payload(i % r.payload.length))
+              r.copy(width = targetW, height = targetH, payload = out)
+            }
+        }
+      }
+    }
+  }
+
   /** STUB resize — stands in for an image rescale. Deterministic: the
     * output payload is the byte sequence cycled/truncated to the area
     * ratio, metadata updated to the target dimensions. Same narrow

@@ -206,6 +206,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.map(_.features.toSeq).distinct.length == 4)
   }
 
+  test("real resize: nearest-neighbor downsample recovers exact sampled pixels") {
+    // 8×8 → 4×4 picks source pixel (2x, 2y); the re-encoded PNG must
+    // decode to exactly those formula values — no tolerance
+    for (id <- Seq(0L, 7L, 123456789L)) {
+      val resized = Multimodal.resizeImage(Multimodal.encodeGrayPng(id), 4, 4).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      for (y <- 0 until 4; x <- 0 until 4)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          java.lang.Math.floorMod(id * 31 + (2 * x) * 7 + (2 * y) * 13, 256L).toInt)
+    }
+    // upscale sanity: 8×8 → 16×16 repeats each source pixel 2×2
+    val up = Multimodal.resizeImage(Multimodal.encodeGrayPng(7L), 16, 16).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(img.getRaster.getSample(x, y, 0) ==
+        java.lang.Math.floorMod(7L * 31 + (x / 2) * 7 + (y / 2) * 13, 256L).toInt)
+  }
+
+  test("resize falls back to the byte-cycling stub for non-image payloads") {
+    val mm = Multimodal.attachBinary(docs, "text", "doc_id") // md5 bytes, not images
+    val real = Multimodal.resize(mm, 16, 16).collect().sortBy(_.doc_id)
+    val stub = Multimodal.resizeStub(mm, 16, 16).collect().sortBy(_.doc_id)
+    for ((a, b) <- real.zip(stub)) {
+      assert(a.width == 16 && a.height == 16)
+      assert(a.payload.sameElements(b.payload)) // identical fallback behavior
+    }
+  }
+
   test("decode stage is a narrow map: partitioning preserved, no shuffle") {
     val mm = Multimodal.attachBinary(docs.repartition(3), "text", "doc_id")
     val feats = Multimodal.extractFeatures(mm)
