@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Sampling, SemDedup, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Quantize, Sampling, SemDedup, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -1515,6 +1515,27 @@ object SparkEntry {
       (s, dir) => SemDedup.pairs(
         Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4),
       Some(sqlSemDedupPairs(0.4))
+    ),
+    // Scalar int8 quantization (FAISS-SQ8-style): corpus-wide
+    // per-dimension extrema, then floor-linear codes. Exploded
+    // (vec_id, pos, code) projection — scalar columns compare exactly
+    // across engines. The fixed double-op order (subtract, ·255, ÷
+    // range) is spelled identically in both engines so every code
+    // matches bit-for-bit.
+    "embed_quantize" -> Entry(
+      (s, dir) => Quantize.quantizeCodes(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id"),
+      Some(
+        s"""${sqlEmbedBase(64)},
+           |ex AS (SELECT i AS p, min(n.v[i]) AS mn, max(n.v[i]) AS mx
+           |       FROM n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) GROUP BY i)
+           |SELECT n.vec_id, CAST(ex.p - 1 AS INT) AS pos,
+           |  CAST(least(greatest(
+           |    CASE WHEN ex.mx = ex.mn THEN 0.0
+           |         ELSE floor((n.v[ex.p] - ex.mn) * 255.0 / (ex.mx - ex.mn)) END,
+           |    0.0), 255.0) AS INT) AS code
+           |FROM n CROSS JOIN ex""".stripMargin
+      )
     ),
     "dedup_semantic_drop" -> Entry(
       (s, dir) => SemDedup.deduplicate(
