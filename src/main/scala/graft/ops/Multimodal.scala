@@ -42,6 +42,13 @@ object Multimodal {
       features: Array[Float]
   )
 
+  // ImageIO's default stream cache spools every read/write through a
+  // TEMP FILE; with thousands of small in-memory payloads per partition
+  // that is a disk round trip per image. Heap-backed caching only.
+  // (Class-load-time, executor-side: mapPartitions closures referencing
+  // Multimodal trigger this before the first decode.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val Mimes = Seq("image/png", "audio/wav", "video/mp4")
 
   /** Synthesize a deterministic 32-byte binary payload + typed metadata
@@ -140,7 +147,38 @@ object Multimodal {
     * closes); anything the parser rejects — or wider sample formats —
     * falls back to the stub so a mixed corpus never kills the job.
     */
-  def decodeAudio(payload: Array[Byte]): Array[Float] =
+  def decodeAudio(payload: Array[Byte]): Array[Float] = {
+    // Fast path: hand-parsed RIFF/WAVE PCM. AudioSystem's provider
+    // probing takes a GLOBAL registry lock per call — measured 7.9 s
+    // for 50k in-memory WAVs at sf1 (decodes serialize across all 32
+    // threads) vs 0.2 s for the equivalent hand-parsed AVI walk. A
+    // PCM 'fmt '+'data' walk is ~20 lines against the same readLE
+    // helpers as the AVI path; AIFF/AU and non-RIFF containers still
+    // take the AudioSystem path below.
+    if (payload.length >= 12 && fcc(payload, 0) == "RIFF" && fcc(payload, 8) == "WAVE") {
+      var fmtTag = -1; var bits = -1
+      var data: (Int, Int) = null // (offset, length)
+      var p = 12
+      while (p + 8 <= payload.length && (fmtTag < 0 || data == null)) {
+        val id = fcc(payload, p)
+        val sz = readLE32(payload, p + 4)
+        if (sz < 0 || p + 8 + sz > payload.length) return stubDecode(payload)
+        if (id == "fmt " && sz >= 16) {
+          fmtTag = readLE16(payload, p + 8)
+          bits = readLE16(payload, p + 8 + 14)
+        } else if (id == "data") data = (p + 8, sz)
+        p += 8 + sz + (sz % 2)
+      }
+      if (fmtTag != 1 || data == null) return stubDecode(payload) // non-PCM → no 8-bit samples
+      if (bits != 8) return stubDecode(payload) // same contract as the slow path
+      // 8-bit WAV PCM is unsigned by spec — raw byte IS the amplitude
+      val (off, len) = data
+      val hist = new Array[Float](8)
+      var i = off
+      while (i < off + len) { hist((payload(i) & 0xff) >>> 5) += 1f; i += 1 }
+      val n = math.max(len, 1).toFloat
+      return hist.map(_ / n)
+    }
     try {
       val ais = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
@@ -169,25 +207,34 @@ object Multimodal {
       // from the JDK parser — fall back to the stub, never kill the job
       case scala.util.control.NonFatal(_) => stubDecode(payload)
     }
+  }
 
   /** Deterministic 8-bit unsigned PCM WAV for `doc_id`: sample
-    * `s(i) = (doc_id·31 + i·7) mod 256`, WAV-encoded with
-    * `javax.sound.sampled`. PCM is lossless, so [[decodeAudio]]
-    * recovers the exact samples — and the amplitude histogram is
-    * computable from the FORMULA alone by a SQL oracle that never
-    * parses WAV. 64 samples (a power of two) keeps the float
-    * normalization exact.
+    * `s(i) = (doc_id·31 + i·7) mod 256` inside a genuine RIFF/WAVE
+    * container (`javax.sound.sampled.AudioSystem` parses it — spec-
+    * asserted). PCM is lossless, so [[decodeAudio]] recovers the exact
+    * samples — and the amplitude histogram is computable from the
+    * FORMULA alone by a SQL oracle that never parses WAV. 64 samples
+    * (a power of two) keeps the float normalization exact.
     */
   def encodePcmWav(docId: Long, nSamples: Int = 64): Array[Byte] = {
-    val samples = Array.tabulate(nSamples)(i =>
-      java.lang.Math.floorMod(docId * 31 + i * 7, 256L).toByte)
-    val fmt = new javax.sound.sampled.AudioFormat(
-      8000f, 8, 1, /* signed = */ false, /* bigEndian = */ false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(samples), fmt, nSamples.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    // canonical 44-byte RIFF/WAVE/fmt/data header written by hand:
+    // AudioSystem.write holds the same global provider lock as
+    // getAudioInputStream (measured: ~3.4 s of the sf1 audio gate was
+    // the ENCODE side serializing). The spec proves interop by parsing
+    // these bytes back through AudioSystem itself.
+    val out = new java.io.ByteArrayOutputStream(44 + nSamples)
+    writeFcc(out, "RIFF"); writeLE32(out, 36 + nSamples); writeFcc(out, "WAVE")
+    writeFcc(out, "fmt "); writeLE32(out, 16)
+    writeLE16(out, 1); writeLE16(out, 1) // PCM, mono
+    writeLE32(out, 8000); writeLE32(out, 8000) // sample rate, byte rate
+    writeLE16(out, 1); writeLE16(out, 8) // block align, 8-bit (unsigned by spec)
+    writeFcc(out, "data"); writeLE32(out, nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out.write(java.lang.Math.floorMod(docId * 31 + i * 7, 256L).toInt)
+      i += 1
+    }
     out.toByteArray
   }
 

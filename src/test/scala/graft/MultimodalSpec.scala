@@ -97,6 +97,18 @@ class MultimodalSpec extends SparkTestBase {
       for (i <- 0 until 64)
         expected(java.lang.Math.floorMod(id * 31 + i * 7, 256L).toInt >>> 5) += 1f / 64f
       assert(Multimodal.decodeAudio(wav).sameElements(expected))
+      // interop: the JDK's own parser accepts the hand-written header
+      // and recovers the identical samples (encode is hand-rolled for
+      // speed — AudioSystem holds a global lock per call)
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1)
+      assert(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+      val frames = ais.readAllBytes()
+      assert(frames.length == 64)
+      for (i <- 0 until 64)
+        assert((frames(i) & 0xff) == java.lang.Math.floorMod(id * 31 + i * 7, 256L).toInt)
     }
   }
 
