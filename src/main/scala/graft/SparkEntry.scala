@@ -571,6 +571,17 @@ object SparkEntry {
            |  substr(md5($sqlNorm), 1, 16) AS fp64 FROM documents""".stripMargin
       )
     ),
+    // Feature hashing (hashing trick): md5-based hash32 of normalized
+    // tokens mod 1024 → per-doc bucket counts. Sparse (doc, bucket,
+    // cnt) rows — scalar columns, exact cross-engine compare.
+    "text_hash_features" -> Entry(
+      (s, dir) => TextOps.hashedFeatures(docs(s, dir), "text", "doc_id"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array($sqlNorm, ' ')) AS x FROM documents)
+           |SELECT doc_id, CAST(${sqlHash32Of("x")} % 1024 AS INT) AS bucket, count(*) AS cnt
+           |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
+      )
+    ),
     "dedup_exact" -> Entry(
       (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id"),
       Some(

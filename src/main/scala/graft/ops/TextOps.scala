@@ -285,4 +285,29 @@ object TextOps {
       substring(fp, 1, 16).as("fp64")
     )
   }
+
+  /** Feature hashing (the hashing trick): normalized whitespace tokens
+    * → `hash32(token) mod nBuckets` → per-document bucket counts — the
+    * standard cheap sparse text vectorizer in front of a quality /
+    * language classifier (fastText-style bag-of-words at CCNet scale)
+    * when a learned vocabulary is impossible at corpus size. Sparse
+    * exploded output: `(idCol, bucket, cnt)` — only occupied buckets
+    * materialize.
+    *
+    * Scale posture (100 TB): explode → codegen hash+pmod projection →
+    * ONE map-side-combined shuffle keyed `(id, bucket)` — the count
+    * aggregate collapses each document's repeated tokens before the
+    * exchange, so the shuffle carries at most `min(n_tokens, nBuckets)`
+    * rows per document. Portable md5-based hash32: any engine
+    * reproduces bucket ids bit-for-bit.
+    */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    df.select(col(idCol), explode(NearDup.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), pmod(NearDup.hash32(col("tok")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

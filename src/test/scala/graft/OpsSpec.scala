@@ -419,6 +419,19 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("feature hashing: bucket counts sum to token count, identical tokens collide") {
+    val out = TextOps.hashedFeatures(docs, "text", "doc_id", nBuckets = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    // doc 1: 9 whitespace tokens; "the" appears twice → one bucket carries 2
+    val d1 = out.collect { case ((1L, b), c) => b -> c }
+    assert(d1.map(_._2).sum == 9)
+    assert(d1.count(_._2 >= 2) >= 1)
+    // docs 1 and 2 are identical after normalize → identical sparse vectors
+    val d2 = out.collect { case ((2L, b), c) => b -> c }
+    assert(d1.toMap == d2.toMap)
+  }
+
   test("SemDeDup finds the planted near-parallel pairs and keeps one per pair") {
     val pairs = SemDedup.pairs(vecs, "embedding", "vec_id", nCells = 2, minCos = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
