@@ -582,6 +582,29 @@ object SparkEntry {
            |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
       )
     ),
+    // Line-wise dedup (RefinedWeb): first corpus-wide occurrence of
+    // each '. '-fragment survives; documents reassemble in order.
+    // Reassembled text compares byte-for-byte across engines.
+    "dedup_lines" -> Entry(
+      (s, dir) => Dedup.dedupLines(docs(s, dir), "text", "doc_id"),
+      Some(
+        s"""WITH f AS (
+           |  SELECT doc_id, unnest(fr) AS frag, generate_subscripts(fr, 1) AS pos
+           |  FROM (SELECT doc_id, regexp_split_to_array($sqlNorm, '\\. ') AS fr FROM documents)
+           |),
+           |k AS (
+           |  SELECT doc_id, pos, frag,
+           |    row_number() OVER (PARTITION BY md5(frag) ORDER BY doc_id, pos) AS rn
+           |  FROM f WHERE frag <> ''
+           |),
+           |r AS (
+           |  SELECT doc_id, string_agg(frag, '. ' ORDER BY pos) AS text
+           |  FROM k WHERE rn = 1 GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, coalesce(r.text, '') AS text
+           |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+      )
+    ),
     "dedup_exact" -> Entry(
       (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id"),
       Some(

@@ -34,4 +34,44 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Fragment-level (line-wise) exact dedup — RefinedWeb's "line-wise
+    * deduplication" / C4's span dedup at sentence granularity: split
+    * each normalized document on `". "`, keep only the FIRST corpus-
+    * wide occurrence of every repeated fragment (first = smallest
+    * `(idCol, position)`), and reassemble the survivors in document
+    * order. Boilerplate repeated across pages (headers, cookie
+    * banners, navigation) disappears from every document but its
+    * first, while unique prose is untouched.
+    *
+    * Output: `(idCol, text)` — row-preserving: a document whose every
+    * fragment was seen earlier comes back as the empty string, not a
+    * dropped row.
+    *
+    * Scale posture (100 TB): two digest-keyed shuffles — fragments
+    * shuffle once on their md5 (the keep-first window; 16-byte keys,
+    * not fragment bodies, dominate the exchange) and survivors shuffle
+    * once on the document id for reassembly. No joins against full
+    * text, no cartesian anything. The same rule is expressible in SQL,
+    * so the DuckDB oracle reproduces reassembled documents
+    * byte-for-byte.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val frags = df
+      .select(col(idCol), posexplode(split(TextOps.normalize(col(textCol)), "\\. ")).as(Seq("pos", "frag")))
+      .filter(length(col("frag")) > 0)
+    val keepFirst = Window.partitionBy(md5(col("frag").cast("binary")))
+      .orderBy(col(idCol), col("pos"))
+    val kept = frags
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1)
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("frag")))), _.getField("frag")),
+        ". ").as("text"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
+  }
 }

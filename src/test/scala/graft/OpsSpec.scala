@@ -419,6 +419,22 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("line-wise dedup keeps the first corpus occurrence of a repeated fragment") {
+    val pages = Seq(
+      (1L, "welcome to example. unique first page prose. all rights reserved"),
+      (2L, "welcome to example. second page content. all rights reserved"),
+      (3L, "welcome to example"), // nothing but boilerplate
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(pages, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "welcome to example. unique first page prose. all rights reserved")
+    assert(out(2L) == "second page content") // both boilerplate lines died
+    assert(out(3L) == "") // fully-boilerplate doc → empty, row preserved
+    assert(out(4L) == "")
+    assert(out.size == 4)
+  }
+
   test("feature hashing: bucket counts sum to token count, identical tokens collide") {
     val out = TextOps.hashedFeatures(docs, "text", "doc_id", nBuckets = 64)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
