@@ -194,6 +194,19 @@ object SparkEntry {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")
     ),
+    // ORC round trip (same proof shape as src_csv): ORC carries its
+    // schema, so no pinning or cast-back is needed — the reread must
+    // hash-match the parquet original the oracle reads directly.
+    "src_orc" -> Entry(
+      (s, dir) => {
+        val tmp = gateScratch("orc", dir)
+        if (!scratchComplete(s"$tmp/supplier.orc"))
+          Tables.parquetDir(s, dir)("supplier")
+            .write.mode("overwrite").orc(s"$tmp/supplier.orc")
+        Tables.dir(s, tmp)("supplier")
+      },
+      Some("SELECT * FROM supplier")
+    ),
     "src_json" -> Entry(
       (s, dir) => {
         val tmp = gateScratch("json", dir)

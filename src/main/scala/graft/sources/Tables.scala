@@ -55,9 +55,10 @@ object Tables {
     name => cached(spark, s"$dir/$name.parquet")(load(spark, s"$dir/$name.parquet"))
 
   /** Format-aware catalog over a directory: resolves
-    * `<dir>/<name>.parquet`, `.csv` (header, explicit-schema-free CSV
-    * gets inference — pin schemas with `csvSchemas` to avoid drift),
-    * or `.json` (line-delimited), whichever exists.
+    * `<dir>/<name>.parquet`, `.orc` (schema-carrying, like parquet),
+    * `.csv` (header, explicit-schema-free CSV gets inference — pin
+    * schemas with `csvSchemas` to avoid drift), or `.json`
+    * (line-delimited), whichever exists.
     */
   def dir(
       spark: SparkSession,
@@ -70,7 +71,8 @@ object Tables {
     if (exists(spark, s"$base.parquet"))
       cached(spark, s"$base.parquet")(load(spark, s"$base.parquet"))
     else cached(spark, base)(
-      if (exists(spark, s"$base.csv")) {
+      if (exists(spark, s"$base.orc")) spark.read.orc(s"$base.orc")
+      else if (exists(spark, s"$base.csv")) {
         val r = spark.read.option("header", "true")
         csvSchemas.get(name) match {
           case Some(schema) => r.schema(schema).csv(s"$base.csv")
@@ -78,7 +80,7 @@ object Tables {
         }
       } else if (exists(spark, s"$base.json")) spark.read.json(s"$base.json")
       else throw new IllegalArgumentException(
-        s"no table $name under $dir (tried .parquet/.csv/.json)"
+        s"no table $name under $dir (tried .parquet/.orc/.csv/.json)"
       )
     )
   }

@@ -31,6 +31,17 @@ class TablesSpec extends SparkTestBase {
     assert(cat("events").count() == 2)
   }
 
+  test("orc resolves, schema carried through the round trip") {
+    import SparkTestBase.spark.implicits._
+    val d = Files.createTempDirectory("graft-orc").toFile
+    d.deleteOnExit()
+    Seq((1, "ada"), (2, "grace")).toDF("id", "name")
+      .write.mode("overwrite").orc(s"${d.getAbsolutePath}/people.orc")
+    val df = Tables.dir(spark, d.getAbsolutePath)("people")
+    assert(df.schema.simpleString == "struct<id:int,name:string>") // no inference, no pinning
+    assert(df.orderBy("id").collect().map(_.getString(1)).sameElements(Array("ada", "grace")))
+  }
+
   test("parquet takes precedence and nano timestamps are normalized") {
     val cat = Tables.dir(spark, "/root/testdata/sf0.001")
     val ev = cat("events")
