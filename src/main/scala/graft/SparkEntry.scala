@@ -584,6 +584,16 @@ object SparkEntry {
            |  substr(md5($sqlNorm), 1, 16) AS fp64 FROM documents""".stripMargin
       )
     ),
+    // Corpus vocabulary top-100: count desc, token asc — total-order
+    // deterministic cut both engines agree on.
+    "text_vocab" -> Entry(
+      (s, dir) => TextOps.vocabulary(docs(s, dir), "text"),
+      Some(
+        s"""SELECT x AS token, count(*) AS cnt
+           |FROM (SELECT unnest(regexp_split_to_array($sqlNorm, ' ')) AS x FROM documents)
+           |WHERE x <> '' GROUP BY x ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+      )
+    ),
     // Feature hashing (hashing trick): md5-based hash32 of normalized
     // tokens mod 1024 → per-doc bucket counts. Sparse (doc, bucket,
     // cnt) rows — scalar columns, exact cross-engine compare.

@@ -301,6 +301,27 @@ object TextOps {
     * rows per document. Portable md5-based hash32: any engine
     * reproduces bucket ids bit-for-bit.
     */
+  /** Corpus vocabulary top-k: normalized-token frequencies, highest
+    * count first (token text breaks ties, so the cut is total-order
+    * deterministic — the round-5 non-unique-sort-key lesson). The
+    * Zipf-curve / vocabulary-coverage pass every corpus report runs.
+    *
+    * Scale posture (100 TB): explode → ONE map-side-combined count
+    * aggregate keyed by token (the combine collapses each partition's
+    * repeats before the exchange) → `TakeOrderedAndProject` for the
+    * top-k cut (per-partition partial top-k, no global sort).
+    * Output: `(token, cnt)`.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
+
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

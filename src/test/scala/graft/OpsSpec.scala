@@ -419,6 +419,17 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("vocabulary top-k counts normalized tokens with a deterministic tie cut") {
+    val out = TextOps.vocabulary(docs, "text", k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // "the": 2+2+2 = 6 across docs 1-3; next are the 4-count shared tokens,
+    // tie-broken alphabetically: brown(3)... actually count ties cut by token asc
+    assert(out.head == ("the" -> 6L))
+    assert(out.length == 3)
+    assert(out.sliding(2).forall { case Array((ta, ca), (tb, cb)) =>
+      ca > cb || (ca == cb && ta < tb) })
+  }
+
   test("line-wise dedup keeps the first corpus occurrence of a repeated fragment") {
     val pages = Seq(
       (1L, "welcome to example. unique first page prose. all rights reserved"),
