@@ -405,6 +405,28 @@ object SparkEntry {
     s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '$sqlWs+'), " +
       s"x -> list_contains(${stopList(lang)}, x))) AS DOUBLE)"
 
+  /** DuckDB replica of [[TextOps.qualityScore]] (shared by the batch
+    * text_quality and streaming stream_text_quality entries — the two
+    * must stay bit-identical, that parity being the streaming entry's
+    * whole point).
+    */
+  private def sqlTextQualityOracle: String = {
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nWords = s"CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all(text, '$sqlNonWord')) AS DOUBLE)"
+    val stops = stopHits("en")
+    s"""SELECT doc_id,
+       |  CAST($nChars AS BIGINT) AS n_chars,
+       |  CAST($nWords AS BIGINT) AS n_words,
+       |  $punct / greatest($nChars, 1.0) AS punct_ratio,
+       |  $stops / greatest($nWords, 1.0) AS stop_ratio,
+       |  ($nChars - ($nWords - 1.0)) / greatest($nWords, 1.0) AS mean_word_len,
+       |  least($nWords / 100.0, 1.0) * 0.4
+       |    + least(($stops / greatest($nWords, 1.0)) * 5.0, 1.0) * 0.4
+       |    + (1.0 - least(($punct / greatest($nChars, 1.0)) * 10.0, 1.0)) * 0.2 AS q_score
+       |FROM documents""".stripMargin
+  }
+
   /** DuckDB replica of [[TextOps.chunk]] at 64 tokens (shared by the
     * text_chunk and pack_sequences oracles).
     */
@@ -432,22 +454,7 @@ object SparkEntry {
     ),
     "text_quality" -> Entry(
       (s, dir) => TextOps.qualityScore(docs(s, dir), "text", "doc_id"),
-      Some {
-        val nChars = "CAST(length(text) AS DOUBLE)"
-        val nWords = s"CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS DOUBLE)"
-        val punct = s"CAST(len(regexp_extract_all(text, '$sqlNonWord')) AS DOUBLE)"
-        val stops = stopHits("en")
-        s"""SELECT doc_id,
-           |  CAST($nChars AS BIGINT) AS n_chars,
-           |  CAST($nWords AS BIGINT) AS n_words,
-           |  $punct / greatest($nChars, 1.0) AS punct_ratio,
-           |  $stops / greatest($nWords, 1.0) AS stop_ratio,
-           |  ($nChars - ($nWords - 1.0)) / greatest($nWords, 1.0) AS mean_word_len,
-           |  least($nWords / 100.0, 1.0) * 0.4
-           |    + least(($stops / greatest($nWords, 1.0)) * 5.0, 1.0) * 0.4
-           |    + (1.0 - least(($punct / greatest($nChars, 1.0)) * 10.0, 1.0)) * 0.2 AS q_score
-           |FROM documents""".stripMargin
-      }
+      Some(sqlTextQualityOracle)
     ),
     "text_langid" -> Entry(
       (s, dir) => TextOps.languageId(docs(s, dir), "text", "doc_id"),
@@ -911,6 +918,24 @@ object SparkEntry {
         s.table(sink)
       },
       Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
+    ),
+    // Streaming TEXT-OPS parity: the quality scorer is a narrow
+    // codegen projection, so the identical TextOps call runs unchanged
+    // over readStream (stateless — no watermark, no state store) and
+    // must emit exactly the batch result. Proves the whole TextOps
+    // family is streaming-safe by construction.
+    "stream_text_quality" -> Entry(
+      (s, dir) => {
+        val sink = "stq_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+        val scored = TextOps.qualityScore(stream, "text", "doc_id")
+        val q = graft.streaming.Streaming.runToMemory(scored, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(sqlTextQualityOracle) // identical oracle: parity is the point
     ),
     // Streaming NEAR-dup: per-row MinHash band rows (no shuffle before
     // the stateful op) → watermark-bounded first-arrival state per
