@@ -547,6 +547,28 @@ object SparkEntry {
           |  < CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'zh' THEN 0.9 ELSE 0.6 END""".stripMargin
       )
     ),
+    // Training-mixture materialization: permille weights incl.
+    // UPSAMPLING (src0 ×2.5 → epochs 1..2 guaranteed + a 50% third),
+    // src2 down to 30%, unlisted sources 70%. Integer permille compare
+    // end-to-end — exact cross-engine membership AND multiplicity.
+    "mixture_sample" -> Entry(
+      (s, dir) =>
+        Sampling.mixture(
+          docs(s, dir), "doc_id", "source",
+          permille = Map("src0" -> 2500, "src1" -> 1000, "src2" -> 300),
+          defaultPermille = 700
+        ).select(col("doc_id"), col("source"), col("epoch")),
+      Some(
+        """WITH w AS (SELECT doc_id, source,
+          |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000 WHEN 'src2' THEN 300 ELSE 700 END AS wt,
+          |  ('0x' || substr(md5(source || ':' || doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT % 1000 AS h
+          |FROM documents),
+          |c AS (SELECT doc_id, source,
+          |  (wt // 1000) + CASE WHEN h < (wt % 1000) THEN 1 ELSE 0 END AS n FROM w)
+          |SELECT doc_id, source, CAST(unnest(generate_series(1, CAST(n AS INT))) AS INT) AS epoch
+          |FROM c WHERE n >= 1""".stripMargin
+      )
+    ),
     "text_repetition" -> Entry(
       (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
       Some(

@@ -46,4 +46,48 @@ object Sampling {
     }
     df.filter(hashUnit(col(idCol), salt) < rate)
   }
+
+  /** Training-mixture materialization: per-source PERMILLE weights,
+    * including UPSAMPLING (weight > 1000 emits multiple epochs of the
+    * same row — the "Wikipedia ×3" of LLM mixture recipes).
+    *
+    * A row in source `s` with weight `w` yields `w / 1000` guaranteed
+    * copies plus one more iff `hash(source:id:salt) mod 1000 <
+    * w mod 1000` — so each source's EXPECTED multiplicity is exactly
+    * `w / 1000.0` while membership stays deterministic on any
+    * engine/partitioning (the same md5 permille draw as [[bernoulli]],
+    * spelled in integers end-to-end). Output: the input columns plus
+    * `epoch` (1-based copy index); weight-0 sources vanish.
+    *
+    * Scale shape: one codegen'd CASE + md5 per row, then
+    * `explode(sequence(1, n))` — a narrow projection with no shuffle;
+    * output size is Σ w_s·|s|, the size of the mixture being built.
+    * Sources not listed in `permille` weigh `defaultPermille`.
+    */
+  def mixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      permille: Map[String, Int],
+      defaultPermille: Int = 1000,
+      salt: String = "mix"
+  ): DataFrame = {
+    require(permille.values.forall(_ >= 0) && defaultPermille >= 0,
+      "mixture weights must be non-negative permille values")
+    val wt = permille.foldLeft(lit(defaultPermille)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val h = conv(
+      substring(
+        md5(concat(col(sourceCol), lit(":"), col(idCol).cast("string"), lit(":" + salt))
+          .cast("binary")),
+        1, 8), 16, 10).cast("long") % 1000L
+    val copies =
+      floor(wt.cast("double") / 1000.0).cast("int") +
+        when(h < (wt % 1000).cast("long"), lit(1)).otherwise(lit(0))
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
+      .drop("n_copies")
+  }
 }

@@ -326,6 +326,31 @@ class OpsSpec extends SparkTestBase {
     assert(ids1 == ids2)
   }
 
+  test("mixture upsamples by permille weight with deterministic membership and epochs") {
+    val df = spark.range(3000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c").as("source")
+    )
+    val out = Sampling.mixture(df, "doc_id", "source",
+      permille = Map("a" -> 2500, "b" -> 0), defaultPermille = 400)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 1000 rows per source: a → 2500 ± binomial band, b → gone, c → ~400
+    assert(bySrc("a") > 2400 && bySrc("a") < 2600, bySrc)
+    assert(!bySrc.contains("b"), bySrc)
+    assert(bySrc("c") > 320 && bySrc("c") < 480, bySrc)
+    // every source-a doc appears with epochs 1..n, n ∈ {2, 3}
+    val epochs = out.filter(col("source") === "a").groupBy("doc_id")
+      .agg(count("*").as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .as[(Long, Long, Int, Int)].collect()
+    assert(epochs.forall { case (_, n, mx, mn) => (n == 2 || n == 3) && mx == n && mn == 1 })
+    // partitioning-independent multiplicity
+    val a = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val b = Sampling.mixture(df.repartition(17), "doc_id", "source",
+      permille = Map("a" -> 2500, "b" -> 0), defaultPermille = 400)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     import graft.ops.Skew
     intercept[IllegalArgumentException] {
