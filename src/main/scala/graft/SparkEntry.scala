@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Quantize, Sampling, SemDedup, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -1639,6 +1639,23 @@ object SparkEntry {
            |         ELSE floor((n.v[ex.p] - ex.mn) * 255.0 / (ex.mx - ex.mn)) END,
            |    0.0), 255.0) AS INT) AS code
            |FROM n CROSS JOIN ex""".stripMargin
+      )
+    ),
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: LCG plane
+    // matrix folded into the codegen as literals (zero broadcast, zero
+    // shuffle). Exploded (vec_id, p, y) — the fixed-order left-fold
+    // dot and the correctly-rounded IEEE sqrt make every double match
+    // bit-for-bit.
+    "embed_project" -> Entry(
+      (s, dir) => Project.randomProjectCodes(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64, outDim = 16),
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+           |SELECT e.vec_id, CAST(pp.p AS INT) AS p,
+           |  list_reduce(list_transform(generate_series(0, 63),
+           |    j -> v[j+1] * (${sqlPlane(s"${2000 * 64} + pp.p * 64 + j")})), (x, y) -> x + y)
+           |    / sqrt(16.0) AS y
+           |FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) pp""".stripMargin
       )
     ),
     "dedup_semantic_drop" -> Entry(
