@@ -634,6 +634,34 @@ object SparkEntry {
            |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
       )
     ),
+    // CCNet-style domain-LM scoring: bigram coverage of every doc
+    // against the top-1000 hashed bigrams of the ENGLISH subset (the
+    // "target domain" sample). Integer counts + one IEEE division —
+    // engine-exact, unlike log-prob perplexity.
+    "text_lm_score" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.lmScore(d, d.filter(col("lang") === "en"), "text", "doc_id", topK = 1000)
+      },
+      Some(
+        s"""WITH ${sqlHashedShingleCtes("documents", 2)},
+           |bg AS (SELECT hh.doc_id, unnest(hs) AS h
+           |       FROM hh JOIN tw ON hh.doc_id = tw.doc_id WHERE len(tw.w) >= 2),
+           |m AS (SELECT h, count(*) AS cnt
+           |      FROM bg JOIN documents dd ON bg.doc_id = dd.doc_id WHERE dd.lang = 'en'
+           |      GROUP BY h ORDER BY cnt DESC, h LIMIT 1000),
+           |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, count(m.cnt) AS n_hits,
+           |       coalesce(CAST(sum(m.cnt) AS BIGINT), 0) AS model_mass
+           |       FROM bg LEFT JOIN m ON bg.h = m.h GROUP BY bg.doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(sc.n_hits, 0) AS n_hits,
+           |  coalesce(sc.model_mass, 0) AS model_mass,
+           |  CASE WHEN sc.doc_id IS NULL THEN 0.0
+           |       ELSE sc.n_hits / CAST(sc.n_bigrams AS DOUBLE) END AS coverage
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+      )
+    ),
     // Line-wise dedup (RefinedWeb): first corpus-wide occurrence of
     // each '. '-fragment survives; documents reassemble in order.
     // Reassembled text compares byte-for-byte across engines.

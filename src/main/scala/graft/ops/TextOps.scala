@@ -322,6 +322,72 @@ object TextOps {
       .limit(k)
   }
 
+  /** CCNet-style domain-LM quality scoring, hashed-bigram form: score
+    * every corpus document by how much of it a TARGET-DOMAIN bigram
+    * model explains. CCNet ranks Common-Crawl text by the perplexity
+    * of a Wikipedia-trained LM; the engine-exact analogue here is
+    * bigram COVERAGE against the top-`topK` bigrams of a reference
+    * frame `ref` (the domain sample) — all counts are integers and the
+    * one division is a single IEEE op, so every value reproduces
+    * bit-for-bit on any engine, which a log-probability never does
+    * (`ln` is not correctly rounded).
+    *
+    * Output per input row (row-preserving):
+    * `(idCol, n_bigrams, n_hits, model_mass, coverage)` where
+    * `n_hits` counts the doc's bigram occurrences (with multiplicity)
+    * that appear in the model, `model_mass` sums their model
+    * frequencies (high-frequency domain bigrams weigh more), and
+    * `coverage = n_hits / n_bigrams` (0.0 for docs under 2 tokens).
+    *
+    * Scale shape (100 TB corpus, bounded ref): bigrams are HASHED in
+    * the [[graft.functions.ShingleHashes]] codegen projection (n=2
+    * Horner combine — no bigram strings exist, ever); the model is
+    * `topK` rows by construction (`TakeOrderedAndProject` cut, count
+    * desc / hash asc total order) and broadcasts; the corpus-side plan
+    * is scan → shingle projection → broadcast left join → ONE
+    * map-side-combined per-doc aggregate. The ref frame is the small
+    * curated domain sample (CCNet's Wikipedia), never the corpus.
+    */
+  def lmScore(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      topK: Int = 1000
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // only docs with a real bigram (>= 2 tokens) enter either side —
+    // ShingleHashes' whole-text fallback hash must not act as a
+    // pseudo-bigram in an LM model
+    def bigramRows(d: DataFrame): DataFrame =
+      NearDup.hashedShingles(
+        d.filter(size(NearDup.tokens(col(textCol))) >= 2), textCol, idCol, n = 2)
+    val model = bigramRows(ref)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("h"))
+      .limit(topK)
+    val scored = bigramRows(df)
+      .join(broadcast(model), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("cnt")).as("n_hits"),
+        coalesce(sum(col("cnt")), lit(0L)).as("model_mass")
+      )
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("model_mass"), lit(0L)).as("model_mass"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_bigrams").cast("double"))
+          .as("coverage")
+      )
+  }
+
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

@@ -326,6 +326,44 @@ class OpsSpec extends SparkTestBase {
     assert(ids1 == ids2)
   }
 
+  test("lmScore: coverage is 1 in-domain under a big model, 0 for short docs, partial cross-domain") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the hat", "en"),
+      (3L, "der hund schlief unter dem tisch", "de"),
+      (4L, "word", "en"), // 1 token → no bigrams
+      (5L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    val en = df.filter(col("lang") === "en")
+    val out = TextOps.lmScore(df, en, "text", "doc_id", topK = 1000)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1/2: every bigram is in the English model (topK covers all)
+    assert(byId(1L).getAs[Double]("coverage") == 1.0)
+    assert(byId(1L).getAs[Long]("n_bigrams") == 5L)
+    // "the cat"/"cat sat"/"sat on"/"on the" shared by docs 1+2 → mass
+    // counts model frequency 2 for those
+    assert(byId(1L).getAs[Long]("model_mass") >= 9L)
+    // German doc shares no bigram with the English model
+    assert(byId(3L).getAs[Double]("coverage") == 0.0 &&
+      byId(3L).getAs[Long]("n_bigrams") == 5L)
+    // short/empty docs are present with zero counts
+    assert(byId(4L).getAs[Long]("n_bigrams") == 0L && byId(4L).getAs[Double]("coverage") == 0.0)
+    assert(byId(5L).getAs[Long]("n_bigrams") == 0L)
+  }
+
+  test("lmScore model cut is deterministic under partitioning") {
+    val df = (0L until 400L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 7} tok${i % 5}", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val a = TextOps.lmScore(df, df.filter(col("lang") === "en"), "text", "doc_id", topK = 10)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.lmScore(df.repartition(13), df.filter(col("lang") === "en").repartition(7),
+      "text", "doc_id", topK = 10).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("mixture upsamples by permille weight with deterministic membership and epochs") {
     val df = spark.range(3000).select(
       col("id").as("doc_id"),
