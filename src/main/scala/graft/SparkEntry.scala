@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Decontam, Dedup, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -1461,6 +1461,44 @@ object SparkEntry {
        |cell AS (SELECT vec_id, c FROM rk WHERE r = 1)""".stripMargin
   }
 
+  /** Unrolled Lloyd k-means (mirrors [[graft.ops.Kmeans]]): seeds =
+    * smallest-md5-id vectors; per-iteration argmin over
+    * `cc - 2·(x·c)` (fixed-order list_reduce folds, ties to smallest
+    * cell) then FIXED-POINT component means (`floor(x·2^24)` long
+    * sums — associative, so DuckDB's and Spark's accumulation orders
+    * cannot disagree; two exact-rounded divisions back to double).
+    */
+  private def sqlKmeansOracle(dim: Int, nCells: Int, iters: Int): String = {
+    def assignCtes(ct: String, out: String): String = {
+      val dotv = s"list_reduce(list_transform(generate_series(1, $dim), i -> e.v[i] * $ct.cv[i]), (x, y) -> x + y)"
+      val cc = s"list_reduce(list_transform(generate_series(1, $dim), i -> $ct.cv[i] * $ct.cv[i]), (x, y) -> x + y)"
+      s"""${out}_s AS (SELECT e.vec_id, $ct.c, ($cc) - 2.0 * ($dotv) AS score FROM e CROSS JOIN $ct),
+         |$out AS (SELECT vec_id, c AS cell FROM (
+         |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY score, c) AS r FROM ${out}_s)
+         |  WHERE r = 1)""".stripMargin
+    }
+    def updateCtes(assignName: String, oldCt: String, newCt: String): String =
+      s"""${newCt}_m AS (SELECT a.cell AS c, generate_subscripts(e.v, 1) - 1 AS j, unnest(e.v) AS x
+         |  FROM e JOIN $assignName a USING (vec_id)),
+         |${newCt}_u AS (SELECT c, j, CAST(sum(CAST(floor(x * 16777216.0) AS BIGINT)) AS BIGINT) AS s, count(*) AS n
+         |  FROM ${newCt}_m GROUP BY c, j),
+         |${newCt}_w AS (SELECT o.c, o.j,
+         |  coalesce((CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE)) / 16777216.0, o.w) AS w
+         |  FROM (SELECT c, generate_subscripts(cv, 1) - 1 AS j, unnest(cv) AS w FROM $oldCt) o
+         |  LEFT JOIN ${newCt}_u u ON o.c = u.c AND o.j = u.j),
+         |$newCt AS (SELECT c, list(w ORDER BY j) AS cv FROM ${newCt}_w GROUP BY c)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      assignCtes(s"ct$i", s"a$i") + ",\n" + updateCtes(s"a$i", s"ct$i", s"ct${i + 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |hs AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM e),
+       |sd AS (SELECT vec_id, v, h FROM hs ORDER BY h, vec_id LIMIT $nCells),
+       |ct0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c, v AS cv FROM sd),
+       |$rounds,
+       |${assignCtes(s"ct$iters", "afin")}
+       |SELECT vec_id, CAST(cell AS INT) AS cell FROM afin""".stripMargin
+  }
+
   private def sqlAnnIvfSeededOracle: String = {
     val dim = 64
     val nCells = 32
@@ -1639,6 +1677,15 @@ object SparkEntry {
         Ann.ivfTopKSeeded(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
       },
       Some(sqlAnnIvfSeededOracle)
+    ),
+    // Lloyd k-means, 16 cells × 2 iterations: hash-sampled seeds,
+    // fixed-point (2^24-scaled long) component means so the grouped
+    // sums are order-free, argmin assignment via one-row broadcast —
+    // every assignment integer-exact across engines.
+    "kmeans_assign" -> Entry(
+      (s, dir) => Kmeans.assignCells(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", nCells = 16, iters = 2),
+      Some(sqlKmeansOracle(dim = 64, nCells = 16, iters = 2))
     ),
     // SemDeDup (cluster-then-prune): within-cell cosine pairs over the
     // hash-seeded Voronoi cells. The 0.4 threshold matches dedup_embed
