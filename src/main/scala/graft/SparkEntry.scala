@@ -634,6 +634,24 @@ object SparkEntry {
            |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
       )
     ),
+    // Token-budget selection: ~800 whitespace tokens per source in
+    // deterministic md5 order; strict cum <= budget, boundary doc
+    // dropped. Integer tokens + window sum — engine-exact.
+    "sample_token_budget" -> Entry(
+      (s, dir) => Sampling.tokenBudget(docs(s, dir), "text", "doc_id", "source", budgetTokens = 800L),
+      Some(
+        s"""WITH t AS (SELECT doc_id, source,
+           |  CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS BIGINT) AS n_tok,
+           |  ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 8))::BIGINT AS h
+           |FROM documents)
+           |SELECT doc_id, source, n_tok, cum_tok FROM (
+           |  SELECT doc_id, source, n_tok,
+           |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           |  FROM t)
+           |WHERE cum_tok <= 800""".stripMargin
+      )
+    ),
     // CCNet-style domain-LM scoring: bigram coverage of every doc
     // against the top-1000 hashed bigrams of the ENGLISH subset (the
     // "target domain" sample). Integer counts + one IEEE division —

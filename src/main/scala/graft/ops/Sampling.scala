@@ -90,4 +90,49 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** Token-budget selection: keep documents per stratum, in a
+    * deterministic hash order, while the stratum's running token total
+    * stays within `budgetTokens` — "give me ~2B tokens of each source"
+    * without materializing or counting the rest of the corpus twice.
+    *
+    * Order inside a stratum is `(md5-hash, id)` — an engine-exact
+    * shuffle, so the selection is an unbiased sample of the stratum
+    * and identical on every run/engine/partitioning. A document whose
+    * tokens would cross the boundary is dropped (strict `cum <=
+    * budget` semantics); output carries `n_tok`/`cum_tok` for audit.
+    *
+    * Scale note: a running total is sequential BY DEFINITION, so this
+    * shuffles one window per stratum (fine for the usual dozens-of-
+    * sources mixture; strata are independent and run in parallel). For
+    * a single multi-TB stratum the scale path is threshold selection
+    * instead: histogram the hash space (one map-side-combined agg of
+    * (hash-bucket, token-sum) rows), pick the bucket boundary h* whose
+    * prefix mass ≈ budget, and keep `hash < h*` with a narrow filter —
+    * same expected sample, no per-stratum sequential scan.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      strataCol: String,
+      budgetTokens: Long,
+      salt: String = "budget"
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val h = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(
+        col(idCol), col(strataCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"),
+        h.as("h"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col(idCol), col(strataCol), col("n_tok"), col("cum_tok"))
+  }
 }

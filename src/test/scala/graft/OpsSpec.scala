@@ -364,6 +364,26 @@ class OpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("tokenBudget keeps a per-stratum prefix within budget, deterministically") {
+    val df = (0L until 600L).map { i =>
+      (i, Seq.fill(5 + (i % 7).toInt)("w").mkString(" "), s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val out = Sampling.tokenBudget(df, "text", "doc_id", "source", budgetTokens = 200L)
+    val rows = out.as[(Long, String, Long, Long)].collect()
+    // within budget, nonempty per stratum
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.keySet == Set("s0", "s1", "s2"))
+    assert(bySrc.values.forall(g => g.map(_._3).sum <= 200L))
+    assert(bySrc.values.forall(g => g.map(_._4).max <= 200L))
+    // cum_tok is consistent: max cum equals sum of kept tokens per stratum
+    assert(bySrc.values.forall(g => g.map(_._4).max == g.map(_._3).sum))
+    // partitioning-independent membership
+    val a = rows.map(_._1).sorted.toSeq
+    val b = Sampling.tokenBudget(df.repartition(13), "text", "doc_id", "source", 200L)
+      .as[(Long, String, Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(a == b)
+  }
+
   test("mixture upsamples by permille weight with deterministic membership and epochs") {
     val df = spark.range(3000).select(
       col("id").as("doc_id"),
