@@ -1786,6 +1786,8 @@ object SparkEntry {
       "dedup_exact", "dedup_minhash", "dedup_pipeline", "dedup_ngram", "dedup_simhash",
       "dedup_embed", "dedup_clusters", "ann_brute", "ann_lsh", "ann_ivf", "text_quality",
       "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features",
-      "pack_sequences", "skew_join", "decontam_overlap", "dedup_semantic"
+      "pack_sequences", "skew_join", "decontam_overlap", "dedup_semantic",
+      // round-10 additions
+      "kmeans_assign", "text_lm_score", "embed_project", "mixture_sample", "sample_token_budget"
     )
 }
