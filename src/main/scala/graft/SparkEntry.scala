@@ -703,6 +703,35 @@ object SparkEntry {
            |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
       )
     ),
+    // Exact-substring dedup (Lee et al. ExactSubstr, token-granular):
+    // every repeated 8-token span is cut from all but its first
+    // corpus occurrence; survivors reassemble in order.
+    "dedup_substrings" -> Entry(
+      (s, dir) => Dedup.dedupSubstrings(docs(s, dir), "text", "doc_id", k = 8),
+      Some(
+        s"""WITH ${sqlHashedShingleCtes("documents", 8)},
+           |ne AS (SELECT doc_id FROM t WHERE NOT (len(w) = 1 AND w[1] = '')),
+           |kg AS (SELECT hh.doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+           |       FROM hh JOIN ne USING (doc_id)),
+           |rs AS (SELECT doc_id, pos FROM (
+           |         SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |         FROM kg)
+           |       WHERE rn >= 2),
+           |cv0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rs),
+           |cvd AS (SELECT DISTINCT doc_id, tp FROM cv0),
+           |tok AS (SELECT t.doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tk
+           |        FROM t JOIN ne USING (doc_id)),
+           |keep AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN cvd
+           |         ON tok.doc_id = cvd.doc_id AND tok.pos = cvd.tp WHERE cvd.doc_id IS NULL),
+           |r AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean, count(*) AS n_kept
+           |      FROM keep GROUP BY doc_id),
+           |tl AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t JOIN ne USING (doc_id))
+           |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+           |  coalesce(tl.n_tok, 0) - coalesce(r.n_kept, 0) AS n_removed
+           |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+           |LEFT JOIN tl ON d.doc_id = tl.doc_id""".stripMargin
+      )
+    ),
     "dedup_exact" -> Entry(
       (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id"),
       Some(
@@ -1788,6 +1817,7 @@ object SparkEntry {
       "text_chunk", "text_urls", "sample_stratified", "asof_join", "range_join", "mm_features",
       "pack_sequences", "skew_join", "decontam_overlap", "dedup_semantic",
       // round-10 additions
-      "kmeans_assign", "text_lm_score", "embed_project", "mixture_sample", "sample_token_budget"
+      "kmeans_assign", "text_lm_score", "embed_project", "mixture_sample", "sample_token_budget",
+      "dedup_substrings"
     )
 }

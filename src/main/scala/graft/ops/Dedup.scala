@@ -74,4 +74,67 @@ object Dedup {
       .join(reassembled, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
   }
+
+  /** Exact-substring dedup (ExactSubstr of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, token-granular form): every `k`-token span
+    * whose hashed `k`-gram occurs MORE THAN ONCE corpus-wide is
+    * removed from all but its FIRST occurrence (order: doc id, then
+    * position); surviving tokens reassemble in order. Row-preserving:
+    * `(idCol, text_clean, n_removed)` — a doc that loses every token
+    * (e.g. an exact duplicate of an earlier doc) comes back as `""`.
+    *
+    * The paper builds a suffix array; the distributed equivalent here
+    * is the same rolling-hash machinery every near-dup op shares
+    * ([[graft.functions.ShingleHashes]], one codegen projection):
+    * suffix arrays need the corpus in one address space, k-gram
+    * hashing shards by hash. Docs shorter than `k` tokens contribute
+    * their whole-text hash at position 0 (span clamped to the doc), so
+    * short exact duplicates are removed too; docs with EMPTY
+    * normalized text never participate.
+    *
+    * Scale shape (100 TB): no document text ever rides a shuffle —
+    * the duplicate-span pass moves `(id, pos, h)` triples through ONE
+    * hash-keyed window (first-occurrence rank dies in the exchange
+    * that computes it), covered positions are `(id, pos)` pairs, and
+    * reassembly is the same id-keyed sort-aggregate as [[dedupLines]].
+    * Window-over-hash skew is impossible by construction: a hash's
+    * partition holds its occurrence list, bounded by the corpus-wide
+    * repeat count of ONE k-gram (and the heaviest k-grams are exactly
+    * the ones being deleted).
+    */
+  def dedupSubstrings(df: DataFrame, textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"substring width must be >= 2 tokens, got $k")
+    val base = df.select(col(idCol), NearDup.tokens(col(textCol)).as("w"))
+    val ne = base.filter(not(size(col("w")) === 1 && element_at(col("w"), 1) === ""))
+    val kg = ne.select(
+      col(idCol),
+      posexplode(graft.functions.TextHash.shingleHashes(col("w"), k)).as(Seq("pos", "h")))
+    val firstWins = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    val removedSpans = kg
+      .withColumn("__rn", row_number().over(firstWins))
+      .filter(col("__rn") >= 2)
+    val covered = removedSpans
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+      .withColumnRenamed(idCol, "__cid")
+    val toks = ne.select(col(idCol), posexplode(col("w")).as(Seq("pos", "tk")))
+    val kept = toks.join(covered,
+      col(idCol) === col("__cid") && col("pos") === col("tp"), "left_anti")
+    val reassembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tk")))), _.getField("tk")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val tlen = ne.select(col(idCol), size(col("w")).cast("long").as("n_tok"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .join(tlen, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (coalesce(col("n_tok"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

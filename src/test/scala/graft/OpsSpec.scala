@@ -364,6 +364,40 @@ class OpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("dedupSubstrings removes repeated k-token spans from all but the first occurrence") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token shared run
+    val df = Seq(
+      (1L, s"alpha $shared beta"),
+      (2L, s"gamma $shared delta"), // the shared run repeats → cut here
+      (3L, "totally unique words nothing repeated here at all"),
+      (4L, "") // empty doc: never participates
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(df, "text", "doc_id", k = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 keeps everything (its spans are the first occurrences)
+    assert(out(1L) == (s"alpha $shared beta", 0L), out(1L))
+    // doc 2 loses exactly the 10 shared tokens, keeps its unique ends
+    assert(out(2L) == ("gamma delta", 10L), out(2L))
+    assert(out(3L)._2 == 0L)
+    assert(out(4L) == ("", 0L))
+  }
+
+  test("dedupSubstrings empties an exact duplicate doc and is partition-independent") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"), // exact dup of doc 1
+      (3L, "seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(df, "text", "doc_id", k = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ("one two three four five six", 0L))
+    assert(out(2L) == ("", 6L), out(2L)) // every token covered by a dup 4-gram
+    assert(out(3L)._2 == 0L)
+    val again = Dedup.dedupSubstrings(df.repartition(7), "text", "doc_id", k = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
   test("tokenBudget keeps a per-stratum prefix within budget, deterministically") {
     val df = (0L until 600L).map { i =>
       (i, Seq.fill(5 + (i % 7).toInt)("w").mkString(" "), s"s${i % 3}")
