@@ -652,6 +652,38 @@ object SparkEntry {
            |WHERE cum_tok <= 800""".stripMargin
       )
     ),
+    // Streaming parity for the mixture op: the identical
+    // Sampling.mixture call over readStream (stateless narrow
+    // filter + explode — no watermark, no state) hash-matches the
+    // batch oracle, proving sampling/upsampling ingest-safe by
+    // construction.
+    "stream_mixture" -> Entry(
+      (s, dir) => {
+        val sink = "mix_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+        val mixed = Sampling.mixture(
+          stream, "doc_id", "source",
+          permille = Map("src0" -> 2500, "src1" -> 1000, "src2" -> 300),
+          defaultPermille = 700
+        ).select(col("doc_id"), col("source"), col("epoch"))
+        val q = graft.streaming.Streaming.runToMemory(mixed, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      // identical oracle to mixture_sample: parity is the point
+      Some(
+        """WITH w AS (SELECT doc_id, source,
+          |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000 WHEN 'src2' THEN 300 ELSE 700 END AS wt,
+          |  ('0x' || substr(md5(source || ':' || doc_id::VARCHAR || ':mix'), 1, 8))::BIGINT % 1000 AS h
+          |FROM documents),
+          |c AS (SELECT doc_id, source,
+          |  (wt // 1000) + CASE WHEN h < (wt % 1000) THEN 1 ELSE 0 END AS n FROM w)
+          |SELECT doc_id, source, CAST(unnest(generate_series(1, CAST(n AS INT))) AS INT) AS epoch
+          |FROM c WHERE n >= 1""".stripMargin
+      )
+    ),
     // CCNet-style domain-LM scoring: bigram coverage of every doc
     // against the top-1000 hashed bigrams of the ENGLISH subset (the
     // "target domain" sample). Integer counts + one IEEE division —
