@@ -110,4 +110,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("__salt"), plan)
   }
+
+  test("text_lm_score: model joins broadcast, shingles stay codegen, no cartesian") {
+    val plan = plans(SparkEntry.queries("text_lm_score")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // bigrams are hashed in the native expression, never built as strings
+    assert(plan.contains("graft_shingle_hashes"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // the top-k model cut
+  }
+
+  test("kmeans_assign: centroids ride a one-row broadcast, dots are codegen") {
+    val plan = plans(SparkEntry.queries("kmeans_assign")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("graft_dot"), plan)
+    // nested-loop joins appear ONLY as the 1-row centroid broadcast
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, (\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_ == "Cross"), plan)
+  }
+
+  test("mixture_sample is a shuffle-free narrow projection") {
+    val plan = plans(SparkEntry.queries("mixture_sample")(spark, sfDir))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("dedup_substrings: no cartesian, spans flow through hash-keyed windows") {
+    val plan = plans(SparkEntry.queries("dedup_substrings")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("graft_shingle_hashes"), plan)
+  }
 }
