@@ -634,6 +634,36 @@ object SparkEntry {
            |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
       )
     ),
+    // Subword token accounting: greedy longest-match segmentation
+    // counts (native codegen walk) vs a recursive-CTE DuckDB replica
+    // of the SAME maximal-munch loop — integer-exact.
+    "text_subwords" -> Entry(
+      (s, dir) => TextOps.subwordStats(docs(s, dir), "text", "doc_id"),
+      Some {
+        val vocabList = graft.functions.SubwordCounts.DefaultVocab
+          .map(v => s"'$v'").mkString(", ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+           |wd AS (SELECT doc_id, unnest(w) AS word FROM t),
+           |uw AS (SELECT DISTINCT word FROM wd),
+           |vocab AS (SELECT unnest([$vocabList]) AS v),
+           |seg AS (
+           |  SELECT word, 0 AS pos, 0 AS cnt, 0 AS oov FROM uw
+           |  UNION ALL
+           |  SELECT word, pos + coalesce(ml, 1), cnt + 1,
+           |         oov + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+           |  FROM (
+           |    SELECT s.word, s.pos, s.cnt, s.oov,
+           |      (SELECT max(len(v.v)) FROM vocab v
+           |       WHERE substr(s.word, s.pos + 1, len(v.v)) = v.v) AS ml
+           |    FROM seg s WHERE s.pos < len(s.word))
+           |),
+           |term AS (SELECT word, cnt, oov FROM seg WHERE pos >= len(word)),
+           |ds AS (SELECT wd.doc_id, CAST(sum(term.cnt) AS BIGINT) AS n_subwords,
+           |       CAST(sum(term.oov) AS BIGINT) AS n_oov
+           |       FROM wd JOIN term USING (word) GROUP BY wd.doc_id)
+           |SELECT doc_id, n_subwords, n_oov FROM ds""".stripMargin
+      }
+    ),
     // Token-budget selection: ~800 whitespace tokens per source in
     // deterministic md5 order; strict cum <= budget, boundary doc
     // dropped. Integer tokens + window sum — engine-exact.
@@ -1850,6 +1880,6 @@ object SparkEntry {
       "pack_sequences", "skew_join", "decontam_overlap", "dedup_semantic",
       // round-10 additions
       "kmeans_assign", "text_lm_score", "embed_project", "mixture_sample", "sample_token_budget",
-      "dedup_substrings"
+      "dedup_substrings", "text_subwords"
     )
 }

@@ -388,6 +388,33 @@ object TextOps {
       )
   }
 
+  /** Subword token accounting: greedy WordPiece-style segmentation
+    * counts per document — `(idCol, n_subwords, n_oov)` — via the
+    * [[graft.functions.SubwordCounts]] native expression (one codegen
+    * loop per row, vocabulary baked into the generated code; no
+    * shuffle, no UDF). `n_subwords` is what a longest-match tokenizer
+    * would actually emit (the number training budgets care about;
+    * whitespace counts drift 2-4× from it) and `n_oov` counts
+    * single-character fallbacks — a free script/domain mismatch
+    * signal. The counts array is referenced twice below (one element
+    * each), so the segmentation loop runs twice per row after
+    * CollapseProject — accepted: the loop is O(chars · vocab) with no
+    * allocation, and the explode-barrier alternative costs a shuffle.
+    */
+  def subwordStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocab: Seq[String] = graft.functions.SubwordCounts.DefaultVocab
+  ): DataFrame = {
+    val sc = graft.functions.SubwordCounts.subwordCounts(NearDup.tokens(col(textCol)), vocab)
+    df.select(
+      col(idCol),
+      element_at(sc, 1).as("n_subwords"),
+      element_at(sc, 2).as("n_oov")
+    )
+  }
+
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

@@ -364,6 +364,42 @@ class OpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("subwordStats: greedy longest-match counts, code-point fallback, codegen plan") {
+    val df = Seq(
+      (1L, "theresting"), // th+er+es+t? — greedy walk, hand-checked below
+      (2L, "xyz"),        // nothing matches → 3 oov
+      (3L, "ingtion"),    // ing + tion → 2 subwords, 0 oov
+      (4L, "中文字"),      // CJK: 3 code-point fallbacks
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.subwordStats(df, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "theresting": th|er|es|t?|ing → th,er,es then "ting": no match at 't'
+    // (oov), then "ing" → 5 subwords, 1 oov
+    assert(out(1L) == (5L, 1L), out(1L))
+    assert(out(2L) == (3L, 3L))
+    assert(out(3L) == (2L, 0L))
+    assert(out(4L) == (3L, 3L))
+    assert(out(5L) == (0L, 0L))
+    // stays inside whole-stage codegen (native expression, no UDF) —
+    // over parquet, where ConvertToLocalRelation can't fold it away;
+    // .collect() exercises the doGenCode path on real rows
+    val pq = graft.sources.Tables.parquetDir(spark, "/root/testdata/sf0.001")("documents")
+    val overParquet = TextOps.subwordStats(pq, "text", "doc_id")
+    assert(overParquet.collect().length > 0)
+    val plan = overParquet.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_subword_counts"), plan)
+  }
+
+  test("subwordStats handles supplementary-plane code points as single fallbacks") {
+    // U+1F600 is a surrogate pair in UTF-16 — must count as ONE oov
+    val df = Seq((1L, "a😀b")).toDF("doc_id", "text")
+    val out = TextOps.subwordStats(df, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((1L, 3L, 3L)), out) // a, emoji, b — all fallbacks
+  }
+
   test("dedupSubstrings removes repeated k-token spans from all but the first occurrence") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token shared run
     val df = Seq(
