@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Decontam, Dedup, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Shard, Sketch, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -632,6 +632,35 @@ object SparkEntry {
         s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array($sqlNorm, ' ')) AS x FROM documents)
            |SELECT doc_id, CAST(${sqlHash32Of("x")} % 1024 AS INT) AS bucket, count(*) AS cnt
            |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
+      )
+    ),
+    // Shard manifest: hash-balanced shard assignment + per-shard
+    // doc/token/byte totals — the epoch-planning table a training job
+    // reads. Integer-exact.
+    "shard_manifest" -> Entry(
+      (s, dir) => Shard.manifest(docs(s, dir), "text", "doc_id", nShards = 32),
+      Some(
+        s"""SELECT CAST(${sqlHash32Of("doc_id::VARCHAR")} % 32 AS INT) AS shard,
+           |  count(*) AS n_docs,
+           |  CAST(sum(len(regexp_split_to_array(trim(text), '$sqlWs+'))) AS BIGINT) AS n_tokens,
+           |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+           |FROM documents GROUP BY shard""".stripMargin
+      )
+    ),
+    // KMV distinct-token sketch: engine-exact cardinality estimation
+    // (the HLL stand-in no two engines agree on); exact count carried
+    // alongside so the estimate's error is visible in the output.
+    "text_distinct_kmv" -> Entry(
+      (s, dir) => Sketch.distinctTokensKmv(docs(s, dir), "text"),
+      Some(
+        s"""WITH tk AS (SELECT DISTINCT x AS tok FROM
+           |  (SELECT unnest($sqlTokens) AS x FROM documents) WHERE x <> ''),
+           |hh AS (SELECT DISTINCT ${sqlHash32Of("tok")} AS h FROM tk),
+           |km AS (SELECT max(h) AS kth_hash FROM (SELECT h FROM hh ORDER BY h LIMIT 256))
+           |SELECT CAST(256 AS INT) AS k, kth_hash,
+           |  (255 * 4294967296.0) / kth_hash AS est_distinct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tk) AS exact_distinct
+           |FROM km""".stripMargin
       )
     ),
     // Subword token accounting: greedy longest-match segmentation

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Ann, Decontam, Dedup, NearDup, Sampling, SemDedup, TextOps}
+import graft.ops.{Ann, Decontam, Dedup, NearDup, Sampling, SemDedup, Shard, Sketch, TextOps}
 
 /** Behavior + plan-shape tests for the graft.ops layer.
   *
@@ -362,6 +362,34 @@ class OpsSpec extends SparkTestBase {
     val b = TextOps.lmScore(df.repartition(13), df.filter(col("lang") === "en").repartition(7),
       "text", "doc_id", topK = 10).orderBy("doc_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("shard manifest conserves totals and balances shards") {
+    val df = (0L until 2000L).map(i => (i, Seq.fill(3 + (i % 5).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Shard.manifest(df, "text", "doc_id", nShards = 8)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(m.map(_._1).sorted.toSeq == (0 until 8), m.map(_._1).toSeq)
+    assert(m.map(_._2).sum == 2000L)
+    assert(m.map(_._3).sum == (0L until 2000L).map(i => 3 + (i % 5)).sum)
+    // hash-balanced: no shard more than 2x the mean
+    assert(m.map(_._2).max < 2 * 2000 / 8, m.map(_._2).toSeq)
+    // deterministic assignment under partitioning
+    val a = Shard.assign(df, "doc_id", 8).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    val b = Shard.assign(df.repartition(13), "doc_id", 8).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
+  test("KMV distinct sketch lands within its error bound on a known cardinality") {
+    // 20k docs of one token each, 5000 distinct tokens
+    val df = (0L until 20000L).map(i => (i, s"tok${i % 5000}")).toDF("doc_id", "text")
+    val r = Sketch.distinctTokensKmv(df, "text", k = 256)
+      .as[(Int, Long, Double, Long)].collect().head
+    assert(r._4 == 5000L, r)
+    // ~6% standard error at k=256; assert 5 sigma
+    assert(math.abs(r._3 - 5000.0) / 5000.0 < 0.3, r)
   }
 
   test("subwordStats: greedy longest-match counts, code-point fallback, codegen plan") {
