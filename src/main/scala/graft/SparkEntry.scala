@@ -799,29 +799,24 @@ object SparkEntry {
     // corpus occurrence; survivors reassemble in order.
     "dedup_substrings" -> Entry(
       (s, dir) => Dedup.dedupSubstrings(docs(s, dir), "text", "doc_id", k = 8),
-      Some(
-        s"""WITH ${sqlHashedShingleCtes("documents", 8)},
-           |ne AS (SELECT doc_id FROM t WHERE NOT (len(w) = 1 AND w[1] = '')),
-           |kg AS (SELECT hh.doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
-           |       FROM hh JOIN ne USING (doc_id)),
-           |rs AS (SELECT doc_id, pos FROM (
-           |         SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-           |         FROM kg)
-           |       WHERE rn >= 2),
-           |cv0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rs),
-           |cvd AS (SELECT DISTINCT doc_id, tp FROM cv0),
-           |tok AS (SELECT t.doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tk
-           |        FROM t JOIN ne USING (doc_id)),
-           |keep AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN cvd
-           |         ON tok.doc_id = cvd.doc_id AND tok.pos = cvd.tp WHERE cvd.doc_id IS NULL),
-           |r AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean, count(*) AS n_kept
-           |      FROM keep GROUP BY doc_id),
-           |tl AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t JOIN ne USING (doc_id))
-           |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
-           |  coalesce(tl.n_tok, 0) - coalesce(r.n_kept, 0) AS n_removed
-           |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
-           |LEFT JOIN tl ON d.doc_id = tl.doc_id""".stripMargin
-      )
+      Some(sqlDedupSubstringsOracle)
+    ),
+    // The same ops as PQL LANGUAGE operators (graft extension): the
+    // compiled `| dedup` / `| sample` pipelines must hash-match the
+    // library-call oracles exactly.
+    "pql_dedup" -> q(
+      "documents | dedup text by doc_id",
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+    ),
+    "pql_dedup_substrings" -> q(
+      "documents | dedup kind=substrings text by doc_id",
+      sqlDedupSubstringsOracle
+    ),
+    "pql_sample" -> q(
+      "documents | sample 0.25 by doc_id",
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT / 4294967296.0 < 0.25""".stripMargin
     ),
     "dedup_exact" -> Entry(
       (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id"),
@@ -1370,6 +1365,34 @@ object SparkEntry {
        |    i -> $combine) END AS hs
        |FROM tw)""".stripMargin
   }
+
+  /** DuckDB replica of [[graft.ops.Dedup.dedupSubstrings]] at k=8 —
+    * shared by the library-call entry (`dedup_substrings`) and the
+    * PQL-language entry (`pql_dedup_substrings`) so the two can't
+    * drift.
+    */
+  private lazy val sqlDedupSubstringsOracle: String =
+    s"""WITH ${sqlHashedShingleCtes("documents", 8)},
+       |ne AS (SELECT doc_id FROM t WHERE NOT (len(w) = 1 AND w[1] = '')),
+       |kg AS (SELECT hh.doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+       |       FROM hh JOIN ne USING (doc_id)),
+       |rs AS (SELECT doc_id, pos FROM (
+       |         SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |         FROM kg)
+       |       WHERE rn >= 2),
+       |cv0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp FROM rs),
+       |cvd AS (SELECT DISTINCT doc_id, tp FROM cv0),
+       |tok AS (SELECT t.doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tk
+       |        FROM t JOIN ne USING (doc_id)),
+       |keep AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN cvd
+       |         ON tok.doc_id = cvd.doc_id AND tok.pos = cvd.tp WHERE cvd.doc_id IS NULL),
+       |r AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean, count(*) AS n_kept
+       |      FROM keep GROUP BY doc_id),
+       |tl AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t JOIN ne USING (doc_id))
+       |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+       |  coalesce(tl.n_tok, 0) - coalesce(r.n_kept, 0) AS n_removed
+       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+       |LEFT JOIN tl ON d.doc_id = tl.doc_id""".stripMargin
 
   /** DuckDB MinHash signature over hashed-shingle list `hs` (mirrors
     * NearDup.minhashSignature's universal-hash family mod 2^31-1).

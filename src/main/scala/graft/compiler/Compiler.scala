@@ -150,6 +150,22 @@ private[graft] final class Compiler(
       props.foldLeft(withType) { (acc, p) =>
         acc.withColumn(s"render_prop_${p.name.name}", lit(renderValue(p.value)))
       }
+
+    // graft extensions: the §2.4 pipeline operators, in-language ------
+    case DedupOp(kind, text, id, _) =>
+      kind match {
+        case "exact"      => graft.ops.Dedup.exact(df, text.name, id.name)
+        case "lines"      => graft.ops.Dedup.dedupLines(df, text.name, id.name)
+        case "substrings" => graft.ops.Dedup.dedupSubstrings(df, text.name, id.name)
+        case "minhash"    => graft.ops.NearDup.deduplicateCorpus(df, text.name, id.name)
+      }
+
+    case SampleOp(rate, rateSpan, id, _) =>
+      val r =
+        try rate.toDouble
+        catch { case _: NumberFormatException => fail(s"invalid sample rate $rate", rateSpan) }
+      if (r < 0.0 || r > 1.0) fail(s"sample rate must be in [0, 1], got $rate", rateSpan)
+      graft.ops.Sampling.bernoulli(df, id.name, r)
   }
 
   /** Render property values are presentation instructions: literals

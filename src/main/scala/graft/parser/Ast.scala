@@ -122,3 +122,19 @@ final case class RenderProperty(name: Ident, value: Expr)
   */
 final case class RenderOp(chartType: Ident, props: List[RenderProperty], span: Span)
     extends TabularOperator
+
+/** `| dedup [kind=exact|lines|substrings|minhash] TextCol by IdCol` —
+  * graft EXTENSION (no counterpart in the reference grammar): corpus
+  * deduplication as a first-class pipeline operator. `exact` and
+  * `minhash` keep surviving full rows; `lines` and `substrings`
+  * rewrite the text column (row-preserving).
+  */
+final case class DedupOp(kind: String, textCol: Ident, idCol: Ident, span: Span)
+    extends TabularOperator
+
+/** `| sample 0.25 by IdCol` — graft EXTENSION: deterministic
+  * hash-of-id Bernoulli sample (reproducible membership on any
+  * engine/partitioning; the literal rate is required at parse time).
+  */
+final case class SampleOp(rate: String, rateSpan: Span, idCol: Ident, span: Span)
+    extends TabularOperator

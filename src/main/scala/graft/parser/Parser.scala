@@ -17,6 +17,7 @@ object Parser {
     new Parser(source, Lexer.scan(source)).parseProgram()
 
   private[parser] val joinFlavors = Set("inner", "innerunique", "leftouter")
+  private[parser] val dedupKinds = Set("exact", "lines", "substrings", "minhash")
 }
 
 private final class Parser(source: String, tokens: Vector[Token]) {
@@ -159,6 +160,37 @@ private final class Parser(source: String, tokens: Vector[Token]) {
         AsOp(name, spanTo(name.span))
       case "render" =>
         parseRender(spanTo(opTok.span))
+      // graft extensions (not in the reference grammar) ----------------
+      case "dedup" =>
+        var kind = "exact"
+        if (atKeywordIdent("kind")) {
+          next()
+          expect(Assign, "'='")
+          val f = peek match {
+            case Some(t) if t.kind == Identifier => next()
+            case Some(t) => fail(s"expected dedup kind, got ${describe(t)}", t.span)
+            case None    => fail("expected dedup kind, got EOF", eofSpan)
+          }
+          if (!Parser.dedupKinds.contains(f.value))
+            fail(
+              s"expected dedup kind (one of ${Parser.dedupKinds.toList.sorted.mkString(", ")}), got ${f.value}",
+              f.span
+            )
+          kind = f.value
+        }
+        val text = parseIdent("text column")
+        expectKeywordIdentOr(By, "'by'")
+        val id = parseIdent("id column")
+        DedupOp(kind, text, id, spanTo(id.span))
+      case "sample" =>
+        val rate = peek match {
+          case Some(t) if t.kind == Number => next()
+          case Some(t) => fail(s"expected literal sample rate, got ${describe(t)}", t.span)
+          case None    => fail("expected literal sample rate, got EOF", eofSpan)
+        }
+        expectKeywordIdentOr(By, "'by'")
+        val id = parseIdent("id column")
+        SampleOp(rate.value, rate.span, id, spanTo(id.span))
       case other =>
         fail(s"unknown operator name \"$other\"", opTok.span)
     }

@@ -166,4 +166,57 @@ class CompilerSpec extends SparkTestBase {
       .collect()(0).getString(0)
     assert(got == "ell")
   }
+
+  // ---- graft extension operators: dedup / sample ---------------------
+
+  private lazy val docsT: DataFrame = {
+    val session = spark
+    import session.implicits._
+    Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha  BETA gamma"), // exact dup after normalize
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+  }
+
+  private def dcat(name: String): DataFrame = name match {
+    case "D" => docsT
+    case other => sys.error(s"no table $other")
+  }
+
+  test("| dedup defaults to kind=exact and equals the library call") {
+    val got = Pql.query(spark, "D | dedup text by doc_id", dcat)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 3L)))
+    val lib = graft.ops.Dedup.exact(docsT, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(lib))
+  }
+
+  test("| dedup kind=substrings rewrites the text column row-preservingly") {
+    val got = Pql.query(spark, "D | dedup kind=substrings text by doc_id", dcat)
+    assert(got.columns.toSeq == Seq("doc_id", "text_clean", "n_removed"))
+    assert(got.count() == 3)
+  }
+
+  test("| dedup composes with downstream operators") {
+    val got = Pql.query(spark,
+      "D | dedup text by doc_id | where doc_id > 1 | count", dcat)
+      .collect()(0).getLong(0)
+    assert(got == 1L)
+  }
+
+  test("| sample applies the deterministic Bernoulli filter") {
+    val a = Pql.query(spark, "D | sample 1.0 by doc_id", dcat).count()
+    assert(a == 3L)
+    val b = Pql.query(spark, "D | sample 0.0 by doc_id", dcat).count()
+    assert(b == 0L)
+  }
+
+  test("bad dedup kind and out-of-range sample rate fail with spans") {
+    val e1 = intercept[Exception](Pql.query(spark, "D | dedup kind=bogus text by doc_id", dcat))
+    assert(e1.getMessage.contains("dedup kind"), e1.getMessage)
+    val e2 = intercept[Exception](Pql.query(spark, "D | sample 1.5 by doc_id", dcat))
+    assert(e2.getMessage.contains("sample rate"), e2.getMessage)
+  }
 }
