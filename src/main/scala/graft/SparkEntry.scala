@@ -410,6 +410,20 @@ object SparkEntry {
     * must stay bit-identical, that parity being the streaming entry's
     * whole point).
     */
+  /** The q_score formula as an expression over a `text` column —
+    * shared by the quality oracles and corpus_build's quality filter
+    * so the threshold compares the IDENTICAL doubles in both engines.
+    */
+  private lazy val sqlQScoreExpr: String = {
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val nWords = s"CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all(text, '$sqlNonWord')) AS DOUBLE)"
+    val stops = stopHits("en")
+    s"""least($nWords / 100.0, 1.0) * 0.4
+       |    + least(($stops / greatest($nWords, 1.0)) * 5.0, 1.0) * 0.4
+       |    + (1.0 - least(($punct / greatest($nChars, 1.0)) * 10.0, 1.0)) * 0.2""".stripMargin
+  }
+
   private def sqlTextQualityOracle: String = {
     val nChars = "CAST(length(text) AS DOUBLE)"
     val nWords = s"CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS DOUBLE)"
@@ -421,17 +435,17 @@ object SparkEntry {
        |  $punct / greatest($nChars, 1.0) AS punct_ratio,
        |  $stops / greatest($nWords, 1.0) AS stop_ratio,
        |  ($nChars - ($nWords - 1.0)) / greatest($nWords, 1.0) AS mean_word_len,
-       |  least($nWords / 100.0, 1.0) * 0.4
-       |    + least(($stops / greatest($nWords, 1.0)) * 5.0, 1.0) * 0.4
-       |    + (1.0 - least(($punct / greatest($nChars, 1.0)) * 10.0, 1.0)) * 0.2 AS q_score
+       |  $sqlQScoreExpr AS q_score
        |FROM documents""".stripMargin
   }
 
   /** DuckDB replica of [[TextOps.chunk]] at 64 tokens (shared by the
-    * text_chunk and pack_sequences oracles).
+    * text_chunk, pack_sequences, and corpus_build oracles).
     */
-  private lazy val sqlChunkQuery: String =
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '$sqlWs+') AS w FROM documents),
+  private lazy val sqlChunkQuery: String = sqlChunkQueryFor("documents")
+
+  private def sqlChunkQueryFor(src: String): String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '$sqlWs+') AS w FROM $src),
        |n AS (SELECT doc_id, w, greatest(CAST(ceil(len(w) / 64.0) AS BIGINT), 1) AS nc FROM t),
        |u AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS c FROM n),
        |s AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
@@ -597,6 +611,37 @@ object SparkEntry {
         ),
       Some(
         s"""WITH c AS ($sqlChunkQuery),
+           |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
+           |st AS (SELECT *, sum(n_tokens) OVER (
+           |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+           |  ) - n_tokens AS strt FROM sh)
+           |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+           |  shard || '-' || (strt // 256) AS seq_id
+           |FROM st""".stripMargin
+      )
+    ),
+    // END-TO-END corpus build: exact dedup → English-quality filter
+    // (q_score >= 0.5, the same expression both engines compute for
+    // text_quality) → 64-token chunking → 256-token next-fit packing.
+    // One composed plan — the whole training-corpus preparation as a
+    // single declarative pipeline, oracled stage-for-stage.
+    "corpus_build" -> Entry(
+      (s, dir) => {
+        val deduped = Dedup.exact(docs(s, dir), "text", "doc_id").select("doc_id", "text")
+        val goodIds = TextOps.qualityScore(deduped, "text", "doc_id")
+          .filter(col("q_score") >= 0.5).select("doc_id")
+        val kept = deduped.join(goodIds, Seq("doc_id"))
+        graft.ops.Packing.packSequences(
+          TextOps.chunk(kept, "text", "doc_id", chunkTokens = 64),
+          "doc_id", "chunk_idx", "n_tokens",
+          budgetTokens = 256, nShards = 8
+        )
+      },
+      Some(
+        s"""WITH dd AS (SELECT doc_id, text FROM documents
+           |  QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1),
+           |qf AS (SELECT doc_id, text FROM dd WHERE ($sqlQScoreExpr) >= 0.5),
+           |c AS (${sqlChunkQueryFor("qf")}),
            |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
            |st AS (SELECT *, sum(n_tokens) OVER (
            |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
