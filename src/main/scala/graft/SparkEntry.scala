@@ -863,6 +863,27 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT / 4294967296.0 < 0.25""".stripMargin
     ),
+    // Scalar-function extensions: the pipeline scores composable in
+    // any PQL expression — filter on quality, group by language.
+    "pql_quality_fn" -> q(
+      "documents | extend q = quality_score(text) | where q >= 0.5 | project doc_id, q",
+      s"""SELECT doc_id, q FROM (SELECT doc_id, $sqlQScoreExpr AS q FROM documents)
+         |WHERE q >= 0.5""".stripMargin
+    ),
+    "pql_langid_fn" -> q(
+      "documents | extend l = lang_id(text) | summarize n = count() by l | sort by l asc",
+      s"""WITH s AS (SELECT doc_id,
+         |  ${stopHits("en")} AS s_en, ${stopHits("es")} AS s_es,
+         |  ${stopHits("de")} AS s_de, ${stopHits("fr")} AS s_fr,
+         |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) * 0.5 AS s_zh
+         |FROM documents),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN m = 0 THEN 'und'
+         |       WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de'
+         |       WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' ELSE 'und' END AS l
+         |FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM s))
+         |SELECT l, count(*) AS n FROM p GROUP BY l ORDER BY l""".stripMargin
+    ),
     "dedup_exact" -> Entry(
       (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id"),
       Some(

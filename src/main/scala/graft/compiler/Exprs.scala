@@ -317,6 +317,15 @@ private[graft] final class Exprs(source: String) {
       case "strlen" =>
         val List(x) = arity(call, 1)
         length(c(x))
+      // graft extension scalar functions (beyond the reference's
+      // surface): text-pipeline scores composable in any expression —
+      // `extend q = quality_score(text) | where q >= 0.5`.
+      case "quality_score" =>
+        val List(x) = arity(call, 1)
+        graft.ops.TextOps.qScore(c(x))
+      case "lang_id" =>
+        val List(x) = arity(call, 1)
+        graft.ops.TextOps.langPred(c(x))
       // NOTE: `substring` and 2-arg `floor` deliberately pass through
       // (below) — the reference forwards both to ClickHouse
       // (/root/reference/pql.go:834-850 lists the only 11 intercepted

@@ -117,22 +117,55 @@ object TextOps {
     * CJK scored by character-class presence. Deterministic argmax with
     * fixed priority order on ties. Output: `idCol, lang_pred, lang_score`.
     */
-  def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+  /** Per-language evidence scores (shared by [[languageId]] and the
+    * scalar [[langPred]] so the two can never drift).
+    */
+  private def langScores(t: Column): Seq[(String, Column)] = {
     val langs = Seq("en", "es", "de", "fr")
-    val scores: Seq[(String, Column)] =
-      langs.map(l => l -> stopwordHits(t, Stopwords(l)).cast("double")) :+
-        // CJK: weight characters since they don't whitespace-tokenize.
-        ("zh" -> (regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") * lit(0.5)))
+    langs.map(l => l -> stopwordHits(t, Stopwords(l)).cast("double")) :+
+      // CJK: weight characters since they don't whitespace-tokenize.
+      ("zh" -> (regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]")).cast("double") * lit(0.5)))
+  }
+
+  /** Language prediction as ONE Column expression — the PQL scalar
+    * function `lang_id(text)`. First language (in declaration order)
+    * reaching the max wins; zero evidence everywhere is "und".
+    */
+  def langPred(text: Column): Column = {
+    val scores = langScores(text)
     val best = greatest(scores.map(_._2): _*)
-    // First language (in declaration order) reaching the max wins;
-    // zero evidence in EVERY language is "und", not English.
     val pred = scores.tail.foldLeft(when(scores.head._2 === best, scores.head._1)) {
       case (acc, (l, s)) => acc.when(s === best, l)
     }
+    when(best === 0.0, lit("und")).otherwise(coalesce(pred, lit("und")))
+  }
+
+  /** The composite quality score as ONE Column expression — the PQL
+    * scalar function `quality_score(text)`. The count subtrees repeat
+    * inside the formula (no aliasing is possible in a scalar
+    * expression); Spark's physical-plan common-subexpression
+    * elimination dedupes them inside whole-stage codegen, so the cost
+    * matches [[qualityScore]]'s aliased form. Identical arithmetic to
+    * the q_score column — the DuckDB oracle spells the same formula.
+    */
+  def qScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = size(tokens(text)).cast("double")
+    val punctRatio =
+      graft.functions.PunctCount.punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = stopwordHits(text, Stopwords("en")).cast("double") / greatest(nWords, lit(1.0))
+    least(nWords / lit(100.0), lit(1.0)) * lit(0.4) +
+      least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+  }
+
+  def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val scores = langScores(t)
+    val best = greatest(scores.map(_._2): _*)
     df.select(
       col(idCol),
-      when(best === 0.0, lit("und")).otherwise(coalesce(pred, lit("und"))).as("lang_pred"),
+      langPred(t).as("lang_pred"),
       best.as("lang_score")
     )
   }

@@ -213,6 +213,23 @@ class CompilerSpec extends SparkTestBase {
     assert(b == 0L)
   }
 
+  test("quality_score and lang_id compose in expressions") {
+    val q = Pql.query(spark,
+      "D | extend q = quality_score(text) | where q > 0.0 | count", dcat)
+      .collect()(0).getLong(0)
+    assert(q == 3L)
+    val langs = Pql.query(spark,
+      "D | extend l = lang_id(text) | summarize n = count() by l", dcat)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.values.sum == 3L)
+    // matches the operator form bit-for-bit
+    val viaOp = graft.ops.TextOps.qualityScore(docsT, "text", "doc_id")
+      .select("doc_id", "q_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaFn = Pql.query(spark, "D | extend q = quality_score(text) | project doc_id, q", dcat)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaOp == viaFn)
+  }
+
   test("bad dedup kind and out-of-range sample rate fail with spans") {
     val e1 = intercept[Exception](Pql.query(spark, "D | dedup kind=bogus text by doc_id", dcat))
     assert(e1.getMessage.contains("dedup kind"), e1.getMessage)
