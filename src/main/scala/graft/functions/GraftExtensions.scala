@@ -25,6 +25,14 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** A foldable argument evaluated at registration time (SQL callers
+    * pass widths/vocabularies as literals).
+    */
+  private def litOf(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null)
+  }
+
   val functions: Seq[FunctionDescription] = Seq(
     (
       FunctionIdentifier("graft_dot"),
@@ -32,6 +40,46 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
         DotProduct(args(0), args(1))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_sorted_intersect_size expects 2 arguments, got ${args.length}")
+        SortedIntersectSize(args(0), args(1))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_punct_count"),
+      new ExpressionInfo(classOf[PunctCount].getName, "graft_punct_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_punct_count expects 1 argument, got ${args.length}")
+        PunctCount(args(0))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_shingle_hashes expects (tokens[, n]), got ${args.length} arguments")
+        val n = if (args.length == 2)
+          litOf(args(1), "shingle width n").asInstanceOf[Number].intValue()
+        else 3
+        ShingleHashes(args(0), n)
+      }
+    ),
+    (
+      FunctionIdentifier("graft_subword_counts"),
+      new ExpressionInfo(classOf[SubwordCounts].getName, "graft_subword_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_subword_counts expects (tokens[, vocab_csv]), got ${args.length} arguments")
+        val vocab = if (args.length == 2)
+          litOf(args(1), "vocab_csv").toString.split(',').toSeq
+        else SubwordCounts.DefaultVocab
+        SubwordCounts(args(0), vocab)
       }
     )
   )

@@ -48,6 +48,21 @@ class FunctionsSpec extends SparkTestBase {
     v shouldBe 11.0
   }
 
+  test("every graft native expression resolves in SQL after register") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_punct_count('a, b!') AS pc,
+        |  graft_sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS si,
+        |  size(graft_shingle_hashes(array('a','b','c','d'), 2)) AS sh,
+        |  graft_subword_counts(array('ingtion'), 'ing,tion')[0] AS sw
+        |""".stripMargin).head
+    assert(r.getAs[Number]("pc").longValue() == 2L) // ',' and '!'
+    assert(r.getAs[Number]("si").longValue() == 2L) // {3,5}
+    assert(r.getAs[Number]("sh").longValue() == 3L) // 3 bigrams of 4 tokens
+    assert(r.getAs[Number]("sw").longValue() == 2L) // ing + tion
+  }
+
   test("PQL pass-through resolves registered native functions") {
     graft.functions.GraftExtensions.register(spark)
     val df = spark.createDataFrame(
