@@ -713,30 +713,7 @@ object SparkEntry {
     // of the SAME maximal-munch loop — integer-exact.
     "text_subwords" -> Entry(
       (s, dir) => TextOps.subwordStats(docs(s, dir), "text", "doc_id"),
-      Some {
-        val vocabList = graft.functions.SubwordCounts.DefaultVocab
-          .map(v => s"'$v'").mkString(", ")
-        s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
-           |wd AS (SELECT doc_id, unnest(w) AS word FROM t),
-           |uw AS (SELECT DISTINCT word FROM wd),
-           |vocab AS (SELECT unnest([$vocabList]) AS v),
-           |seg AS (
-           |  SELECT word, 0 AS pos, 0 AS cnt, 0 AS oov FROM uw
-           |  UNION ALL
-           |  SELECT word, pos + coalesce(ml, 1), cnt + 1,
-           |         oov + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
-           |  FROM (
-           |    SELECT s.word, s.pos, s.cnt, s.oov,
-           |      (SELECT max(len(v.v)) FROM vocab v
-           |       WHERE substr(s.word, s.pos + 1, len(v.v)) = v.v) AS ml
-           |    FROM seg s WHERE s.pos < len(s.word))
-           |),
-           |term AS (SELECT word, cnt, oov FROM seg WHERE pos >= len(word)),
-           |ds AS (SELECT wd.doc_id, CAST(sum(term.cnt) AS BIGINT) AS n_subwords,
-           |       CAST(sum(term.oov) AS BIGINT) AS n_oov
-           |       FROM wd JOIN term USING (word) GROUP BY wd.doc_id)
-           |SELECT doc_id, n_subwords, n_oov FROM ds""".stripMargin
-      }
+      Some(entries_textSubwordsOracle)
     ),
     // Token-budget selection: ~800 whitespace tokens per source in
     // deterministic md5 order; strict cum <= budget, boundary doc
@@ -787,6 +764,23 @@ object SparkEntry {
           |SELECT doc_id, source, CAST(unnest(generate_series(1, CAST(n AS INT))) AS INT) AS epoch
           |FROM c WHERE n >= 1""".stripMargin
       )
+    ),
+    // Streaming parity for subword accounting: the identical
+    // TextOps.subwordStats call over readStream (stateless narrow
+    // codegen projection) hash-matches the batch oracle — token
+    // accounting runs at ingest.
+    "stream_subwords" -> Entry(
+      (s, dir) => {
+        val sink = "sw_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+        val counted = TextOps.subwordStats(stream, "text", "doc_id")
+        val q = graft.streaming.Streaming.runToMemory(counted, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(entries_textSubwordsOracle)
     ),
     // CCNet-style domain-LM scoring: bigram coverage of every doc
     // against the top-1000 hashed bigrams of the ENGLISH subset (the
@@ -1430,6 +1424,34 @@ object SparkEntry {
        |  ELSE list_transform(generate_series(1, len(w) - ${n - 1}),
        |    i -> $combine) END AS hs
        |FROM tw)""".stripMargin
+  }
+
+  /** DuckDB replica of [[TextOps.subwordStats]] (recursive-CTE greedy
+    * maximal munch) — shared by the batch and streaming entries.
+    */
+  private lazy val entries_textSubwordsOracle: String = {
+    val vocabList = graft.functions.SubwordCounts.DefaultVocab
+      .map(v => s"'$v'").mkString(", ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |wd AS (SELECT doc_id, unnest(w) AS word FROM t),
+       |uw AS (SELECT DISTINCT word FROM wd),
+       |vocab AS (SELECT unnest([$vocabList]) AS v),
+       |seg AS (
+       |  SELECT word, 0 AS pos, 0 AS cnt, 0 AS oov FROM uw
+       |  UNION ALL
+       |  SELECT word, pos + coalesce(ml, 1), cnt + 1,
+       |         oov + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+       |  FROM (
+       |    SELECT s.word, s.pos, s.cnt, s.oov,
+       |      (SELECT max(len(v.v)) FROM vocab v
+       |       WHERE substr(s.word, s.pos + 1, len(v.v)) = v.v) AS ml
+       |    FROM seg s WHERE s.pos < len(s.word))
+       |),
+       |term AS (SELECT word, cnt, oov FROM seg WHERE pos >= len(word)),
+       |ds AS (SELECT wd.doc_id, CAST(sum(term.cnt) AS BIGINT) AS n_subwords,
+       |       CAST(sum(term.oov) AS BIGINT) AS n_oov
+       |       FROM wd JOIN term USING (word) GROUP BY wd.doc_id)
+       |SELECT doc_id, n_subwords, n_oov FROM ds""".stripMargin
   }
 
   /** DuckDB replica of [[graft.ops.Dedup.dedupSubstrings]] at k=8 —
