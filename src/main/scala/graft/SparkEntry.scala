@@ -810,6 +810,31 @@ object SparkEntry {
            |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
       )
     ),
+    // Gopher within-doc duplicate-line ratios (line-level repetition
+    // filter; repetitionStats covers the token-level rules).
+    "text_dup_lines" -> Entry(
+      (s, dir) => TextOps.dupLineStats(docs(s, dir), "text", "doc_id"),
+      Some(
+        s"""WITH f AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array($sqlNorm, '\\. ')) AS frag FROM documents
+           |),
+           |pl AS (SELECT doc_id, frag, count(*) AS cnt FROM f WHERE frag <> '' GROUP BY doc_id, frag),
+           |pd AS (SELECT doc_id,
+           |  CAST(sum(cnt) AS BIGINT) AS n_lines,
+           |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+           |  CAST(sum(cnt * len(frag)) AS BIGINT) AS tot_chars,
+           |  CAST(sum((cnt - 1) * len(frag)) AS BIGINT) AS dup_chars
+           |FROM pl GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(pd.n_lines, 0) AS n_lines,
+           |  coalesce(pd.n_dup_lines, 0) AS n_dup_lines,
+           |  CASE WHEN pd.n_lines IS NULL THEN 0.0
+           |       ELSE pd.n_dup_lines / CAST(pd.n_lines AS DOUBLE) END AS dup_line_frac,
+           |  CASE WHEN pd.tot_chars IS NULL OR pd.tot_chars = 0 THEN 0.0
+           |       ELSE pd.dup_chars / CAST(pd.tot_chars AS DOUBLE) END AS dup_char_frac
+           |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+      )
+    ),
     // Line-wise dedup (RefinedWeb): first corpus-wide occurrence of
     // each '. '-fragment survives; documents reassemble in order.
     // Reassembled text compares byte-for-byte across engines.

@@ -448,6 +448,52 @@ object TextOps {
     )
   }
 
+  /** Gopher-style WITHIN-DOC duplicate-line ratios (the "repetitious
+    * document" filters of Rae et al. 2021, line granularity —
+    * [[repetitionStats]] covers the token-level rules, [[Dedup
+    * .dedupLines]] the corpus-level removal): fraction of lines that
+    * repeat an earlier line of the SAME document, by count and by
+    * character mass. High values mark boilerplate/spam documents for
+    * dropping. Lines are the '. '-fragments of the normalized text
+    * (the dedupLines convention).
+    *
+    * Output (row-preserving): `(idCol, n_lines, n_dup_lines,
+    * dup_line_frac, dup_char_frac)` — integers plus two single IEEE
+    * divisions, engine-exact. Plan: explode → (doc, line) count
+    * aggregate → per-doc aggregate, both map-side combined; no joins,
+    * no text through more than the first shuffle.
+    */
+  def dupLineStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val frags = df
+      .select(col(idCol), explode(split(normalize(col(textCol)), "\\. ")).as("frag"))
+      .filter(length(col("frag")) > 0)
+    val perLine = frags
+      .groupBy(col(idCol), col("frag"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), col("cnt"), length(col("frag")).cast("long").as("len"))
+    val perDoc = perLine
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        sum(col("cnt") - 1).as("n_dup_lines"),
+        sum(col("cnt") * col("len")).as("tot_chars"),
+        sum((col("cnt") - 1) * col("len")).as("dup_chars")
+      )
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        when(col("n_lines").isNull, lit(0.0))
+          .otherwise(col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        when(col("tot_chars").isNull || col("tot_chars") === 0L, lit(0.0))
+          .otherwise(col("dup_chars").cast("double") / col("tot_chars").cast("double"))
+          .as("dup_char_frac")
+      )
+  }
+
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

@@ -364,6 +364,24 @@ class OpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("dupLineStats measures within-doc line repetition by count and char mass") {
+    val df = Seq(
+      (1L, "Spam line. unique a. Spam line. unique b. Spam line"),
+      (2L, "all. distinct. lines"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupLineStats(df, "text", "doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 5 lines, "spam line" ×3 → 2 duplicate occurrences
+    assert(out(1L)._1 == 5L && out(1L)._2 == 2L)
+    assert(out(1L)._3 == 2.0 / 5.0)
+    // char mass: dup chars = 2×9 ("spam line"), total = 3×9 + 8 + 8
+    assert(out(1L)._4 == 18.0 / 43.0, out(1L))
+    assert(out(2L) == ((3L, 0L, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("shard manifest conserves totals and balances shards") {
     val df = (0L until 2000L).map(i => (i, Seq.fill(3 + (i % 5).toInt)("w").mkString(" ")))
       .toDF("doc_id", "text")
