@@ -145,4 +145,24 @@ class ParserSpec extends AnyFunSuite {
   test("batch of statements splits on semicolons") {
     assert(Parser.parse("T; U").length == 2)
   }
+
+  test("dedup operator parses with default and explicit kind") {
+    val DedupOp(k1, t1, i1, _) = tabular("D | dedup text by doc_id").operators.head: @unchecked
+    assert(k1 == "exact" && t1.name == "text" && i1.name == "doc_id")
+    val DedupOp(k2, _, _, _) =
+      tabular("D | dedup kind=substrings text by doc_id").operators.head: @unchecked
+    assert(k2 == "substrings")
+  }
+
+  test("dedup operator rejects unknown kinds and missing by") {
+    assertThrows[PqlParseException](Parser.parse("D | dedup kind=bogus text by doc_id"))
+    assertThrows[PqlParseException](Parser.parse("D | dedup text doc_id"))
+  }
+
+  test("sample operator parses a literal rate and rejects expressions") {
+    val SampleOp(rate, _, id, _) = tabular("D | sample 0.25 by doc_id").operators.head: @unchecked
+    assert(rate == "0.25" && id.name == "doc_id")
+    assertThrows[PqlParseException](Parser.parse("D | sample x by doc_id"))
+    assertThrows[PqlParseException](Parser.parse("D | sample 0.25 doc_id"))
+  }
 }
