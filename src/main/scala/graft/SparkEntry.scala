@@ -651,6 +651,31 @@ object SparkEntry {
            |FROM st""".stripMargin
       )
     ),
+    // Materialized training rows: sequences concatenated in pack
+    // order with an EOS separator — the parquet a trainer reads.
+    "pack_concat" -> Entry(
+      (s, dir) =>
+        graft.ops.Packing.packConcat(
+          graft.ops.Packing.packSequences(
+            TextOps.chunk(docs(s, dir), "text", "doc_id", chunkTokens = 64),
+            "doc_id", "chunk_idx", "n_tokens",
+            budgetTokens = 256, nShards = 8
+          ),
+          "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+        ),
+      Some(
+        s"""WITH c AS ($sqlChunkQuery),
+           |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
+           |st AS (SELECT *, sum(n_tokens) OVER (
+           |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+           |  ) - n_tokens AS strt FROM sh)
+           |SELECT shard || '-' || (strt // 256) AS seq_id,
+           |  string_agg(chunk_text, '<|eos|>' ORDER BY doc_id, chunk_idx) AS packed_text,
+           |  count(*) AS n_chunks,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |FROM st GROUP BY seq_id""".stripMargin
+      )
+    ),
     "text_fingerprint" -> Entry(
       (s, dir) => TextOps.fingerprint(docs(s, dir), "text", "doc_id"),
       Some(

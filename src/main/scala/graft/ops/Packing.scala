@@ -62,4 +62,33 @@ object Packing {
       )
       .drop("__shard", "__start")
   }
+
+  /** Materialize the packed training rows: one row per sequence with
+    * the member chunks concatenated in pack order (an EOS separator
+    * between documents' chunks) plus the token total — the parquet a
+    * training job actually reads. One seq-keyed aggregate over
+    * [[packSequences]]' output; the concat order is the pack order
+    * `(idCol, idxCol)`, realized engine-exactly via the sort-struct
+    * aggregate (= the oracle's `string_agg(... ORDER BY ...)`).
+    * Output: `(seq_id, packed_text, n_chunks, n_tokens)`.
+    */
+  def packConcat(
+      packed: DataFrame,
+      idCol: String,
+      idxCol: String,
+      textCol: String,
+      tokensCol: String,
+      eos: String = "<|eos|>"
+  ): DataFrame =
+    packed
+      .groupBy(col("seq_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(idxCol), col(textCol)))),
+            _.getField(textCol)),
+          eos).as("packed_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(col(tokensCol)).as("n_tokens")
+      )
 }
