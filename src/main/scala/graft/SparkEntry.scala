@@ -865,23 +865,7 @@ object SparkEntry {
     // Reassembled text compares byte-for-byte across engines.
     "dedup_lines" -> Entry(
       (s, dir) => Dedup.dedupLines(docs(s, dir), "text", "doc_id"),
-      Some(
-        s"""WITH f AS (
-           |  SELECT doc_id, unnest(fr) AS frag, generate_subscripts(fr, 1) AS pos
-           |  FROM (SELECT doc_id, regexp_split_to_array($sqlNorm, '\\. ') AS fr FROM documents)
-           |),
-           |k AS (
-           |  SELECT doc_id, pos, frag,
-           |    row_number() OVER (PARTITION BY md5(frag) ORDER BY doc_id, pos) AS rn
-           |  FROM f WHERE frag <> ''
-           |),
-           |r AS (
-           |  SELECT doc_id, string_agg(frag, '. ' ORDER BY pos) AS text
-           |  FROM k WHERE rn = 1 GROUP BY doc_id
-           |)
-           |SELECT d.doc_id, coalesce(r.text, '') AS text
-           |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
-      )
+      Some(sqlDedupLinesOracle)
     ),
     // Exact-substring dedup (Lee et al. ExactSubstr, token-granular):
     // every repeated 8-token span is cut from all but its first
@@ -1504,6 +1488,40 @@ object SparkEntry {
        |SELECT doc_id, n_subwords, n_oov FROM ds""".stripMargin
   }
 
+  /** DuckDB replica of [[graft.ops.Dedup.dedupLines]] — shared by the
+    * library-call and PQL-language entries.
+    */
+  private lazy val sqlDedupLinesOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, unnest(fr) AS frag, generate_subscripts(fr, 1) AS pos
+       |  FROM (SELECT doc_id, regexp_split_to_array($sqlNorm, '\\. ') AS fr FROM documents)
+       |),
+       |k AS (
+       |  SELECT doc_id, pos, frag,
+       |    row_number() OVER (PARTITION BY md5(frag) ORDER BY doc_id, pos) AS rn
+       |  FROM f WHERE frag <> ''
+       |),
+       |r AS (
+       |  SELECT doc_id, string_agg(frag, '. ' ORDER BY pos) AS text
+       |  FROM k WHERE rn = 1 GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, coalesce(r.text, '') AS text
+       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+
+  /** DuckDB replica of [[graft.ops.NearDup.deduplicateCorpus]] (exact
+    * dedup, then near-dup drop) — shared by the library-call and
+    * PQL-language entries.
+    */
+  private lazy val sqlDedupPipelineOracle: String = {
+    val exact =
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+    s"""WITH ex AS ($exact),
+       |pairs AS (${sqlMinhashOracleOver("ex")})
+       |SELECT doc_id, text, lang, source, n_chars FROM ex
+       |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+  }
+
   /** DuckDB replica of [[graft.ops.Dedup.dedupSubstrings]] at k=8 —
     * shared by the library-call entry (`dedup_substrings`) and the
     * PQL-language entry (`pql_dedup_substrings`) so the two can't
@@ -1902,15 +1920,16 @@ object SparkEntry {
     ),
     "dedup_pipeline" -> Entry(
       (s, dir) => NearDup.deduplicateCorpus(docs(s, dir), "text", "doc_id"),
-      Some {
-        val exact =
-          s"""SELECT doc_id, text, lang, source, n_chars FROM documents
-             |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
-        s"""WITH ex AS ($exact),
-           |pairs AS (${sqlMinhashOracleOver("ex")})
-           |SELECT doc_id, text, lang, source, n_chars FROM ex
-           |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
-      }
+      Some(sqlDedupPipelineOracle)
+    ),
+    // The same corpus-level pipelines as PQL LANGUAGE operators.
+    "pql_dedup_minhash" -> q(
+      "documents | dedup kind=minhash text by doc_id",
+      sqlDedupPipelineOracle
+    ),
+    "pql_dedup_lines" -> q(
+      "documents | dedup kind=lines text by doc_id",
+      sqlDedupLinesOracle
     ),
     "dedup_minhash_corpus" -> Entry(
       (s, dir) => {
