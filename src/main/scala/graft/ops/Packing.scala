@@ -71,6 +71,14 @@ object Packing {
     * `(idCol, idxCol)`, realized engine-exactly via the sort-struct
     * aggregate (= the oracle's `string_agg(... ORDER BY ...)`).
     * Output: `(seq_id, packed_text, n_chunks, n_tokens)`.
+    *
+    * BOUND CAVEAT: a sequence's chunk list is bounded by
+    * `budgetTokens` only for chunks with ≥ 1 token — ZERO-token chunks
+    * (empty documents, which [[graft.ops.TextOps.chunk]] row-preserves)
+    * never advance the running sum, so a corpus with millions of empty
+    * docs would pile them into single sequences. Filter
+    * `n_tokens >= 1` upstream when empty docs may exist at volume; not
+    * done here so the op stays a pure materialization of its input.
     */
   def packConcat(
       packed: DataFrame,
