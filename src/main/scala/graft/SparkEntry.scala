@@ -835,6 +835,32 @@ object SparkEntry {
            |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
       )
     ),
+    // Gopher duplicate n-gram coverage: fraction of tokens covered by
+    // an n-gram repeating WITHIN the doc (n=3 — the width this corpus
+    // actually repeats at; 27 docs score > 0 at sf0.01).
+    "text_dup_ngrams" -> Entry(
+      (s, dir) => TextOps.dupNgramStats(docs(s, dir), "text", "doc_id", n = 3),
+      Some(
+        s"""WITH ${sqlHashedShingleCtes("documents", 3)},
+           |lg AS (SELECT doc_id FROM t WHERE len(w) >= 3),
+           |kg AS (SELECT hh.doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+           |       FROM hh JOIN lg USING (doc_id)),
+           |dp AS (SELECT doc_id, pos FROM (
+           |         SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, h) AS c FROM kg)
+           |       WHERE c >= 2),
+           |cv0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS tp FROM dp),
+           |cvd AS (SELECT DISTINCT doc_id, tp FROM cv0),
+           |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM cvd GROUP BY doc_id),
+           |tl AS (SELECT doc_id,
+           |  CAST(CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS BIGINT) AS n_tok
+           |FROM t)
+           |SELECT tl.doc_id, tl.n_tok,
+           |  coalesce(nc.n_covered, 0) AS n_covered,
+           |  CASE WHEN tl.n_tok = 0 THEN 0.0
+           |       ELSE coalesce(nc.n_covered, 0) / CAST(tl.n_tok AS DOUBLE) END AS dup_frac
+           |FROM tl LEFT JOIN nc ON tl.doc_id = nc.doc_id""".stripMargin
+      )
+    ),
     // Gopher within-doc duplicate-line ratios (line-level repetition
     // filter; repetitionStats covers the token-level rules).
     "text_dup_lines" -> Entry(

@@ -494,6 +494,59 @@ object TextOps {
       )
   }
 
+  /** Gopher duplicate n-gram coverage (the last of Rae et al. 2021's
+    * repetition-rule family here — [[repetitionStats]] covers the
+    * token rules, [[dupLineStats]] the line rules): the fraction of a
+    * document's TOKENS covered by some n-gram that occurs at least
+    * twice WITHIN the document (the paper's "fraction of characters
+    * in duplicate n-grams", at token granularity — chars and tokens
+    * rank documents near-identically and tokens keep the counts
+    * integer-exact cross-engine). Uses the shared
+    * [[graft.functions.ShingleHashes]] rolling hashes; docs under `n`
+    * tokens have no n-gram and score 0.
+    *
+    * Output (row-preserving): `(idCol, n_tok, n_covered, dup_frac)`.
+    * Plan: codegen shingle projection → (doc, hash) count → span
+    * explode → distinct-position count per doc — all doc-keyed,
+    * map-side combined, no text beyond the first projection.
+    */
+  def dupNgramStats(df: DataFrame, textCol: String, idCol: String, n: Int = 10): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2, got $n")
+    val base = df.select(col(idCol), NearDup.tokens(col(textCol)).as("w"))
+    // only docs with a genuine n-gram participate (the ShingleHashes
+    // whole-text fallback for short docs must not count as an n-gram)
+    val long = base.filter(size(col("w")) >= n)
+    val kg = long.select(
+      col(idCol),
+      posexplode(graft.functions.TextHash.shingleHashes(col("w"), n)).as(Seq("pos", "h")))
+    // windowed count, not a collect_list of positions: a pathological
+    // doc repeating one n-gram 10^6 times must stay row-shaped, never
+    // a 10^6-element array in one aggregation buffer
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol), col("h"))
+    val dupSpans = kg
+      .withColumn("__c", count(lit(1)).over(wh))
+      .filter(col("__c") >= 2)
+      .select(col(idCol), col("pos"))
+    val covered = dupSpans
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_covered"))
+    val tlen = base.select(col(idCol),
+      when(size(col("w")) === 1 && element_at(col("w"), 1) === "", lit(0L))
+        .otherwise(size(col("w")).cast("long")).as("n_tok"))
+    tlen
+      .join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tok"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_tok") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tok").cast("double"))
+          .as("dup_frac")
+      )
+  }
+
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")

@@ -364,6 +364,22 @@ class OpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("dupNgramStats covers tokens under within-doc repeated n-grams only") {
+    val df = Seq(
+      (1L, "a b c x a b c y"),   // "a b c" twice → covers 6 of 8 tokens
+      (2L, "p q r s t u v w"),   // all distinct 3-grams
+      (3L, "short doc"),         // under n tokens → 0/0
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(df, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((8L, 6L, 6.0 / 8.0)), out(1L))
+    assert(out(2L) == ((8L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("dupLineStats measures within-doc line repetition by count and char mass") {
     val df = Seq(
       (1L, "Spam line. unique a. Spam line. unique b. Spam line"),
