@@ -111,6 +111,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("corpus_build: the composed pipeline keeps every stage's shape") {
+    val plan = plans(SparkEntry.queries("corpus_build")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // quality filter runs as a filter, not a join against a scored copy
+    assert(plan.contains("graft_punct_count"), plan) // codegen quality counts
+    assert(plan.contains("Window"), plan)            // pack cumsum
+  }
+
+  test("pack_concat aggregates per sequence with no cartesian") {
+    val plan = plans(SparkEntry.queries("pack_concat")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("HashAggregate"), plan)
+  }
+
   test("text_lm_score: model joins broadcast, shingles stay codegen, no cartesian") {
     val plan = plans(SparkEntry.queries("text_lm_score")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
