@@ -455,6 +455,37 @@ object SparkEntry {
        |       ELSE CAST(len(string_split(chunk_text, ' ')) AS BIGINT) END AS n_tokens
        |FROM s""".stripMargin
 
+  /** DuckDB replica of the end-to-end corpus build (exact dedup →
+    * quality filter → chunk → pack), shared by corpus_build and its
+    * PQL-language twin `pql_corpus_build`.
+    */
+  private lazy val sqlCorpusBuildOracle: String =
+    s"""WITH dd AS (SELECT doc_id, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1),
+       |qf AS (SELECT doc_id, text FROM dd WHERE ($sqlQScoreExpr) >= 0.5),
+       |c AS (${sqlChunkQueryFor("qf")}),
+       |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
+       |st AS (SELECT *, sum(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+       |  ) - n_tokens AS strt FROM sh)
+       |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       |  shard || '-' || (strt // 256) AS seq_id
+       |FROM st""".stripMargin
+
+  /** DuckDB replica of 64-token chunking → 256-token next-fit packing
+    * over 8 shards (shared by pack_sequences and its PQL-language
+    * twin `pql_pack`).
+    */
+  private lazy val sqlPackSequencesOracle: String =
+    s"""WITH c AS ($sqlChunkQuery),
+       |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
+       |st AS (SELECT *, sum(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+       |  ) - n_tokens AS strt FROM sh)
+       |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+       |  shard || '-' || (strt // 256) AS seq_id
+       |FROM st""".stripMargin
+
   private val opsEntries: ListMap[String, Entry] = ListMap(
     "text_tokens" -> Entry(
       (s, dir) => TextOps.tokenStats(docs(s, dir), "text", "doc_id"),
@@ -609,16 +640,7 @@ object SparkEntry {
           "doc_id", "chunk_idx", "n_tokens",
           budgetTokens = 256, nShards = 8
         ),
-      Some(
-        s"""WITH c AS ($sqlChunkQuery),
-           |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
-           |st AS (SELECT *, sum(n_tokens) OVER (
-           |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
-           |  ) - n_tokens AS strt FROM sh)
-           |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-           |  shard || '-' || (strt // 256) AS seq_id
-           |FROM st""".stripMargin
-      )
+      Some(sqlPackSequencesOracle)
     ),
     // END-TO-END corpus build: exact dedup → English-quality filter
     // (q_score >= 0.5, the same expression both engines compute for
@@ -637,19 +659,7 @@ object SparkEntry {
           budgetTokens = 256, nShards = 8
         )
       },
-      Some(
-        s"""WITH dd AS (SELECT doc_id, text FROM documents
-           |  QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1),
-           |qf AS (SELECT doc_id, text FROM dd WHERE ($sqlQScoreExpr) >= 0.5),
-           |c AS (${sqlChunkQueryFor("qf")}),
-           |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
-           |st AS (SELECT *, sum(n_tokens) OVER (
-           |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
-           |  ) - n_tokens AS strt FROM sh)
-           |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-           |  shard || '-' || (strt // 256) AS seq_id
-           |FROM st""".stripMargin
-      )
+      Some(sqlCorpusBuildOracle)
     ),
     // Materialized training rows: sequences concatenated in pack
     // order with an EOS separator — the parquet a trainer reads.
@@ -2085,6 +2095,54 @@ object SparkEntry {
         s"""SELECT vec_id, label FROM embeddings
            |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
       )
+    ),
+    // The REMAINING pipeline ops as PQL LANGUAGE operators (round-11
+    // grammar extension): every `| dedup kind=…`, `| decontam`,
+    // `| chunk`, `| pack` pipeline below must hash-match the
+    // library-call oracle the corresponding §2.4 entry already proves.
+    "pql_dedup_simhash" -> q(
+      "documents | dedup kind=simhash text by doc_id",
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM ($sqlSimhashOracle))""".stripMargin
+    ),
+    "pql_dedup_embed" -> q(
+      // dim is a required plan parameter (hyperplane geometry), spelled
+      // in the query; the embedding array column itself is projected
+      // away so both engines compare scalar columns only.
+      "embeddings | dedup kind=embed dim=64 embedding by vec_id | project vec_id, label",
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id_b FROM ($sqlEmbedOracle))""".stripMargin
+    ),
+    "pql_dedup_semantic" -> q(
+      "embeddings | dedup kind=semantic cos=0.4 embedding by vec_id | project vec_id, label",
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
+    ),
+    "pql_decontam" -> q(
+      """documents | where doc_id % 20 != 0
+        || decontam against (documents | where doc_id % 20 == 0) text by doc_id""".stripMargin,
+      sqlDecontamDrop
+    ),
+    "pql_chunk" -> q(
+      "documents | chunk 64 text by doc_id",
+      sqlChunkQuery
+    ),
+    "pql_pack" -> q(
+      "documents | chunk 64 text by doc_id | pack 256 shards=8 n_tokens by doc_id, chunk_idx",
+      sqlPackSequencesOracle
+    ),
+    // The end-to-end corpus build written entirely IN THE LANGUAGE —
+    // dedup, quality filter (extension scalar fn), chunk, pack — one
+    // composed Catalyst plan, hash-matched against the same oracle as
+    // the library-composed corpus_build.
+    "pql_corpus_build" -> q(
+      """documents
+        || dedup text by doc_id
+        || where quality_score(text) >= 0.5
+        || project doc_id, text
+        || chunk 64 text by doc_id
+        || pack 256 shards=8 n_tokens by doc_id, chunk_idx""".stripMargin,
+      sqlCorpusBuildOracle
     )
   )
 

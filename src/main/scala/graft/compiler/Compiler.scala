@@ -152,13 +152,56 @@ private[graft] final class Compiler(
       }
 
     // graft extensions: the §2.4 pipeline operators, in-language ------
-    case DedupOp(kind, text, id, _) =>
-      kind match {
+    case DedupOp(kind, opts, text, id, span) =>
+      val o = new OpOptions(opts, span, allowedFor(kind), s"dedup kind=$kind")
+      val out = kind match {
         case "exact"      => graft.ops.Dedup.exact(df, text.name, id.name)
         case "lines"      => graft.ops.Dedup.dedupLines(df, text.name, id.name)
         case "substrings" => graft.ops.Dedup.dedupSubstrings(df, text.name, id.name)
         case "minhash"    => graft.ops.NearDup.deduplicateCorpus(df, text.name, id.name)
+        case "simhash" =>
+          graft.ops.NearDup.dropNearDuplicates(
+            df, graft.ops.NearDup.simhashPairs(df, text.name, id.name), id.name)
+        case "embed" =>
+          // the embedding dimension is a plan parameter (hyperplane
+          // count per signature bit), not derivable from the array
+          // column's type — required in the query text
+          val dim = o.requiredInt("dim", min = 1)
+          graft.ops.NearDup.dropNearDuplicates(
+            df,
+            graft.ops.NearDup.embedCosinePairs(
+              df, text.name, id.name, dim, minCos = o.double("cos", 0.4)),
+            id.name)
+        case "semantic" =>
+          graft.ops.SemDedup.deduplicate(
+            df, text.name, id.name,
+            nCells = o.int("cells", 32, min = 1),
+            minCos = o.double("cos", 0.9))
       }
+      o.finish()
+      out
+
+    case DecontamOp(eval, opts, text, id, span) =>
+      val o = new OpOptions(opts, span, Set("hits", "ngram"), "decontam")
+      val evalDf = compileTabular(eval)
+      val out = graft.ops.Decontam.decontaminate(
+        df, evalDf, text.name, id.name,
+        minHits = o.int("hits", 2, min = 1),
+        shingleN = o.int("ngram", 3, min = 1))
+      o.finish()
+      out
+
+    case ChunkOp(n, text, id, _) =>
+      graft.ops.TextOps.chunk(df, text.name, id.name, chunkTokens = rowCount(n))
+
+    case PackOp(budget, opts, tokens, id, idx, span) =>
+      val o = new OpOptions(opts, span, Set("shards"), "pack")
+      val out = graft.ops.Packing.packSequences(
+        df, id.name, idx.name, tokens.name,
+        budgetTokens = rowCount(budget),
+        nShards = o.int("shards", 64, min = 1))
+      o.finish()
+      out
 
     case SampleOp(rate, rateSpan, id, _) =>
       val r =
@@ -166,6 +209,60 @@ private[graft] final class Compiler(
         catch { case _: NumberFormatException => fail(s"invalid sample rate $rate", rateSpan) }
       if (r < 0.0 || r > 1.0) fail(s"sample rate must be in [0, 1], got $rate", rateSpan)
       graft.ops.Sampling.bernoulli(df, id.name, r)
+  }
+
+  /** Option names valid for each dedup kind: an option the op would
+    * silently ignore is a compile error, not noise.
+    */
+  private def allowedFor(kind: String): Set[String] = kind match {
+    case "embed"    => Set("dim", "cos")
+    case "semantic" => Set("cells", "cos")
+    case _          => Set.empty
+  }
+
+  /** Validated accessor over an extension operator's literal
+    * `name=<number>` options: rejects unknown/duplicate names at
+    * construction, parses per accessor.
+    */
+  private final class OpOptions(
+      opts: List[OpOption],
+      opSpan: Span,
+      allowed: Set[String],
+      opName: String
+  ) {
+    opts.groupBy(_.name.name).collectFirst { case (n, os) if os.sizeIs > 1 => os(1) }
+      .foreach(o => fail(s"duplicate option ${o.name.name}", o.name.span))
+    opts.find(o => !allowed.contains(o.name.name)).foreach { o =>
+      val hint = if (allowed.isEmpty) "takes no options" else s"allows ${allowed.toList.sorted.mkString(", ")}"
+      fail(s"option ${o.name.name} not valid for $opName ($opName $hint)", o.name.span)
+    }
+    private val byName = opts.map(o => o.name.name -> o).toMap
+
+    def int(name: String, default: Int, min: Int): Int = byName.get(name) match {
+      case None => default
+      case Some(o) =>
+        val v = try o.value.toInt
+          catch { case _: NumberFormatException => fail(s"option $name must be an integer, got ${o.value}", o.valueSpan) }
+        if (v < min) fail(s"option $name must be >= $min, got $v", o.valueSpan)
+        v
+    }
+
+    def requiredInt(name: String, min: Int): Int = {
+      if (!byName.contains(name)) fail(s"$opName requires option $name=<n>", opSpan)
+      int(name, default = min, min = min)
+    }
+
+    def double(name: String, default: Double): Double = byName.get(name) match {
+      case None => default
+      case Some(o) =>
+        try o.value.toDouble
+        catch { case _: NumberFormatException => fail(s"option $name must be a number, got ${o.value}", o.valueSpan) }
+    }
+
+    /** Construction-time checks are the whole contract; kept as an
+      * explicit terminator so call sites read as a validation scope.
+      */
+    def finish(): Unit = ()
   }
 
   /** Render property values are presentation instructions: literals

@@ -123,14 +123,67 @@ final case class RenderProperty(name: Ident, value: Expr)
 final case class RenderOp(chartType: Ident, props: List[RenderProperty], span: Span)
     extends TabularOperator
 
-/** `| dedup [kind=exact|lines|substrings|minhash] TextCol by IdCol` —
-  * graft EXTENSION (no counterpart in the reference grammar): corpus
-  * deduplication as a first-class pipeline operator. `exact` and
-  * `minhash` keep surviving full rows; `lines` and `substrings`
-  * rewrite the text column (row-preserving).
+/** A literal `name=<number>` operator option on a graft extension
+  * operator (e.g. `dim=64` on `dedup kind=embed`). The value keeps its
+  * token text; the compiler parses/validates it per option.
   */
-final case class DedupOp(kind: String, textCol: Ident, idCol: Ident, span: Span)
+final case class OpOption(name: Ident, value: String, valueSpan: Span)
+
+/** `| dedup [kind=<kind>] [opt=<n> ...] TextCol by IdCol` — graft
+  * EXTENSION (no counterpart in the reference grammar): corpus
+  * deduplication as a first-class pipeline operator.
+  *
+  *   - `exact`, `minhash`, `simhash` keep surviving full rows keyed on
+  *     the text column;
+  *   - `lines` and `substrings` rewrite the text column
+  *     (row-preserving);
+  *   - `embed` (requires `dim=<n>`; optional `cos=<t>`) and `semantic`
+  *     (optional `cells=<n>`, `cos=<t>`) treat TextCol as an embedding
+  *     array column and keep surviving full rows.
+  */
+final case class DedupOp(
+    kind: String,
+    opts: List[OpOption],
+    textCol: Ident,
+    idCol: Ident,
+    span: Span
+) extends TabularOperator
+
+/** `| decontam against (EvalPipeline) [hits=<n>] [ngram=<n>] TextCol by
+  * IdCol` — graft EXTENSION: drops documents whose hashed n-gram
+  * shingle overlap with the eval pipeline's result reaches `hits`
+  * (default 2) shared shingles; `ngram` (default 3) is the shingle
+  * order. The eval side must expose the same text/id column names.
+  */
+final case class DecontamOp(
+    eval: TabularExpr,
+    opts: List[OpOption],
+    textCol: Ident,
+    idCol: Ident,
+    span: Span
+) extends TabularOperator
+
+/** `| chunk <tokens> TextCol by IdCol` — graft EXTENSION: splits each
+  * document into fixed-size token chunks; output is
+  * `(IdCol, chunk_idx, chunk_text, n_tokens)`.
+  */
+final case class ChunkOp(sizeTokens: Expr, textCol: Ident, idCol: Ident, span: Span)
     extends TabularOperator
+
+/** `| pack <budget> [shards=<n>] TokensCol by IdCol, IdxCol` — graft
+  * EXTENSION: next-fit sequence packing of chunk rows into
+  * `budget`-token training sequences (appends `seq_id`). Composes
+  * after `| chunk`: `documents | chunk 64 text by doc_id
+  * | pack 256 n_tokens by doc_id, chunk_idx`.
+  */
+final case class PackOp(
+    budget: Expr,
+    opts: List[OpOption],
+    tokensCol: Ident,
+    idCol: Ident,
+    idxCol: Ident,
+    span: Span
+) extends TabularOperator
 
 /** `| sample 0.25 by IdCol` — graft EXTENSION: deterministic
   * hash-of-id Bernoulli sample (reproducible membership on any

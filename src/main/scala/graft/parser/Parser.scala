@@ -17,7 +17,11 @@ object Parser {
     new Parser(source, Lexer.scan(source)).parseProgram()
 
   private[parser] val joinFlavors = Set("inner", "innerunique", "leftouter")
-  private[parser] val dedupKinds = Set("exact", "lines", "substrings", "minhash")
+  private[parser] val dedupKinds =
+    Set("exact", "lines", "substrings", "minhash", "simhash", "embed", "semantic")
+  private[parser] val dedupOptions = Set("dim", "cells", "cos")
+  private[parser] val decontamOptions = Set("hits", "ngram")
+  private[parser] val packOptions = Set("shards")
 }
 
 private final class Parser(source: String, tokens: Vector[Token]) {
@@ -163,7 +167,10 @@ private final class Parser(source: String, tokens: Vector[Token]) {
       // graft extensions (not in the reference grammar) ----------------
       case "dedup" =>
         var kind = "exact"
-        if (atKeywordIdent("kind")) {
+        // kind is only taken when 'kind' is immediately followed by
+        // '=': a text column literally named `kind` still parses with
+        // the default kind (`D | dedup kind by doc_id`).
+        if (atAssignedIdent("kind")) {
           next()
           expect(Assign, "'='")
           val f = peek match {
@@ -178,10 +185,11 @@ private final class Parser(source: String, tokens: Vector[Token]) {
             )
           kind = f.value
         }
+        val opts = parseOpOptions(Parser.dedupOptions)
         val text = parseIdent("text column")
         expectKeywordIdentOr(By, "'by'")
         val id = parseIdent("id column")
-        DedupOp(kind, text, id, spanTo(id.span))
+        DedupOp(kind, opts, text, id, spanTo(id.span))
       case "sample" =>
         val rate = peek match {
           case Some(t) if t.kind == Number => next()
@@ -191,9 +199,71 @@ private final class Parser(source: String, tokens: Vector[Token]) {
         expectKeywordIdentOr(By, "'by'")
         val id = parseIdent("id column")
         SampleOp(rate.value, rate.span, id, spanTo(id.span))
+      case "decontam" =>
+        // `decontam against (EvalPipeline) [hits=n] [ngram=n] Text by Id`
+        peek match {
+          case Some(t) if t.kind == Identifier && t.value == "against" => next()
+          case Some(t) => fail(s"expected 'against', got ${describe(t)}", t.span)
+          case None    => fail("expected 'against', got EOF", eofSpan)
+        }
+        expect(LParen, "'('")
+        val eval = parseTabularExpr()
+        expect(RParen, "')'")
+        val dOpts = parseOpOptions(Parser.decontamOptions)
+        val dText = parseIdent("text column")
+        expectKeywordIdentOr(By, "'by'")
+        val dId = parseIdent("id column")
+        DecontamOp(eval, dOpts, dText, dId, spanTo(dId.span))
+      case "chunk" =>
+        val n = parseRowCount()
+        val cText = parseIdent("text column")
+        expectKeywordIdentOr(By, "'by'")
+        val cId = parseIdent("id column")
+        ChunkOp(n, cText, cId, spanTo(cId.span))
+      case "pack" =>
+        val budget = parseRowCount()
+        val pOpts = parseOpOptions(Parser.packOptions)
+        val tokens = parseIdent("tokens column")
+        expectKeywordIdentOr(By, "'by'")
+        val pId = parseIdent("id column")
+        expect(Comma, "','")
+        val pIdx = parseIdent("chunk index column")
+        PackOp(budget, pOpts, tokens, pId, pIdx, spanTo(pIdx.span))
       case other =>
         fail(s"unknown operator name \"$other\"", opTok.span)
     }
+  }
+
+  /** The next token is the keyword-identifier `name` IMMEDIATELY
+    * followed by `=` — the two-token lookahead that lets a column
+    * literally named like an option/`kind` still parse as a column.
+    */
+  private def atAssignedIdent(name: String): Boolean =
+    atKeywordIdent(name) && pos + 1 < tokens.length && tokens(pos + 1).kind == Assign
+
+  /** Zero or more literal `name=<number>` options from `allowed`
+    * (extension operators: `dim=64 cos=0.4` …). Each name is consumed
+    * only when `=` follows, so option names never shadow column names.
+    */
+  private def parseOpOptions(allowed: Set[String]): List[OpOption] = {
+    val out = List.newBuilder[OpOption]
+    var continue = true
+    while (continue) {
+      peek match {
+        case Some(t) if t.kind == Identifier && allowed.contains(t.value) &&
+            pos + 1 < tokens.length && tokens(pos + 1).kind == Assign =>
+          val name = parseIdent("option name")
+          next() // '='
+          val v = peek match {
+            case Some(n) if n.kind == Number => next()
+            case Some(n) => fail(s"expected number for option ${name.name}, got ${describe(n)}", n.span)
+            case None    => fail(s"expected number for option ${name.name}, got EOF", eofSpan)
+          }
+          out += OpOption(name, v.value, v.span)
+        case _ => continue = false
+      }
+    }
+    out.result()
   }
 
   private def expectKeywordIdentOr(kind: TokenKind, what: String): Unit = peek match {

@@ -147,9 +147,9 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("dedup operator parses with default and explicit kind") {
-    val DedupOp(k1, t1, i1, _) = tabular("D | dedup text by doc_id").operators.head: @unchecked
-    assert(k1 == "exact" && t1.name == "text" && i1.name == "doc_id")
-    val DedupOp(k2, _, _, _) =
+    val DedupOp(k1, o1, t1, i1, _) = tabular("D | dedup text by doc_id").operators.head: @unchecked
+    assert(k1 == "exact" && o1.isEmpty && t1.name == "text" && i1.name == "doc_id")
+    val DedupOp(k2, _, _, _, _) =
       tabular("D | dedup kind=substrings text by doc_id").operators.head: @unchecked
     assert(k2 == "substrings")
   }
@@ -157,6 +157,44 @@ class ParserSpec extends AnyFunSuite {
   test("dedup operator rejects unknown kinds and missing by") {
     assertThrows[PqlParseException](Parser.parse("D | dedup kind=bogus text by doc_id"))
     assertThrows[PqlParseException](Parser.parse("D | dedup text doc_id"))
+  }
+
+  test("a text column literally named 'kind' dedups with the default kind") {
+    val DedupOp(k, _, t, i, _) = tabular("D | dedup kind by doc_id").operators.head: @unchecked
+    assert(k == "exact" && t.name == "kind" && i.name == "doc_id")
+  }
+
+  test("dedup options parse and never shadow column names") {
+    val DedupOp(k, opts, t, _, _) =
+      tabular("E | dedup kind=embed dim=64 cos=0.5 embedding by vec_id").operators.head: @unchecked
+    assert(k == "embed" && t.name == "embedding")
+    assert(opts.map(o => o.name.name -> o.value) == List("dim" -> "64", "cos" -> "0.5"))
+    // a column named like an option (no '=') is a column
+    val DedupOp(_, opts2, t2, _, _) = tabular("D | dedup dim by doc_id").operators.head: @unchecked
+    assert(opts2.isEmpty && t2.name == "dim")
+    assertThrows[PqlParseException](Parser.parse("D | dedup dim=x text by doc_id"))
+  }
+
+  test("decontam operator parses the eval pipeline and options") {
+    val DecontamOp(eval, opts, t, i, _) = tabular(
+      "D | decontam against (E | where doc_id % 20 == 0) hits=3 ngram=8 text by doc_id"
+    ).operators.head: @unchecked
+    assert(eval.source.table.name == "E" && eval.operators.length == 1)
+    assert(opts.map(o => o.name.name -> o.value) == List("hits" -> "3", "ngram" -> "8"))
+    assert(t.name == "text" && i.name == "doc_id")
+    assertThrows[PqlParseException](Parser.parse("D | decontam (E) text by doc_id"))
+    assertThrows[PqlParseException](Parser.parse("D | decontam against E text by doc_id"))
+  }
+
+  test("chunk and pack operators parse") {
+    val ChunkOp(n, t, i, _) = tabular("D | chunk 64 text by doc_id").operators.head: @unchecked
+    assert(n.isInstanceOf[BasicLit] && t.name == "text" && i.name == "doc_id")
+    val PackOp(b, opts, tk, id, idx, _) =
+      tabular("C | pack 256 shards=8 n_tokens by doc_id, chunk_idx").operators.head: @unchecked
+    assert(b.isInstanceOf[BasicLit] && tk.name == "n_tokens" && id.name == "doc_id" && idx.name == "chunk_idx")
+    assert(opts.map(o => o.name.name -> o.value) == List("shards" -> "8"))
+    assertThrows[PqlParseException](Parser.parse("D | chunk text by doc_id"))
+    assertThrows[PqlParseException](Parser.parse("C | pack 256 n_tokens by doc_id"))
   }
 
   test("sample operator parses a literal rate and rejects expressions") {
