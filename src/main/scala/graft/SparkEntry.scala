@@ -674,16 +674,23 @@ object SparkEntry {
           "doc_id", "chunk_idx", "chunk_text", "n_tokens"
         ),
       Some(
+        // EOS separates DOCUMENTS; a document's own chunks rejoin with
+        // the space their tokens were split on (mirrors packConcat's
+        // two-level aggregate).
         s"""WITH c AS ($sqlChunkQuery),
            |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
            |st AS (SELECT *, sum(n_tokens) OVER (
            |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
-           |  ) - n_tokens AS strt FROM sh)
-           |SELECT shard || '-' || (strt // 256) AS seq_id,
-           |  string_agg(chunk_text, '<|eos|>' ORDER BY doc_id, chunk_idx) AS packed_text,
-           |  count(*) AS n_chunks,
-           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-           |FROM st GROUP BY seq_id""".stripMargin
+           |  ) - n_tokens AS strt FROM sh),
+           |d AS (SELECT shard || '-' || (strt // 256) AS seq_id, doc_id,
+           |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS doc_text,
+           |    count(*) AS doc_chunks, sum(n_tokens) AS doc_tokens
+           |  FROM st GROUP BY 1, 2)
+           |SELECT seq_id,
+           |  string_agg(doc_text, '<|eos|>' ORDER BY doc_id) AS packed_text,
+           |  CAST(sum(doc_chunks) AS BIGINT) AS n_chunks,
+           |  CAST(sum(doc_tokens) AS BIGINT) AS n_tokens
+           |FROM d GROUP BY seq_id""".stripMargin
       )
     ),
     "text_fingerprint" -> Entry(
@@ -730,15 +737,23 @@ object SparkEntry {
     // KMV distinct-token sketch: engine-exact cardinality estimation
     // (the HLL stand-in no two engines agree on); exact count carried
     // alongside so the estimate's error is visible in the output.
+    // k=16, NOT the 256 default: the synthetic corpus's normalized
+    // vocabulary is only ~31 distinct tokens, so k=256 is the
+    // degenerate <k case — the estimator now reports NULL there (the
+    // round-10 advice fix; unit-tested in OpsSpec) and the gate
+    // instance must exercise a VALID estimate. Both sides carry the
+    // same n_in_k/kth_hash>0 guard.
     "text_distinct_kmv" -> Entry(
-      (s, dir) => Sketch.distinctTokensKmv(docs(s, dir), "text"),
+      (s, dir) => Sketch.distinctTokensKmv(docs(s, dir), "text", k = 16),
       Some(
         s"""WITH tk AS (SELECT DISTINCT x AS tok FROM
            |  (SELECT unnest($sqlTokens) AS x FROM documents) WHERE x <> ''),
            |hh AS (SELECT DISTINCT ${sqlHash32Of("tok")} AS h FROM tk),
-           |km AS (SELECT max(h) AS kth_hash FROM (SELECT h FROM hh ORDER BY h LIMIT 256))
-           |SELECT CAST(256 AS INT) AS k, kth_hash,
-           |  (255 * 4294967296.0) / kth_hash AS est_distinct,
+           |km AS (SELECT max(h) AS kth_hash, count(*) AS n_in_k
+           |       FROM (SELECT h FROM hh ORDER BY h LIMIT 16))
+           |SELECT CAST(16 AS INT) AS k, kth_hash,
+           |  CASE WHEN n_in_k = 16 AND kth_hash > 0
+           |       THEN (15 * 4294967296.0) / kth_hash END AS est_distinct,
            |  (SELECT CAST(count(*) AS BIGINT) FROM tk) AS exact_distinct
            |FROM km""".stripMargin
       )

@@ -64,13 +64,19 @@ object Packing {
   }
 
   /** Materialize the packed training rows: one row per sequence with
-    * the member chunks concatenated in pack order (an EOS separator
-    * between documents' chunks) plus the token total — the parquet a
-    * training job actually reads. One seq-keyed aggregate over
-    * [[packSequences]]' output; the concat order is the pack order
-    * `(idCol, idxCol)`, realized engine-exactly via the sort-struct
-    * aggregate (= the oracle's `string_agg(... ORDER BY ...)`).
+    * the member text concatenated in pack order, plus the token
+    * total — the parquet a training job actually reads. The EOS
+    * separator marks DOCUMENT boundaries only (the standard packing
+    * convention): chunks split from the same document rejoin with a
+    * single space — the separator their tokens were split on — so a
+    * trainer never sees a spurious document boundary mid-document.
     * Output: `(seq_id, packed_text, n_chunks, n_tokens)`.
+    *
+    * Two seq-keyed aggregates over [[packSequences]]' output (per-doc
+    * rejoin, then per-sequence doc concat); each concat order is
+    * engine-exact via the sort-struct aggregate (= the oracle's
+    * `string_agg(... ORDER BY ...)`), and both shuffles are keyed by
+    * `seq_id` so the second agg is exchange-free after the first.
     *
     * BOUND CAVEAT: a sequence's chunk list is bounded by
     * `budgetTokens` only for chunks with ≥ 1 token — ZERO-token chunks
@@ -89,14 +95,24 @@ object Packing {
       eos: String = "<|eos|>"
   ): DataFrame =
     packed
+      .groupBy(col("seq_id"), col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idxCol), col(textCol)))),
+            _.getField(textCol)),
+          " ").as("__doc_text"),
+        count(lit(1)).as("__doc_chunks"),
+        sum(col(tokensCol)).as("__doc_tokens")
+      )
       .groupBy(col("seq_id"))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col(idCol), col(idxCol), col(textCol)))),
-            _.getField(textCol)),
+            array_sort(collect_list(struct(col(idCol), col("__doc_text")))),
+            _.getField("__doc_text")),
           eos).as("packed_text"),
-        count(lit(1)).as("n_chunks"),
-        sum(col(tokensCol)).as("n_tokens")
+        sum(col("__doc_chunks")).as("n_chunks"),
+        sum(col("__doc_tokens")).as("n_tokens")
       )
 }

@@ -74,6 +74,13 @@ object Sampling {
   ): DataFrame = {
     require(permille.values.forall(_ >= 0) && defaultPermille >= 0,
       "mixture weights must be non-negative permille values")
+    // `epoch` is this op's output column: silently overwriting an
+    // input column of that name (withColumn replaces on collision)
+    // would corrupt caller data. The temp count column uses the
+    // __-prefixed convention (cf. Packing's __shard/__start) so it can
+    // never collide with user schema.
+    require(!df.columns.contains("epoch"),
+      "mixture appends an `epoch` column; rename the input's existing `epoch` column first")
     val wt = permille.foldLeft(lit(defaultPermille)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, lit(w)).otherwise(acc)
     }
@@ -85,10 +92,10 @@ object Sampling {
     val copies =
       floor(wt.cast("double") / 1000.0).cast("int") +
         when(h < (wt % 1000).cast("long"), lit(1)).otherwise(lit(0))
-    df.withColumn("n_copies", copies)
-      .filter(col("n_copies") >= 1)
-      .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
-      .drop("n_copies")
+    df.withColumn("__mix_n_copies", copies)
+      .filter(col("__mix_n_copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("__mix_n_copies"))))
+      .drop("__mix_n_copies")
   }
 
   /** Token-budget selection: keep documents per stratum, in a

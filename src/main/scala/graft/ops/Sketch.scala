@@ -30,8 +30,11 @@ object Sketch {
     * of the number of distinct normalized tokens next to the exact
     * count (the exact side is the expensive global distinct the sketch
     * exists to replace; carried here so the estimate's accuracy is
-    * visible in the output itself). Requires ≥ k distinct token hashes
-    * (k=256 vs any real corpus's ≥10⁴ tokens).
+    * visible in the output itself). The estimator needs ≥ k distinct
+    * token hashes and a strictly positive k-th hash (k=256 vs any real
+    * corpus's ≥10⁴ tokens); a degenerate corpus yields
+    * `est_distinct = NULL` rather than a silently biased number or a
+    * divide-by-zero.
     */
   def distinctTokensKmv(df: DataFrame, textCol: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
@@ -43,12 +46,16 @@ object Sketch {
       .distinct()
       .orderBy(col("h"))
       .limit(k)
-      .agg(max(col("h")).as("kth_hash"))
+      // n_in_k counts the rows the limit actually produced: < k means
+      // the corpus has fewer than k distinct hashes and max(h) is NOT
+      // the k-th minimum — the estimate would be biased low.
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("__n_in_k"))
     val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
     kth.crossJoin(exact).select(
       lit(k).as("k"),
       col("kth_hash"),
-      (lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
+      when(col("__n_in_k") === k && col("kth_hash") > 0,
+        lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
         .as("est_distinct"),
       col("exact_distinct")
     )

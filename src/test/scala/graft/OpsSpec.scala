@@ -426,6 +426,15 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(r._3 - 5000.0) / 5000.0 < 0.3, r)
   }
 
+  test("KMV sketch reports NULL, not a biased number, below k distinct hashes") {
+    // 10 distinct tokens < k=256: max(h) is the 10th minimum, not the
+    // 256th — the estimate would be wildly biased low-cardinality-high.
+    val df = (0L until 100L).map(i => (i, s"tok${i % 10}")).toDF("doc_id", "text")
+    val row = Sketch.distinctTokensKmv(df, "text", k = 256).collect().head
+    assert(row.isNullAt(row.fieldIndex("est_distinct")), row)
+    assert(row.getLong(row.fieldIndex("exact_distinct")) == 10L, row)
+  }
+
   test("subwordStats: greedy longest-match counts, code-point fallback, codegen plan") {
     val df = Seq(
       (1L, "theresting"), // th+er+es+t? — greedy walk, hand-checked below
@@ -539,6 +548,31 @@ class OpsSpec extends SparkTestBase {
       permille = Map("a" -> 2500, "b" -> 0), defaultPermille = 400)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(a == b)
+  }
+
+  test("mixture refuses an input that already has an `epoch` column") {
+    val df = spark.range(5).select(col("id").as("doc_id"), lit("a").as("source"), lit(9).as("epoch"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.mixture(df, "doc_id", "source", permille = Map("a" -> 1000)))
+    assert(e.getMessage.contains("epoch"))
+  }
+
+  test("packConcat separates documents with EOS but rejoins a document's own chunks") {
+    import graft.ops.Packing
+    // doc 10 splits into two chunks; doc 20 is one chunk; all three
+    // land in one 100-token sequence (shard count 1 forces one shard).
+    val chunks = Seq(
+      (10L, 0, "alpha beta", 2L),
+      (10L, 1, "gamma", 1L),
+      (20L, 0, "delta", 1L)
+    ).toDF("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+    val packed = Packing.packSequences(chunks, "doc_id", "chunk_idx", "n_tokens",
+      budgetTokens = 100, nShards = 1)
+    val row = Packing.packConcat(packed, "doc_id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(String, String, Long, Long)].collect().head
+    // EOS only at the 10→20 document boundary; 10's chunks rejoin on ' '
+    assert(row._2 == "alpha beta gamma<|eos|>delta", row)
+    assert(row._3 == 3L && row._4 == 4L, row)
   }
 
   test("saltedJoin rejects right/full outer join types") {
