@@ -721,6 +721,30 @@ object SparkEntry {
            |FROM t WHERE x <> '' GROUP BY doc_id, bucket""".stripMargin
       )
     ),
+    // fastText-style quality-classifier inference: hashed bag-of-words
+    // → broadcast model weights → integer-logit mean + bias. Weights
+    // are the deterministic LCG table (stand-in for a trained model);
+    // bias −0.05 at the 2^30 fixed-point scale splits keep/drop on the
+    // synthetic corpus. Integer numerators + one IEEE division —
+    // engine-exact without exp/sigmoid.
+    "text_classifier_score" -> Entry(
+      (s, dir) => TextOps.classifierScore(
+        docs(s, dir), TextOps.lcgWeightTable(s, 1024), "text", "doc_id",
+        biasScaled = -53687091L),
+      Some(
+        s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array($sqlNorm, ' ')) AS x FROM documents),
+           |b AS (SELECT doc_id, CAST(${sqlHash32Of("x")} % 1024 AS INT) AS bucket FROM t WHERE x <> ''),
+           |w AS (SELECT CAST(i AS INT) AS bucket,
+           |        (1103515245 * i + 12345) % 2147483648 - 1073741824 AS w_int
+           |      FROM (SELECT unnest(generate_series(0, 1023)) AS i)),
+           |a AS (SELECT doc_id, sum(w_int) AS acc, count(*) AS n_tok FROM b JOIN w USING (bucket) GROUP BY doc_id),
+           |sc AS (SELECT d.doc_id, CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
+           |  CASE WHEN coalesce(a.n_tok, 0) = 0 THEN -53687091 / 1073741824.0
+           |       ELSE CAST(-53687091 * a.n_tok + a.acc AS BIGINT) / CAST(a.n_tok * 1073741824 AS BIGINT) END AS logit
+           |  FROM documents d LEFT JOIN a USING (doc_id))
+           |SELECT doc_id, n_tok, logit, logit >= 0.0 AS keep FROM sc""".stripMargin
+      )
+    ),
     // Shard manifest: hash-balanced shard assignment + per-shard
     // doc/token/byte totals — the epoch-planning table a training job
     // reads. Integer-exact.

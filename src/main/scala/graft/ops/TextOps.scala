@@ -556,4 +556,82 @@ object TextOps {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Fixed-point scale of classifier weights: a weight `w` is stored
+    * as `round(w · 2^30)` so per-document logits accumulate as exact
+    * integer sums (grouped DOUBLE sums have no defined accumulation
+    * order across engines/partitionings — the Kmeans precedent).
+    */
+  val ClassifierScale: Long = 1L << 30
+
+  /** Deterministic LCG weight table `(bucket INT, w_int LONG)` over
+    * `[0, nBuckets)`, `w_int` uniform in `[-2^30, 2^30)` (weight in
+    * [-1, 1)). Stands in for a trained model in tests/gates — same
+    * generator family as [[graft.ops.Project]]'s JL planes; a real
+    * deployment loads `(bucket, w_int)` from the training job's output
+    * parquet instead.
+    */
+  def lcgWeightTable(spark: org.apache.spark.sql.SparkSession, nBuckets: Int): DataFrame =
+    spark.range(nBuckets).select(
+      col("id").cast("int").as("bucket"),
+      ((lit(1103515245L) * col("id") + 12345L) % 2147483648L - 1073741824L).as("w_int")
+    )
+
+  /** fastText-style linear quality-classifier INFERENCE over hashed
+    * bag-of-words features — the CCNet / RefinedWeb "model-based
+    * quality filter" shape: each whitespace token hashes to a bucket,
+    * the bucket's weight comes from a broadcast model table, and a
+    * document's logit is the mean token weight plus a bias.
+    *
+    * Output: `(idCol, n_tok, logit, keep)` with
+    * `logit = (biasScaled · n_tok + Σ_tok w_int) / (n_tok · 2^30)` and
+    * `keep = logit >= 0`; a zero-token document scores the bare bias.
+    * Thresholding the logit is equivalent to thresholding the sigmoid
+    * probability (monotone), and avoids `exp` — which is NOT
+    * engine-exact — so every value reproduces bit-for-bit on any
+    * engine: the numerator and denominator are exact integers below
+    * 2^53 and one IEEE division is correctly rounded everywhere.
+    *
+    * Scale shape: scan → token explode → codegen hash/bucket
+    * projection → map-side BROADCAST join against the (tiny) model →
+    * ONE map-side-combined per-doc aggregate → broadcast-able join
+    * back for zero-token rows. The corpus text never shuffles; the
+    * only exchange carries `(id, partial sums)`.
+    *
+    * @param weights model table `(bucket INT, w_int LONG)`, `w_int` at
+    *                [[ClassifierScale]] fixed-point.
+    * @param biasScaled bias at the same fixed-point scale.
+    */
+  def classifierScore(
+      df: DataFrame,
+      weights: DataFrame,
+      textCol: String,
+      idCol: String,
+      biasScaled: Long = 0L,
+      nBuckets: Int = 1024
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scaleD = ClassifierScale.toDouble
+    val acc = df
+      .select(col(idCol), explode(NearDup.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), pmod(NearDup.hash32(col("tok")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w_int")).as("acc"), count(lit(1)).as("n_tok"))
+    val logit =
+      when(col("n_tok") === 0L, lit(biasScaled.toDouble / scaleD))
+        .otherwise(
+          (lit(biasScaled) * col("n_tok") + col("acc")).cast("double") /
+            (col("n_tok") * ClassifierScale).cast("double"))
+    df.select(col(idCol))
+      .join(acc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"), col("acc"))
+      .select(
+        col(idCol),
+        col("n_tok"),
+        logit.as("logit"),
+        (logit >= 0.0).as("keep")
+      )
+  }
 }

@@ -550,6 +550,32 @@ class OpsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("classifierScore: integer-logit inference, zero-token bias, partition-independent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, ""),
+      (3L, "alpha alpha alpha")
+    ).toDF("doc_id", "text")
+    val w = TextOps.lcgWeightTable(spark, 1024)
+    val out = TextOps.classifierScore(df, w, "text", "doc_id", biasScaled = 107374182L)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._2).sameElements(Array(4L, 0L, 3L)), out.toSeq)
+    // zero-token doc scores the bare bias (≈ 0.1)
+    assert(math.abs(out(1)._3 - 107374182L.toDouble / (1L << 30)) == 0.0, out(1))
+    // keep is exactly logit >= 0
+    assert(out.forall { case (_, _, l, k) => k == (l >= 0.0) })
+    // hand-check doc 3: three copies of one token → logit = bias + w(alpha)
+    val alphaBucket = TextOps.hashedFeatures(df.filter($"doc_id" === 3L), "text", "doc_id")
+      .select("bucket").as[Int].collect().head
+    val wAlpha = w.filter($"bucket" === alphaBucket).select("w_int").as[Long].collect().head
+    val expected3 = (107374182L * 3 + 3 * wAlpha).toDouble / (3L * (1L << 30)).toDouble
+    assert(out(2)._3 == expected3, s"${out(2)._3} vs $expected3")
+    // partitioning-independent (exact integer accumulation)
+    val b = TextOps.classifierScore(df.repartition(13), w, "text", "doc_id", biasScaled = 107374182L)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.sameElements(b))
+  }
+
   test("mixture refuses an input that already has an `epoch` column") {
     val df = spark.range(5).select(col("id").as("doc_id"), lit("a").as("source"), lit(9).as("epoch"))
     val e = intercept[IllegalArgumentException](

@@ -135,6 +135,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan) // the top-k model cut
   }
 
+  test("text_classifier_score: model weights broadcast, one aggregate, no cartesian") {
+    val plan = plans(SparkEntry.queries("text_classifier_score")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (bucket, w_int) model joins map-side — corpus tokens never
+    // shuffle for the model lookup
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan) // map-side combined logit sums
+  }
+
   test("kmeans_assign: centroids ride a one-row broadcast, dots are codegen") {
     val plan = plans(SparkEntry.queries("kmeans_assign")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
