@@ -5,7 +5,7 @@ import scala.collection.immutable.ListMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
 
-import graft.ops.{Ann, AsOf, Decontam, Dedup, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Shard, Sketch, Skew, TextOps}
+import graft.ops.{Ann, AsOf, Decontam, Dedup, Incremental, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Shard, Sketch, Skew, TextOps}
 import graft.streaming.Sessionize
 import graft.sources.Tables
 
@@ -1520,19 +1520,21 @@ object SparkEntry {
     * windows; whole-text hash for docs under n tokens. Mirrors
     * [[graft.functions.ShingleHashes]].
     */
-  private def sqlHashedShingleCtes(src: String, n: Int = 3): String = {
+  private def sqlHashedShingleCtes(src: String, n: Int = 3, suffix: String = ""): String = {
     val combine =
       if (n == 3)
         s"(hw[i] * ${NearDup.C1} + hw[i+1] * ${NearDup.C2} + hw[i+2]) % 2147483647"
       else
         s"list_reduce(hw[i:i+${n - 1}], (a, b) -> (a * ${NearDup.C1} + b) % 2147483647)"
-    s"""t AS (SELECT doc_id, $sqlTokens AS w FROM $src),
-       |tw AS (SELECT doc_id, w, list_transform(w, x -> $sqlHash32 % 2147483647) AS hw FROM t),
-       |hh AS (SELECT doc_id, CASE WHEN len(w) < $n
+    // `suffix` renames the CTEs (t2/tw2/hh2 …) so one query can build
+    // shingles over TWO sources (incremental dedup's snapshot + batch)
+    s"""t$suffix AS (SELECT doc_id, $sqlTokens AS w FROM $src),
+       |tw$suffix AS (SELECT doc_id, w, list_transform(w, x -> $sqlHash32 % 2147483647) AS hw FROM t$suffix),
+       |hh$suffix AS (SELECT doc_id, CASE WHEN len(w) < $n
        |  THEN [${sqlHash32Of("array_to_string(w, ' ')")} % 2147483647]
        |  ELSE list_transform(generate_series(1, len(w) - ${n - 1}),
        |    i -> $combine) END AS hs
-       |FROM tw)""".stripMargin
+       |FROM tw$suffix)""".stripMargin
   }
 
   /** DuckDB replica of [[TextOps.subwordStats]] (recursive-CTE greedy
@@ -1633,15 +1635,44 @@ object SparkEntry {
       "(((1103515245 * (j + 1) + 12345) % 2147483647) * h + ((987654321 * (j + 1) + 67890) % 2147483647)) % 2147483647)))"
 
   /** UNION ALL arms exploding signature `sig` into bands of `r`. */
-  private def sqlBands(k: Int, r: Int): String =
+  private def sqlBands(k: Int, r: Int, src: String = "sg"): String =
     (0 until k / r).map { j =>
       val key =
         if (r == 1) s"CAST(sig[${j + 1}] AS VARCHAR)"
         else s"array_to_string(sig[${j * r + 1}:${j * r + r}], '|')"
-      s"SELECT doc_id, $j AS bi, $key AS bk FROM sg"
+      s"SELECT doc_id, $j AS bi, $key AS bk FROM $src"
     }.mkString("\nUNION ALL ")
 
   private def sqlMinhashOracle: String = sqlMinhashOracleOver("documents")
+
+  /** DuckDB replica of [[graft.ops.Incremental.dedupAgainst]] with the
+    * gate split (snapshot = doc_id % 3 != 0, new batch = % 3 == 0):
+    * exact digests + k=32/r=2 MinHash bands of BOTH sides, candidates
+    * restricted to new×old, est-sim verified at 0.25 — the snapshot
+    * side built only from signature material, as the library op does.
+    */
+  private lazy val sqlDedupIncremental: String = {
+    val k = 32
+    val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
+    s"""WITH old AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       |nw AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+       |${sqlHashedShingleCtes("old", 3, "_o")},
+       |${sqlHashedShingleCtes("nw", 3, "_n")},
+       |sgo AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh_o),
+       |sgn AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh_n),
+       |bdo AS (${sqlBands(k, 2, "sgo")}),
+       |bdn AS (${sqlBands(k, 2, "sgn")}),
+       |cd AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |       FROM bdn n JOIN bdo o ON n.bi = o.bi AND n.bk = o.bk),
+       |near AS (SELECT DISTINCT cd.nid FROM cd
+       |         JOIN sgn s1 ON cd.nid = s1.doc_id JOIN sgo s2 ON cd.oid = s2.doc_id
+       |         WHERE $est >= 0.25),
+       |ex AS (SELECT nn.doc_id FROM (SELECT doc_id, md5($sqlNorm) AS dg FROM nw) nn
+       |       JOIN (SELECT DISTINCT md5($sqlNorm) AS dg FROM old) od USING (dg))
+       |SELECT doc_id, text, lang, source, n_chars FROM nw
+       |WHERE doc_id NOT IN (SELECT nid FROM near)
+       |  AND doc_id NOT IN (SELECT doc_id FROM ex)""".stripMargin
+  }
 
   private def sqlMinhashOracleOver(src: String): String = {
     val k = 32
@@ -2134,6 +2165,25 @@ object SparkEntry {
         s"""SELECT vec_id, label FROM embeddings
            |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
       )
+    ),
+    // Incremental dedup against a PERSISTED snapshot signature table
+    // (the recurring-crawl shape): the snapshot is built once per
+    // (entry, sf) and round-trips through parquet, so the gate
+    // exercises exactly what production does — old corpus represented
+    // by stored digests+sigs only, new batch anti-joined against them.
+    "dedup_incremental" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val snapPath = gateScratch("incsnap", dir)
+        if (!scratchComplete(snapPath))
+          Incremental.signatures(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+            .write.mode("overwrite").parquet(snapPath)
+        Incremental.dedupAgainst(
+          d.filter(col("doc_id") % 3 === 0),
+          s.read.parquet(snapPath),
+          "text", "doc_id")
+      },
+      Some(sqlDedupIncremental)
     ),
     // The REMAINING pipeline ops as PQL LANGUAGE operators (round-11
     // grammar extension): every `| dedup kind=…`, `| decontam`,

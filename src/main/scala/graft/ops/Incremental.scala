@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental deduplication against a persisted corpus snapshot — the
+  * recurring-crawl production shape: yesterday's corpus is represented
+  * ONLY by its per-document signature table (exact digest + MinHash
+  * signature, a few hundred bytes/doc); today's batch is deduplicated
+  * against it with no recompute — and no storage — of the old side's
+  * text.
+  *
+  * Plan shape, chosen for the 100 TB case:
+  *   - the snapshot side contributes band keys and signatures derived
+  *     from its STORED `sig` arrays (integer/string ops only — the old
+  *     corpus text is never read, never shuffled);
+  *   - candidates are a banded equi-join on `(band_idx, band_key)`
+  *     between new-batch band rows and snapshot band rows — the same
+  *     never-all-pairs LSH geometry as [[NearDup.minhashPairs]]
+  *     (k=32, bands of 2);
+  *   - exact duplicates are a digest semi-join; both drop sets come
+  *     back to the new batch as anti-joins, broadcast-able whenever
+  *     the day's duplicate count is small (the common case).
+  *
+  * The new batch's signature frame feeds three consumers (digest
+  * check, band rows, similarity verify); persist it with
+  * [[signatures]] + a parquet write when the batch itself is large —
+  * the same table then becomes tomorrow's snapshot increment, so the
+  * signature cost is paid once per document EVER.
+  */
+object Incremental {
+
+  /** Per-document signature table `(idCol, digest, sig)`:
+    * `digest` = md5 of the normalized text (the [[Dedup.exact]] key),
+    * `sig` = k-component MinHash signature over hashed 3-gram
+    * shingles (the [[NearDup.minhashPairs]] key material). This is the
+    * frame to persist as the corpus snapshot.
+    */
+  def signatures(df: DataFrame, textCol: String, idCol: String, k: Int = 32): DataFrame = {
+    val digests = df.select(
+      col(idCol),
+      md5(TextOps.normalize(col(textCol)).cast("binary")).as("digest"))
+    val sigs = NearDup.minhashSigsFromHashed(
+      NearDup.hashedShingles(df, textCol, idCol), idCol, k)
+    digests.join(sigs, Seq(idCol))
+  }
+
+  /** New-batch rows that are neither exact nor near duplicates of the
+    * snapshot corpus. `snapshot` is a [[signatures]] frame (typically
+    * `spark.read.parquet(...)`); duplicates WITHIN the new batch are
+    * out of scope by design — compose with
+    * [[NearDup.deduplicateCorpus]] first when the batch needs
+    * self-dedup.
+    */
+  def dedupAgainst(
+      newDf: DataFrame,
+      snapshot: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 32,
+      bandRows: Int = 2,
+      minEstSim: Double = 0.25
+  ): DataFrame = {
+    require(k % bandRows == 0, s"bandRows must divide k ($k % $bandRows != 0)")
+    val newSig = signatures(newDf, textCol, idCol, k)
+
+    val exactIds = newSig
+      .select(col(idCol), col("digest"))
+      .join(snapshot.select(col("digest")).distinct(), Seq("digest"))
+      .select(col(idCol))
+
+    val newBands = NearDup.bandRowsOf(newSig.select(col(idCol), col("sig")), idCol, k, bandRows)
+    val oldBands = NearDup
+      .bandRowsOf(snapshot.select(col(idCol).as("__old_id"), col("sig")), "__old_id", k, bandRows)
+    val cand = newBands
+      .join(oldBands, Seq("band_idx", "band_key"))
+      .select(col(idCol), col("__old_id"))
+      .distinct()
+
+    // matching-component estimate as a codegen'd indicator sum (the
+    // minhashPairs convention; interpreted array lambdas are ~50×
+    // slower — see minhashSigs)
+    val est = (0 until k)
+      .map(i => when(element_at(col("sig_n"), i + 1) === element_at(col("sig_o"), i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / k
+    val nearIds = cand
+      .join(newSig.select(col(idCol), col("sig").as("sig_n")), Seq(idCol))
+      .join(snapshot.select(col(idCol).as("__old_id"), col("sig").as("sig_o")), Seq("__old_id"))
+      .filter(est >= minEstSim)
+      .select(col(idCol))
+      .distinct()
+
+    newDf.join(exactIds.union(nearIds).distinct(), Seq(idCol), "left_anti")
+  }
+}

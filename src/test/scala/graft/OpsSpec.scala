@@ -576,6 +576,37 @@ class OpsSpec extends SparkTestBase {
     assert(out.sameElements(b))
   }
 
+  test("incremental dedup drops exact and near dups of the snapshot, keeps fresh docs") {
+    import graft.ops.Incremental
+    val snapshotDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "The quick  brown fox jumps over the lazy dog"), // exact dup after normalize
+      (11L, "the quick brown fox leaps over the lazy dog"),  // near dup of snapshot 1
+      (12L, "una frase totalmente nueva sobre otro tema distinto")
+    ).toDF("doc_id", "text")
+    // snapshot round-trips through parquet, as production would
+    val dir = java.nio.file.Files.createTempDirectory("graft_incsnap_").toString
+    try {
+      Incremental.signatures(snapshotDocs, "text", "doc_id")
+        .write.mode("overwrite").parquet(dir)
+      val snap = spark.read.parquet(dir)
+      val out = Incremental.dedupAgainst(batch, snap, "text", "doc_id")
+        .select("doc_id").as[Long].collect().sorted
+      assert(out.sameElements(Array(12L)), out.toSeq)
+      // the snapshot side of the plan reads signatures only — never text
+      val plan = Incremental.dedupAgainst(batch, snap, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("mixture refuses an input that already has an `epoch` column") {
     val df = spark.range(5).select(col("id").as("doc_id"), lit("a").as("source"), lit(9).as("epoch"))
     val e = intercept[IllegalArgumentException](
