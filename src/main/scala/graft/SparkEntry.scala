@@ -807,6 +807,28 @@ object SparkEntry {
            |WHERE cum_tok <= 800""".stripMargin
       )
     ),
+    // Threshold-selection variant of the token budget (the
+    // giant-stratum scale path): per-(source, hash-bucket) token
+    // histogram → largest bucket whose cumulative mass fits the
+    // budget → broadcast cut + narrow filter. Whole buckets only, so
+    // the budget is matched to within one bucket's mass; integer-exact
+    // on both engines.
+    "sample_token_budget_hist" -> Entry(
+      (s, dir) => Sampling.tokenBudgetHistogram(
+        docs(s, dir), "text", "doc_id", "source", budgetTokens = 800L),
+      Some(
+        s"""WITH t AS (SELECT doc_id, source,
+           |  CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS BIGINT) AS n_tok,
+           |  ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 8))::BIGINT // 1048576 AS bucket
+           |FROM documents),
+           |h AS (SELECT source, bucket, sum(n_tok) AS mass FROM t GROUP BY source, bucket),
+           |c AS (SELECT source, bucket, sum(mass) OVER (
+           |    PARTITION BY source ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+           |m AS (SELECT source, max(bucket) AS maxb FROM c WHERE cum <= 800 GROUP BY source)
+           |SELECT t.doc_id, t.source, t.n_tok
+           |FROM t JOIN m ON t.source = m.source AND t.bucket <= m.maxb""".stripMargin
+      )
+    ),
     // Streaming parity for the mixture op: the identical
     // Sampling.mixture call over readStream (stateless narrow
     // filter + explode — no watermark, no state) hash-matches the

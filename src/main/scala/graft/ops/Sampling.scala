@@ -142,4 +142,63 @@ object Sampling {
       .filter(col("cum_tok") <= budgetTokens)
       .select(col(idCol), col(strataCol), col("n_tok"), col("cum_tok"))
   }
+
+  /** [[tokenBudget]]'s threshold-selection form — the scale path for a
+    * SINGLE GIANT STRATUM, where the exact form's per-stratum running
+    * total is a sequential scan by definition. Instead of ordering the
+    * stratum, the 2^32 hash space is split into `2^bucketBits` buckets
+    * and only the tiny per-(stratum, bucket) token histogram is
+    * ordered: the selection keeps every document whose hash bucket
+    * falls at or below the largest bucket whose cumulative mass fits
+    * `budgetTokens` (whole buckets only — strict `<= budget`, so the
+    * realized total undershoots by at most one bucket's mass,
+    * ≈ stratum_tokens / 2^bucketBits in expectation).
+    *
+    * Plan shape: one codegen projection (hash, bucket, token count) →
+    * ONE map-side-combined aggregate of at most
+    * `strata × 2^bucketBits` rows → a window over that tiny frame → a
+    * BROADCAST join back + narrow filter. No full-data window, no
+    * per-stratum sequential pass; parallelism is independent of
+    * stratum size. Deterministic on any engine/partitioning (integer
+    * masses, integer thresholds).
+    *
+    * Output: `(idCol, strataCol, n_tok)` — no `cum_tok`: a per-row
+    * running total is exactly the sequential artifact this form
+    * avoids. A stratum whose very first bucket overflows the budget
+    * selects nothing (matching the exact form's strict semantics).
+    */
+  def tokenBudgetHistogram(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      strataCol: String,
+      budgetTokens: Long,
+      salt: String = "budget",
+      bucketBits: Int = 12
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(bucketBits >= 1 && bucketBits <= 31, s"bucketBits must be in [1, 31], got $bucketBits")
+    val h = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val base = df.select(
+      col(idCol), col(strataCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"),
+      shiftrightunsigned(h, 32 - bucketBits).as("bucket"))
+    val hist = base.groupBy(col(strataCol), col("bucket"))
+      .agg(sum(col("n_tok")).as("mass"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cut = hist
+      .withColumn("cum", sum(col("mass")).over(w))
+      .filter(col("cum") <= budgetTokens)
+      .groupBy(col(strataCol))
+      .agg(max(col("bucket")).as("__max_bucket"))
+    base
+      .join(broadcast(cut), Seq(strataCol))
+      .filter(col("bucket") <= col("__max_bucket"))
+      .select(col(idCol), col(strataCol), col("n_tok"))
+  }
 }

