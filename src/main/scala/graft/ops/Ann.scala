@@ -159,6 +159,22 @@ object Ann {
   /** Shared IVF machinery: assign cells by max centroid dot product,
     * probe `nProbe` cells per query, rescore exactly. `centroids` is a
     * small `(c, j, w)` component frame — always broadcast.
+    *
+    * SECONDARY-PROBE PRUNING — TRIED AND REVERTED (round 11, measured):
+    * the classical IVF refinement (skip probe #2 when the spherical
+    * triangle-inequality bound `cos(angle(q,ĉ₂) − radius(c₂))` cannot
+    * beat the primary cell's k-th best) was implemented output-
+    * identically (cos-domain bound, no acos, 1e-9 slack; both gate
+    * entries stayed green) but measured 4.95 s vs 1.64 s unpruned at
+    * sf1 — 3× SLOWER. In a declarative one-shot plan the k-th-best
+    * threshold needs a second consumer of the primary rescore subtree,
+    * and Spark recomputes it (AQE breaks exchange reuse across the
+    * threshold's broadcast), so the prune pays ~2× the primary rescore
+    * to skip ~0.5× of the secondary — a structural loss whenever
+    * per-probe rescan cost is comparable to a stage traversal. The
+    * refinement belongs in engines with imperative per-query control
+    * flow (FAISS), not here; the scale lever for this operator remains
+    * nCells ~ √n (see ivfTopK).
     */
   private def ivfWithCentroids(
       corpus: DataFrame,
