@@ -789,6 +789,17 @@ object SparkEntry {
       (s, dir) => TextOps.subwordStats(docs(s, dir), "text", "doc_id"),
       Some(entries_textSubwordsOracle)
     ),
+    // REAL ranked-merge BPE token counts (graft_bpe_count codegen
+    // merge loop) vs a recursive-CTE oracle replaying the identical
+    // leftmost-lowest-rank merge sequence per distinct word, one
+    // first-occurrence string replace per recursion step. Per-word
+    // states are chr(31)-delimited symbol strings (the corpus never
+    // contains U+001F; merges are lowercase-ASCII so no word symbol
+    // can collide with the delimiter encoding).
+    "text_bpe" -> Entry(
+      (s, dir) => TextOps.bpeStats(docs(s, dir), "text", "doc_id"),
+      Some(sqlTextBpeOracle)
+    ),
     // Token-budget selection: ~800 whitespace tokens per source in
     // deterministic md5 order; strict cum <= budget, boundary doc
     // dropped. Integer tokens + window sum — engine-exact.
@@ -1585,6 +1596,51 @@ object SparkEntry {
        |       CAST(sum(term.oov) AS BIGINT) AS n_oov
        |       FROM wd JOIN term USING (word) GROUP BY wd.doc_id)
        |SELECT doc_id, n_subwords, n_oov FROM ds""".stripMargin
+  }
+
+  /** DuckDB replica of [[graft.ops.TextOps.bpeStats]]: recursive CTE
+    * replaying graft's exact BPE loop per DISTINCT word (merge the
+    * leftmost occurrence of the lowest-ranked adjacent pair until none
+    * remains), then per-doc totals by word multiplicity. Validated
+    * cell-for-cell against an independent reference implementation on
+    * unicode edge cases before wiring (see BpeSpec for the JVM-side
+    * parity).
+    */
+  private lazy val sqlTextBpeOracle: String = {
+    val mergeRows = graft.functions.BpeCount.DefaultMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+       |wd AS (SELECT doc_id, unnest(w) AS word FROM t),
+       |uw AS (SELECT DISTINCT word FROM wd WHERE word <> ''),
+       |m(rank, a, b) AS (SELECT * FROM (VALUES $mergeRows) v(rank, a, b)),
+       |seg AS (
+       |  SELECT word,
+       |    chr(31) || array_to_string(list_transform(generate_series(1, len(word)),
+       |      i -> substr(word, i, 1)), chr(31)) || chr(31) AS s
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT word,
+       |    substr(s, 1, instr(s, ndl) - 1) || chr(31) || a || b || chr(31) ||
+       |      substr(s, instr(s, ndl) + len(a) + len(b) + 3) AS s
+       |  FROM (
+       |    SELECT y.word, y.s, m.a, m.b, chr(31) || m.a || chr(31) || m.b || chr(31) AS ndl
+       |    FROM (
+       |      SELECT st.word, st.s,
+       |        (SELECT min(m2.rank) FROM m m2
+       |         WHERE contains(st.s, chr(31) || m2.a || chr(31) || m2.b || chr(31))) AS br
+       |      FROM seg st) y
+       |    JOIN m ON m.rank = y.br) z
+       |),
+       |term AS (
+       |  SELECT word, CAST(len(s) - len(replace(s, chr(31), '')) - 1 AS BIGINT) AS n
+       |  FROM seg st
+       |  WHERE (SELECT min(m2.rank) FROM m m2
+       |         WHERE contains(st.s, chr(31) || m2.a || chr(31) || m2.b || chr(31))) IS NULL
+       |),
+       |ds AS (SELECT wd.doc_id, CAST(sum(term.n) AS BIGINT) AS n_bpe
+       |       FROM wd JOIN term USING (word) GROUP BY wd.doc_id)
+       |SELECT d.doc_id, coalesce(ds.n_bpe, 0) AS n_bpe
+       |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin
   }
 
   /** DuckDB replica of [[graft.ops.Dedup.dedupLines]] — shared by the

@@ -81,6 +81,23 @@ object GraftExtensions {
         else SubwordCounts.DefaultVocab
         SubwordCounts(args(0), vocab)
       }
+    ),
+    (
+      FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_bpe_count expects (tokens[, merges_csv]), got ${args.length} arguments")
+        // merges_csv: comma-separated "a b" pairs in rank order
+        val merges = if (args.length == 2)
+          litOf(args(1), "merges_csv").toString.split(',').toSeq.map { p =>
+            val sp = p.indexOf(' ')
+            require(sp > 0, s"merge entry '$p' must be 'left right'")
+            (p.substring(0, sp), p.substring(sp + 1))
+          }
+        else BpeCount.DefaultMerges
+        BpeCount(args(0), merges)
+      }
     )
   )
 

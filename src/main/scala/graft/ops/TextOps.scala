@@ -547,6 +547,19 @@ object TextOps {
       )
   }
 
+  /** Real BPE token accounting: `(idCol, n_bpe)` — the number of
+    * tokens a ranked-merge byte-pair encoder
+    * ([[graft.functions.BpeCount]], GPT-2/tiktoken-style) actually
+    * produces over each document's whitespace words. One codegen
+    * merge-loop per row, merge table baked into the generated code; no
+    * shuffle, no UDF. Complements [[subwordStats]] (greedy
+    * longest-match), which over-counts against a trained BPE because
+    * longest-match cannot model merge priority.
+    */
+  def bpeStats(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)] = graft.functions.BpeCount.DefaultMerges): DataFrame =
+    df.select(col(idCol), graft.functions.BpeCount.bpeCount(tokens(col(textCol)), merges).as("n_bpe"))
+
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
