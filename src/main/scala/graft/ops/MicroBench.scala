@@ -62,6 +62,25 @@ object MicroBench {
       return
     }
 
+    if (args.contains("budget1")) {
+      // Exact-window vs histogram-threshold token budget on ONE GIANT
+      // STRATUM (the shape the histogram form exists for): with a
+      // single stratum the exact form's window is one sequential task
+      // over the whole corpus, while the histogram form's only
+      // data-sized stages are a map-side-combined aggregate and a
+      // narrow filter. On the gate's many-small-strata shape the exact
+      // form wins instead (windows parallelize across strata) — both
+      // measurements belong in BASELINE.md.
+      val one = docs.withColumn("stratum", lit("all"))
+      val budget = 200000L
+      time("budget_exact_1stratum")(
+        Sampling.tokenBudget(one, "text", "doc_id", "stratum", budget))
+      time("budget_hist_1stratum")(
+        Sampling.tokenBudgetHistogram(one, "text", "doc_id", "stratum", budget))
+      spark.stop()
+      return
+    }
+
     if (args.contains("mhab")) {
       // Carried-sig vs join-back A/B for the minhash candidate path
       // (round-9 verdict adjudication): bandCandidates carries the

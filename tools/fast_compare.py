@@ -38,6 +38,10 @@ def main():
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # heavy oracles (6-round connected components at 30×) exceed RAM —
+    # let DuckDB spill instead of OOM
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='120GB'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():
@@ -58,8 +62,12 @@ def main():
         sql = oracles[name]
         try:
             con.execute(f"CREATE OR REPLACE VIEW __dump AS SELECT * FROM parquet_scan('{dump}/*.parquet')")
+            # run the oracle ONCE — describe/count/except all read the
+            # temp table (an expensive oracle re-evaluated per subquery
+            # OOM'd DuckDB on the 6-round connected-components SQL)
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS {sql}")
             dcols = con.execute("DESCRIBE __dump").fetchall()  # (name, type, ...)
-            ocols = con.execute(f"DESCRIBE (SELECT * FROM ({sql}))").fetchall()
+            ocols = con.execute("DESCRIBE __oracle").fetchall()
             dnames = sorted(c[0] for c in dcols)
             onames = sorted(c[0] for c in ocols)
             if dnames != onames:
@@ -78,16 +86,16 @@ def main():
             dsel = ", ".join(norm(c, dtypes[c]) for c in dnames)
             osel = ", ".join(norm(c, dtypes[c]) for c in dnames)
             nd = con.execute("SELECT count(*) FROM __dump").fetchone()[0]
-            no = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            no = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
             if nd != no:
                 print(f"[!!] {name}: ROWS dump={nd} oracle={no}")
                 nfail += 1
                 continue
             diff = con.execute(
                 f"SELECT count(*) FROM ("
-                f"(SELECT {dsel} FROM __dump EXCEPT ALL SELECT {osel} FROM ({sql}))"
+                f"(SELECT {dsel} FROM __dump EXCEPT ALL SELECT {osel} FROM __oracle)"
                 f" UNION ALL "
-                f"(SELECT {osel} FROM ({sql}) EXCEPT ALL SELECT {dsel} FROM __dump))"
+                f"(SELECT {osel} FROM __oracle EXCEPT ALL SELECT {dsel} FROM __dump))"
             ).fetchone()[0]
             if diff != 0:
                 print(f"[!!] {name}: VALUES {diff} differing rows (of {nd})")
