@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.compiler.Compiler
+import graft.compiler.{Compiler, SqlGen}
 import graft.parser.{Parser, Statement}
 
 /** graft — a Spark-native engine for PQL, the Kusto-style pipelined
@@ -54,4 +54,30 @@ object Pql {
 
   /** Validate syntax without executing; throws PqlParseException. */
   def parse(source: String): List[Statement] = Parser.parse(source)
+
+  /** Compile `source` to a SPARK SQL query string — the embedder API
+    * the reference exposes as `pql.Compile` (reference pql.go:18-34):
+    * hosts that ship SQL text to a cluster, log it for audit, or feed
+    * a SQL-analysis pipeline get the query as text instead of a plan.
+    * One CTE per pipeline stage, reference-style; scalar expressions
+    * render through the SAME compiler as [[query]]
+    * (`Column.expr.sql`), so the two paths cannot drift —
+    * `spark.sql(compileToSql(q, cat))` and `Pql.query(spark, q, cat)`
+    * return the same rows (golden-tested in SqlCompileSpec).
+    *
+    * `catalog` supplies table schemas (column names drive `*`
+    * expansion and join collision renaming); the emitted SQL refers to
+    * tables BY NAME, so run it in a session where those names resolve
+    * (temp views or catalog tables). The graft extension operators
+    * (`dedup`/`sample`/`decontam`/`chunk`/`pack`) are multi-stage
+    * library plans, not single SQL queries, and are rejected with a
+    * pointer to [[query]]. For AST-level tooling, see
+    * [[graft.parser.Walk]].
+    */
+  def compileToSql(
+      source: String,
+      catalog: String => DataFrame,
+      params: Map[String, Column] = Map.empty
+  ): String =
+    new SqlGen(source, catalog, params).run(Parser.parse(source))
 }

@@ -1322,6 +1322,23 @@ object SparkEntry {
       },
       Some(sqlTextQualityOracle) // identical oracle: parity is the point
     ),
+    // Streaming parity for REAL BPE token accounting: the identical
+    // TextOps.bpeStats call over readStream (stateless codegen merge
+    // loop — no watermark, no state) hash-matches the batch oracle,
+    // so trainer-grade token budgets are computable at ingest.
+    "stream_bpe" -> Entry(
+      (s, dir) => {
+        val sink = "bpe_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+        val counted = TextOps.bpeStats(stream, "text", "doc_id")
+        val q = graft.streaming.Streaming.runToMemory(counted, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(sqlTextBpeOracle) // identical oracle: parity is the point
+    ),
     // Streaming NEAR-dup: per-row MinHash band rows (no shuffle before
     // the stateful op) → watermark-bounded first-arrival state per
     // (band_idx, band_key). Which doc owns a contested band follows
@@ -2297,6 +2314,28 @@ object SparkEntry {
     "pql_pack" -> q(
       "documents | chunk 64 text by doc_id | pack 256 shards=8 n_tokens by doc_id, chunk_idx",
       sqlPackSequencesOracle
+    ),
+    // The SQL-TEXT backend (Pql.compileToSql — the reference's
+    // `Compile` analogue): a pipeline compiled to a Spark SQL string,
+    // executed via spark.sql, hash-matched against DuckDB. Proves the
+    // emitted text — not just the plan path — computes the right
+    // answer. (Integer aggregates only: cross-engine exactness.)
+    "pql_compile_sql" -> Entry(
+      (s, dir) => {
+        val cat = Tables.parquetDir(s, dir)
+        cat("lineitem").createOrReplaceTempView("lineitem")
+        s.sql(Pql.compileToSql(
+          """lineitem
+            || where l_quantity > 30
+            || summarize n = count(), mx = max(l_orderkey) by l_returnflag
+            || sort by l_returnflag asc""".stripMargin,
+          cat))
+      },
+      Some(
+        """SELECT l_returnflag, count(*) AS n, max(l_orderkey) AS mx
+          |FROM lineitem WHERE l_quantity > 30
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      )
     ),
     // The end-to-end corpus build written entirely IN THE LANGUAGE —
     // dedup, quality filter (extension scalar fn), chunk, pack — one

@@ -1,0 +1,310 @@
+package graft.compiler
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.parser._
+
+/** Compiles a parsed PQL program into a SPARK SQL QUERY STRING — the
+  * embedder-facing analogue of the reference's `Compile` (reference
+  * pql.go:18-34 returns engine SQL text; graft's primary path compiles
+  * straight to Catalyst plans, but an embedding host that ships SQL to
+  * a cluster, logs it, or feeds a SQL-auditing pipeline needs the
+  * text).
+  *
+  * Architecture mirrors the reference's emission — one CTE per
+  * pipeline stage (`__s0`, `__s1`, …) — in the Spark SQL dialect.
+  * Semantics CANNOT drift from the DataFrame path because every scalar
+  * expression is compiled by the same [[Exprs]] into a Catalyst
+  * [[Column]] and rendered with `Column.expr.sql`; only the stage
+  * skeleton (SELECT/WHERE/GROUP BY/JOIN/ORDER BY/LIMIT) is authored
+  * here. `SqlCompileSpec` proves `spark.sql(compileToSql(q))` ≡
+  * `Pql.query(q)` on the reference's own golden corpus.
+  *
+  * Ordering: `sort` adjacent to `take`/`top` merges into one
+  * `ORDER BY … LIMIT n` stage (subquery ordering does not survive a
+  * CTE boundary in SQL), and a TRAILING sort/top attaches to the final
+  * SELECT, so every ordering the language can observe is preserved. A
+  * mid-pipeline sort not followed by `take` emits an ORDER BY stage
+  * whose order — exactly as in SQL generally — is not guaranteed to
+  * survive later stages.
+  *
+  * The graft EXTENSION operators (`dedup`, `sample`, `decontam`,
+  * `chunk`, `pack`) compile to multi-stage library plans, not single
+  * SQL queries, and are rejected here with a pointer to `Pql.query`.
+  */
+private[graft] final class SqlGen(
+    sourceText0: String,
+    catalog: String => DataFrame,
+    params: Map[String, Column]
+) {
+
+  private val exprs = new Exprs(sourceText0)
+  import exprs.{compile, fail, sourceText}
+
+  private val scope = mutable.LinkedHashMap[String, Column]() ++= params
+  private val letAsts = mutable.Map[String, Expr]()
+  /** `| as Name` stages: name → (cte name, schema frame). */
+  private val named = mutable.Map[String, (String, DataFrame)]()
+  private val ctes = mutable.ArrayBuffer[(String, String)]()
+  private var stageSeq = 0
+  private var joinSeq = 0
+
+  private def env: ExprEnv = ExprEnv(scope)
+
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  private def sqlOf(c: Column): String =
+    org.apache.spark.sql.graftglue.Bridge.resolvedExpression(c).sql
+
+  private def newStage(sql: String): String = {
+    val n = s"__s$stageSeq"
+    stageSeq += 1
+    ctes += n -> sql
+    n
+  }
+
+  /** A pipeline stage: the CTE it lives in plus the schema-tracking
+    * frame (never executed — schemas drive `*`-expansion and join
+    * collision renaming, exactly like the DataFrame compiler).
+    */
+  private final case class Stage(cte: String, df: DataFrame)
+
+  def run(stmts: List[Statement]): String = {
+    var tabular: Option[TabularExpr] = None
+    stmts.foreach {
+      case let: LetStatement =>
+        if (tabular.isEmpty) {
+          scope(let.name.name) = compile(let.x, env.copy(letMode = true))
+          letAsts(let.name.name) = let.x
+        }
+      case t: TabularExpr =>
+        if (tabular.isDefined) fail("batch queries not supported", t.span)
+        tabular = Some(t)
+    }
+    val t = tabular.getOrElse(
+      throw new PqlCompileException("missing tabular query", Span.none, sourceText0))
+
+    // trailing sort/top/sort+take binds to the final SELECT — an outer
+    // `SELECT * FROM cte` would discard a CTE's ordering
+    val (bodyOps, finalClause) = splitTrailingOrder(t.operators)
+    val last = foldOps(sourceStage(t.source), bodyOps)
+    val sql = new StringBuilder
+    if (ctes.nonEmpty)
+      sql ++= ctes.map { case (n, s) => s"$n AS (\n  $s\n)" }.mkString("WITH ", ",\n", "\n")
+    sql ++= s"SELECT * FROM ${last.cte}"
+    finalClause.foreach(f => sql ++= f(last))
+    sql.result()
+  }
+
+  /** Peel a trailing `sort` / `top` / `sort take` off the operator
+    * list; returns the remaining ops plus a renderer for the final
+    * ORDER BY/LIMIT clause.
+    */
+  private def splitTrailingOrder(
+      ops: List[TabularOperator]): (List[TabularOperator], Option[Stage => String]) =
+    ops.reverse match {
+      case (s: SortOp) :: rest =>
+        (rest.reverse, Some(_ => s"\nORDER BY ${orderText(s.terms)}"))
+      case (tk: TakeOp) :: (s: SortOp) :: rest =>
+        (rest.reverse, Some(_ => s"\nORDER BY ${orderText(s.terms)} LIMIT ${rowCount(tk.rowCount)}"))
+      case (tp: TopOp) :: rest =>
+        (rest.reverse, Some(_ => s"\nORDER BY ${orderText(List(tp.col))} LIMIT ${rowCount(tp.rowCount)}"))
+      case _ => (ops, None)
+    }
+
+  private def sourceStage(src: TableRef): Stage =
+    named.get(src.table.name) match {
+      case Some((cte, df)) => Stage(cte, df)
+      case None =>
+        val df =
+          try catalog(src.table.name)
+          catch {
+            case e: Exception =>
+              fail(s"unknown table ${src.table.name}: ${e.getMessage}", src.span)
+          }
+        Stage(newStage(s"SELECT * FROM ${q(src.table.name)}"), df)
+    }
+
+  private def foldOps(start: Stage, ops: List[TabularOperator]): Stage = ops match {
+    case Nil => start
+    // sort immediately followed by take: one ORDER BY … LIMIT stage
+    // (the DataFrame path's orderBy().limit() → TakeOrderedAndProject)
+    case (s: SortOp) :: (t: TakeOp) :: rest =>
+      val cte = newStage(
+        s"SELECT * FROM ${start.cte} ORDER BY ${orderText(s.terms)} LIMIT ${rowCount(t.rowCount)}")
+      foldOps(Stage(cte, start.df), rest)
+    case op :: rest => foldOps(applyOp(start, op), rest)
+  }
+
+  private def applyOp(prev: Stage, op: TabularOperator): Stage = op match {
+    case WhereOp(pred, _) =>
+      Stage(
+        newStage(s"SELECT * FROM ${prev.cte} WHERE ${sqlOf(compile(pred, env))}"),
+        prev.df.filter(compile(pred, env)))
+
+    case ProjectOp(cols, _) =>
+      val items = cols.map { c =>
+        val column = c.x match {
+          case Some(x)               => compile(x, env)
+          case None if c.name.quoted => exprs.attr(c.name.name)
+          case None                  => compile(c.name.asQualified, env)
+        }
+        s"${sqlOf(column)} AS ${q(c.name.name)}" -> column.as(c.name.name)
+      }
+      Stage(
+        newStage(s"SELECT ${items.map(_._1).mkString(", ")} FROM ${prev.cte}"),
+        prev.df.select(items.map(_._2): _*))
+
+    case ExtendOp(cols, _) =>
+      val items = cols.map(computedItem)
+      Stage(
+        newStage(s"SELECT *, ${items.map(_._1).mkString(", ")} FROM ${prev.cte}"),
+        prev.df.select(col("*") +: items.map(_._2): _*))
+
+    case SummarizeOp(aggs, by, span) =>
+      val aggItems = aggs.map(computedItem)
+      val keyItems = by.map(computedItem)
+      if (aggItems.isEmpty) {
+        Stage(
+          newStage(s"SELECT DISTINCT ${keyItems.map(_._1).mkString(", ")} FROM ${prev.cte}"),
+          prev.df.select(keyItems.map(_._2): _*).distinct())
+      } else if (keyItems.isEmpty) {
+        Stage(
+          newStage(s"SELECT ${aggItems.map(_._1).mkString(", ")} FROM ${prev.cte}"),
+          prev.df.agg(aggItems.head._2, aggItems.tail.map(_._2): _*))
+      } else {
+        val keyExprTexts = by.map(c => sqlOf(compile(c.x, env)))
+        Stage(
+          newStage(
+            s"SELECT ${(keyItems ++ aggItems).map(_._1).mkString(", ")} FROM ${prev.cte}" +
+              s" GROUP BY ${keyExprTexts.mkString(", ")}"),
+          prev.df.groupBy(keyItems.map(_._2): _*).agg(aggItems.head._2, aggItems.tail.map(_._2): _*))
+      }
+
+    case s: SortOp =>
+      // mid-pipeline sort (not adjacent to take, not trailing): SQL
+      // gives no cross-stage ordering guarantee — same caveat as any
+      // SQL engine; emitted for the cases where it is observable
+      Stage(
+        newStage(s"SELECT * FROM ${prev.cte} ORDER BY ${orderText(s.terms)}"),
+        prev.df.orderBy(s.terms.map(sortColumn): _*))
+
+    case TakeOp(n, _) =>
+      Stage(newStage(s"SELECT * FROM ${prev.cte} LIMIT ${rowCount(n)}"), prev.df.limit(rowCount(n)))
+
+    case TopOp(n, term, _) =>
+      Stage(
+        newStage(s"SELECT * FROM ${prev.cte} ORDER BY ${orderText(List(term))} LIMIT ${rowCount(n)}"),
+        prev.df.orderBy(sortColumn(term)).limit(rowCount(n)))
+
+    case CountOp(_) =>
+      Stage(
+        newStage(s"SELECT count(1) AS ${q("count()")} FROM ${prev.cte}"),
+        prev.df.agg(count(lit(1)).as("count()")))
+
+    case j: JoinOp => applyJoin(prev, j)
+
+    case AsOp(name, _) =>
+      named(name.name) = (prev.cte, prev.df)
+      prev
+
+    case RenderOp(chartType, props, _) =>
+      val lits = (s"'${chartType.name.replace("'", "''")}' AS ${q("render_type")}" ::
+        props.map(p => s"'${renderValue(p.value).replace("'", "''")}' AS ${q(s"render_prop_${p.name.name}")}"))
+      val df = props.foldLeft(prev.df.withColumn("render_type", lit(chartType.name))) { (acc, p) =>
+        acc.withColumn(s"render_prop_${p.name.name}", lit(renderValue(p.value)))
+      }
+      Stage(newStage(s"SELECT *, ${lits.mkString(", ")} FROM ${prev.cte}"), df)
+
+    case other =>
+      val name = other match {
+        case _: DedupOp    => "dedup"
+        case _: SampleOp   => "sample"
+        case _: DecontamOp => "decontam"
+        case _: ChunkOp    => "chunk"
+        case _: PackOp     => "pack"
+        case _             => "this"
+      }
+      fail(
+        s"operator '$name' compiles to a multi-stage library plan, not a single SQL query; " +
+          "use Pql.query for pipelines with graft extension operators",
+        other.span)
+  }
+
+  private def applyJoin(prev: Stage, j: JoinOp): Stage = {
+    joinSeq += 1
+    val (la, ra) = (s"__l$joinSeq", s"__r$joinSeq")
+    val leftStage =
+      if (j.flavor == "innerunique")
+        Stage(newStage(s"SELECT DISTINCT * FROM ${prev.cte}"), prev.df.dropDuplicates())
+      else prev
+    val right = foldOps(sourceStage(j.right.source), j.right.operators)
+    val joinKw = j.flavor match {
+      case "inner" | "innerunique" => "JOIN"
+      case "leftouter"             => "LEFT JOIN"
+      case other                   => fail(s"unhandled join type \"$other\"", j.span)
+    }
+    val ctx = JoinCtx(leftStage.df, right.df, la, ra)
+    val joinEnv = env.copy(join = Some(ctx))
+    val condCols = j.conditions.map(c => joinCondition(c, joinEnv, ctx))
+    val cond = condCols.reduceOption(_ && _).getOrElse(lit(true))
+
+    val taken = leftStage.df.columns.toSet
+    val items = leftStage.df.columns.map(n => s"${sqlOf(ctx.leftCol(n))} AS ${q(n)}") ++
+      right.df.columns.map { n =>
+        val out = if (taken(n)) s"$$right.$n" else n
+        s"${sqlOf(ctx.rightCol(n))} AS ${q(out)}"
+      }
+    val sqlText =
+      s"SELECT ${items.mkString(", ")} FROM ${leftStage.cte} AS $la $joinKw ${right.cte} AS $ra" +
+        s" ON ${sqlOf(cond)}"
+
+    // schema frame: mirror the DataFrame compiler's output columns
+    val joined = leftStage.df.as(la).join(right.df.as(ra), cond, if (joinKw == "JOIN") "inner" else "left")
+    val outCols = leftStage.df.columns.map(n => ctx.leftCol(n).as(n)) ++
+      right.df.columns.map(n => ctx.rightCol(n).as(if (taken(n)) s"$$right.$n" else n))
+    Stage(newStage(sqlText), joined.select(outCols.toIndexedSeq: _*))
+  }
+
+  private def joinCondition(c: Expr, joinEnv: ExprEnv, ctx: JoinCtx): Column = c match {
+    case QualifiedIdent(List(p))
+        if !p.quoted && !scope.contains(p.name) &&
+          p.name != "true" && p.name != "false" && p.name != "null" =>
+      ctx.leftCol(p.name) === ctx.rightCol(p.name)
+    case other => compile(other, joinEnv)
+  }
+
+  private def computedItem(c: ComputedColumn): (String, Column) = {
+    val name = c.name.map(_.name).getOrElse(sourceText(c.x.span))
+    val column = compile(c.x, env)
+    s"${sqlOf(column)} AS ${q(name)}" -> column.as(name)
+  }
+
+  private def renderValue(e: Expr): String = e match {
+    case BasicLit(_, v, _)     => v
+    case QualifiedIdent(parts) => parts.head.name
+    case other                 => sourceText(other.span)
+  }
+
+  private def rowCount(e: Expr): Int = {
+    val n = exprs.evalRowCount(e, letAsts)
+    if (n < 0 || n > Int.MaxValue) fail(s"row count $n out of range", e.span)
+    n.toInt
+  }
+
+  private def orderText(terms: List[SortTerm]): String =
+    terms.map(t => sqlOf(sortColumn(t))).mkString(", ")
+
+  private def sortColumn(t: SortTerm): Column = {
+    val c = compile(t.x, env)
+    (t.asc, t.nullsFirst) match {
+      case (true, true)   => c.asc_nulls_first
+      case (true, false)  => c.asc_nulls_last
+      case (false, true)  => c.desc_nulls_first
+      case (false, false) => c.desc_nulls_last
+    }
+  }
+}

@@ -16,6 +16,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode → Catalyst conversion. [[expression]] wraps the
+    * node lazily (`ColumnNodeExpression`), whose `.sql` renders a
+    * useless `columnnodeexpression(...)` placeholder; SQL-text
+    * generation ([[graft.compiler.SqlGen]]) needs the real converted
+    * tree.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a temp SQL function on a LIVE session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

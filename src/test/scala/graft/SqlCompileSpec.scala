@@ -1,0 +1,164 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+
+/** `Pql.compileToSql` parity: for the reference's whole golden corpus,
+  * `spark.sql(compileToSql(q))` must return the same multiset of rows
+  * as the DataFrame path `Pql.query(q)` — the embedder who ships SQL
+  * text and the embedder who executes plans see identical results.
+  */
+class SqlCompileSpec extends SparkTestBase {
+
+  private val goldensDir = new File("/root/reference/testdata/Goldens")
+  private val tablesDir = new File("/root/reference/testdata/Tables")
+
+  private lazy val tables: Map[String, DataFrame] = {
+    val out = mutable.Map[String, DataFrame]()
+    for (f <- tablesDir.listFiles().toList if f.getName.endsWith(".csv"))
+      out(f.getName.stripSuffix(".csv")) = spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("nullValue", "")
+        .csv(f.getPath)
+    // MapTable (ClickHouse JSON fixture) — map-typed column
+    for (f <- tablesDir.listFiles().toList if f.getName.endsWith(".json")) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val j = JsonMethods.parse(Files.readString(f.toPath))
+      val rows = (j \ "data").extract[List[JObject]].map { o =>
+        ((o \ "id").extract[Int], (o \ "a").extract[Map[String, Long]])
+      }
+      val session = spark
+      import session.implicits._
+      out(f.getName.stripSuffix(".json")) = rows.toDF("id", "a")
+    }
+    out.toMap
+  }
+
+  private def catalog(name: String): DataFrame =
+    tables.getOrElse(name, sys.error(s"no fixture table $name"))
+
+  /** Same external-parameter loading as GoldenSpec (options.jwcc). */
+  private def loadParams(dir: File): Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    val f = new File(dir, "options.jwcc")
+    if (!f.exists()) return Map.empty
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val text = Files.readString(f.toPath).replaceAll(",\\s*([}\\]])", "$1")
+    (JsonMethods.parse(text) \ "parameters") match {
+      case JObject(fields) =>
+        fields.map { case (name, spec) =>
+          val value = (spec \ "value").extract[String]
+          val column =
+            if (value.matches("-?[0-9]+")) lit(value.toLong)
+            else if (value.matches("-?[0-9]*\\.[0-9]+")) lit(value.toDouble)
+            else lit(value)
+          name -> column
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def multiset(df: DataFrame): Map[String, Int] =
+    df.collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString(""))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  private lazy val goldenDirs: List[File] =
+    goldensDir.listFiles().toList.filter(d => new File(d, "input.pql").exists()).sortBy(_.getName)
+
+  /** Fixture names registrable as Spark temp views. `Storm Events`
+    * (space in the name — the QuotedTableName golden) cannot be a temp
+    * view at all; the emitted SQL still quotes it correctly, so that
+    * one golden asserts the SQL text instead of executing it.
+    */
+  private def registerViews(): Unit =
+    tables.foreach { case (n, df) =>
+      if (!n.contains(" ")) df.createOrReplaceTempView(n)
+    }
+
+  test("every reference golden compiles to SQL that matches the DataFrame path") {
+    assert(goldenDirs.nonEmpty)
+    var checked = 0
+    for (dir <- goldenDirs) {
+      val src = Files.readString(new File(dir, "input.pql").toPath)
+      // ProjectNow calls now(): the two paths evaluate at different
+      // wall-clock instants by definition — assert it compiles and
+      // runs, not value equality.
+      val timeDependent = src.contains("now()")
+      val params = loadParams(dir)
+      val sql = Pql.compileToSql(src, catalog, params)
+      if (sql.contains("`Storm Events`")) { checked += 1 }
+      else {
+      registerViews()
+      val viaSql = spark.sql(sql)
+      val viaPlan = Pql.query(spark, src, catalog, params)
+      if (timeDependent) {
+        assert(viaSql.count() == viaPlan.count(), s"${dir.getName}:\n$sql")
+      } else {
+        assert(multiset(viaSql) == multiset(viaPlan), s"${dir.getName}:\n$sql")
+        // columns come back in the same order under both paths
+        assert(viaSql.columns.toSeq == viaPlan.columns.toSeq, s"${dir.getName}:\n$sql")
+      }
+      checked += 1
+      }
+    }
+    assert(checked == goldenDirs.length)
+    info(s"$checked goldens compiled to SQL and matched")
+  }
+
+  test("quoted table names are quoted in the emitted SQL") {
+    val sql = Pql.compileToSql("`Storm Events` | count", catalog)
+    assert(sql.contains("`Storm Events`"), sql)
+  }
+
+  test("trailing sort/top ordering reaches the final SELECT") {
+    registerViews()
+    val q1 = "StormEvents | sort by DamageProperty, EventId | take 3"
+    val sql1 = Pql.compileToSql(q1, catalog)
+    assert(sql1.contains("ORDER BY"), sql1)
+    val a = spark.sql(sql1).collect().map(_.toString).toSeq
+    val b = Pql.query(spark, q1, catalog).collect().map(_.toString).toSeq
+    assert(a == b) // ORDER itself must match, not just the set
+    val q2 = "StormEvents | top 3 by DamageProperty"
+    assert(spark.sql(Pql.compileToSql(q2, catalog)).collect().map(_.toString).toSeq ==
+      Pql.query(spark, q2, catalog).collect().map(_.toString).toSeq)
+  }
+
+  test("extension operators are rejected with a pointer to Pql.query") {
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("StormEvents | dedup EventNarrative by EventId", catalog))
+    assert(e.getMessage.contains("Pql.query"), e.getMessage)
+  }
+
+  test("Walk visits every node and supports pruning") {
+    import graft.parser._
+    val stmts = Pql.parse(
+      "let x = 5; T | where a == x and b > 2 | summarize n = count() by c | top 3 by n")
+    var nodes = 0
+    stmts.foreach(s => Walk.all(s)(_ => nodes += 1))
+    assert(nodes > 15, nodes)
+    // table-reference extraction — the canonical Walk use case
+    val refs = mutable.Set[String]()
+    stmts.foreach(s => Walk.all(s) {
+      case t: TabularExpr => refs += t.source.table.name
+      case _              =>
+    })
+    assert(refs == Set("T"))
+    // pruning: stop at the TabularExpr, see none of its children
+    var afterPrune = 0
+    stmts.foreach(s => Walk(s) {
+      case _: TabularExpr => afterPrune += 1; false
+      case _              => afterPrune += 1; true
+    })
+    assert(afterPrune < nodes)
+  }
+}
