@@ -14,17 +14,20 @@ import graft.sources.Tables
   *
   * Usage:
   * {{{
-  * graft.Cli [--tables DIR] [--explain] [--limit N] [QUERY]
+  * graft.Cli [--tables DIR] [--explain | --compile] [--limit N] [QUERY]
   * }}}
   * With no QUERY argument the source is read from stdin (like the
   * reference). Tables resolve as `DIR/<name>.parquet`; without
   * `--tables`, names resolve from the Spark session catalog.
+  * `--compile` prints the Spark SQL text ([[Pql.compileToSql]]) instead
+  * of executing — the reference binary's own output mode.
   */
 object Cli {
 
   private[graft] case class Opts(
       tablesDir: Option[String] = None,
       explain: Boolean = false,
+      compileOnly: Boolean = false,
       limit: Int = 20,
       query: Option[String] = None
   )
@@ -38,6 +41,7 @@ object Cli {
     case "--tables" :: dir :: rest => parseArgs(rest, acc.copy(tablesDir = Some(dir)))
     case "--tables" :: Nil => argError("--tables requires a directory")
     case "--explain" :: rest => parseArgs(rest, acc.copy(explain = true))
+    case "--compile" :: rest => parseArgs(rest, acc.copy(compileOnly = true))
     case "--limit" :: n :: rest =>
       parseArgs(rest, acc.copy(limit = n.toIntOption.getOrElse(argError(s"--limit requires a number, got $n"))))
     case "--limit" :: Nil => argError("--limit requires a number")
@@ -64,7 +68,8 @@ object Cli {
     val opts = parseArgs(args.toList, Opts())
     val source = opts.query.getOrElse(Source.stdin.mkString)
     if (source.trim.isEmpty) {
-      System.err.println("usage: graft.Cli [--tables DIR] [--explain] [--limit N] [QUERY]  (or query on stdin)")
+      System.err.println(
+        "usage: graft.Cli [--tables DIR] [--explain | --compile] [--limit N] [QUERY]  (or query on stdin)")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -77,9 +82,19 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val df = compile(spark, opts, source)
-      if (opts.explain) df.explain("formatted")
-      else df.show(opts.limit, truncate = false)
+      if (opts.compileOnly) {
+        // --compile: print the Spark SQL text instead of executing —
+        // the reference binary's behavior (it always prints SQL)
+        val catalog: String => org.apache.spark.sql.DataFrame = opts.tablesDir match {
+          case Some(dir) => Tables.parquetDir(spark, dir)
+          case None      => name => spark.table(name)
+        }
+        println(Pql.compileToSql(source, catalog))
+      } else {
+        val df = compile(spark, opts, source)
+        if (opts.explain) df.explain("formatted")
+        else df.show(opts.limit, truncate = false)
+      }
     } catch {
       // parse, compile, and analysis errors all get the clean one-line
       // treatment — a stack trace is a bug report, not a user message

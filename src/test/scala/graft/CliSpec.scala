@@ -87,4 +87,18 @@ class CliSpec extends SparkTestBase {
     assert(exit == 1, out)
     assert(!out.contains("at graft."), out) // clean one-line error, no trace
   }
+
+  test("parseArgs: --compile flag") {
+    assert(Cli.parseArgs(List("--compile")) == Cli.Opts(compileOnly = true))
+  }
+
+  test("subprocess: --compile prints SQL text instead of executing") {
+    val (exit, out) = runCli(
+      Seq("--tables", sf, "--compile"),
+      "region | where r_regionkey > 1 | count")
+    assert(exit == 0, out)
+    assert(out.contains("WITH __s0 AS"), out)
+    assert(out.contains("count(1) AS `count()`"), out)
+    assert(!out.contains("+--"), out) // no rendered result table
+  }
 }

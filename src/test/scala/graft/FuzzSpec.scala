@@ -71,6 +71,25 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("reference fuzz corpus through compileToSql: SQL text or typed error, never crash") {
+    // the SQL backend must be exactly as robust as the parser: every
+    // corpus input either compiles to a string or raises a typed
+    // parse/compile error (unknown tables resolve to a dummy schema so
+    // compilation proceeds past the catalog)
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val dummy = Seq((1L, "x")).toDF("a", "b")
+    for ((name, src) <- corpusInputs) {
+      try Pql.compileToSql(src, _ => dummy)
+      catch {
+        case _: PqlParseException                   => ()
+        case _: graft.compiler.PqlCompileException  => ()
+        case e: Throwable =>
+          fail(s"fuzz input $name crashed compileToSql with ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("random byte soup never crashes the parser") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 500) {
