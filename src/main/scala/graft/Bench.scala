@@ -136,9 +136,12 @@ object Bench {
     // A throwing stop() must not lose the measurements already taken.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
-    // Verbose record first (per-run times for outlier forensics) …
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ops":$os,"runs":$runs,""" +
+    // Verbose record (per-run times for outlier forensics) goes to
+    // STDERR under a distinct metric name — stdout carries exactly ONE
+    // "metric":"total" record, so a consumer that takes the first match
+    // and one that takes the last agree.
+    System.err.println(
+      s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"ops":$os,"runs":$runs,""" +
         s""""sentinel":${jarr(sentinels)},"sentinel_expected":$sentinelExpected,"degraded":$degraded,""" +
         s""""errors":$es,"sf":${jstr(sfDir)}}"""
     )

@@ -170,13 +170,13 @@ private[graft] final class Compiler(
           graft.ops.NearDup.dropNearDuplicates(
             df,
             graft.ops.NearDup.embedCosinePairs(
-              df, text.name, id.name, dim, minCos = o.double("cos", 0.4)),
+              df, text.name, id.name, dim, minCos = o.double("cos", 0.4, min = -1.0, max = 1.0)),
             id.name)
         case "semantic" =>
           graft.ops.SemDedup.deduplicate(
             df, text.name, id.name,
             nCells = o.int("cells", 32, min = 1),
-            minCos = o.double("cos", 0.9))
+            minCos = o.double("cos", 0.9, min = -1.0, max = 1.0))
       }
       o.finish()
       out
@@ -252,11 +252,15 @@ private[graft] final class Compiler(
       int(name, default = min, min = min)
     }
 
-    def double(name: String, default: Double): Double = byName.get(name) match {
+    def double(name: String, default: Double, min: Double = Double.NegativeInfinity,
+               max: Double = Double.PositiveInfinity): Double = byName.get(name) match {
       case None => default
       case Some(o) =>
-        try o.value.toDouble
-        catch { case _: NumberFormatException => fail(s"option $name must be a number, got ${o.value}", o.valueSpan) }
+        val v = try o.value.toDouble
+          catch { case _: NumberFormatException => fail(s"option $name must be a number, got ${o.value}", o.valueSpan) }
+        if (v < min || v > max)
+          fail(s"option $name must be in [$min, $max], got $v", o.valueSpan)
+        v
     }
 
     /** Construction-time checks are the whole contract; kept as an

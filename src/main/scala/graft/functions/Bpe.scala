@@ -121,8 +121,10 @@ object BpeCount {
     val n = tokens.numElements()
     var w = 0
     while (w < n) {
-      val word = tokens.getUTF8String(w).toString
-      if (word.nonEmpty) total += bpeWordCount(word, t)
+      if (!tokens.isNullAt(w)) {
+        val word = tokens.getUTF8String(w).toString
+        if (word.nonEmpty) total += bpeWordCount(word, t)
+      }
       w += 1
     }
     total

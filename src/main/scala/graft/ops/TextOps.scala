@@ -629,9 +629,12 @@ object TextOps {
       .select(col(idCol), explode(NearDup.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col(idCol), pmod(NearDup.hash32(col("tok")), lit(nBuckets.toLong)).cast("int").as("bucket"))
-      .join(broadcast(weights), Seq("bucket"))
+      // LEFT join: a sparse model (buckets missing from the table) must
+      // still count every token in n_tok — missing weights read as 0,
+      // not as dropped tokens (which would skew both the sum and mean).
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("w_int")).as("acc"), count(lit(1)).as("n_tok"))
+      .agg(sum(coalesce(col("w_int"), lit(0L))).as("acc"), count(lit(1)).as("n_tok"))
     val logit =
       when(col("n_tok") === 0L, lit(biasScaled.toDouble / scaleD))
         .otherwise(

@@ -101,4 +101,50 @@ class CliSpec extends SparkTestBase {
     assert(out.contains("count(1) AS `count()`"), out)
     assert(!out.contains("+--"), out) // no rendered result table
   }
+
+  test("parseArgs: -o / --output flag") {
+    assert(Cli.parseArgs(List("-o", "/tmp/x.sql")) == Cli.Opts(output = Some("/tmp/x.sql")))
+    assert(Cli.parseArgs(List("--output", "/tmp/x.sql")) == Cli.Opts(output = Some("/tmp/x.sql")))
+  }
+
+  test("subprocess: 3-statement session — let carries forward, one bad statement logs but later ones run, exit 1") {
+    // reference cmd/pql/main.go:64-110 session semantics: statement 1
+    // binds a let used by statement 3; statement 2 is bad (logs one
+    // error, continues); statement 4 uses the binding and still runs;
+    // overall exit is non-zero because one statement failed.
+    val session =
+      """let minkey = 1;
+        |region | | broken;
+        |region | where r_regionkey > minkey | count;
+        |nation | where n_regionkey == minkey | count
+        |""".stripMargin
+    val (exit, out) = runCli(Seq("--tables", sf), session)
+    assert(exit == 1, out)
+    assert(out.contains("count()"), out)
+    assert(out.contains("3"), out) // regions 2,3,4
+    assert(out.contains("5"), out) // 5 nations in region 1
+    assert(!out.contains("at graft."), out) // clean errors, no traces
+  }
+
+  test("subprocess: --compile with a 3-query session and -o writes one SQL block per statement to the file") {
+    val f = java.io.File.createTempFile("cli_out", ".sql")
+    f.deleteOnExit()
+    val session = "let k = 2;region | where r_regionkey == k | count; nation | take 1; region | take 1"
+    val (exit, stdout) = runCli(Seq("--tables", sf, "--compile", "-o", f.getPath), session)
+    assert(exit == 0, stdout)
+    val written = scala.io.Source.fromFile(f, "UTF-8").mkString
+    assert(written.split("WITH __s0 AS").length - 1 == 3, written)
+    // the let binding reached the first query (null-safe `==` renders
+    // as coalesce(`=`(col, 2), false))
+    assert(written.contains("(r_regionkey, 2)"), written)
+    // rendered output went to the file, not stdout
+    assert(!stdout.contains("WITH __s0 AS"), stdout)
+  }
+
+  test("subprocess: a bad let statement is rejected once and does not poison the session") {
+    val session = "let broken = ;\nregion | count"
+    val (exit, out) = runCli(Seq("--tables", sf), session)
+    assert(exit == 1, out) // the bad let failed → non-zero
+    assert(out.contains("5"), out) // but the region count still ran: 5 regions
+  }
 }

@@ -55,9 +55,10 @@ def main():
             continue
         dump = out_dir / f"{name}.parquet"
         if not dump.exists():
-            if only:
-                print(f"[!!] {name}: no dump")
-                nfail += 1
+            # a missing dump means the Spark side never wrote this entry —
+            # that is a failure, not a skip (check_correctness.py parity)
+            print(f"[!!] {name}: no dump")
+            nfail += 1
             continue
         sql = oracles[name]
         try:
