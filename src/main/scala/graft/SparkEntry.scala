@@ -727,9 +727,13 @@ object SparkEntry {
     // bias −0.05 at the 2^30 fixed-point scale splits keep/drop on the
     // synthetic corpus. Integer numerators + one IEEE division —
     // engine-exact without exp/sigmoid.
+    // Model BAKED into the plan (round 12): a literal weight array
+    // indexed per token — no broadcast join; same output as the
+    // table-driven classifierScore (TextOpsSpec asserts equality, and
+    // MicroBench clsab carries the A/B numbers in BASELINE.md).
     "text_classifier_score" -> Entry(
-      (s, dir) => TextOps.classifierScore(
-        docs(s, dir), TextOps.lcgWeightTable(s, 1024), "text", "doc_id",
+      (s, dir) => TextOps.classifierScoreBaked(
+        docs(s, dir), TextOps.lcgWeights(1024), "text", "doc_id",
         biasScaled = -53687091L),
       Some(
         s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array($sqlNorm, ' ')) AS x FROM documents),

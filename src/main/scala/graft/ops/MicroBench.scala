@@ -132,6 +132,32 @@ object MicroBench {
       return
     }
 
+    if (args.contains("clsab")) {
+      // Classifier inference A/B: broadcast-model join vs plan-time
+      // baked literal array (round-12 verdict item 3). Sentinel-
+      // bracketed like `entry` mode.
+      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+      time("classifier join")(TextOps.classifierScore(
+        docs, TextOps.lcgWeightTable(spark, 1024), "text", "doc_id", biasScaled = -53687091L))
+      time("classifier baked")(TextOps.classifierScoreBaked(
+        docs, TextOps.lcgWeights(1024), "text", "doc_id", biasScaled = -53687091L))
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("ngprobe")) {
       // dedup_ngram stage bisection: capped sketch arrays, signatures,
       // band candidates, full pipeline.

@@ -590,6 +590,14 @@ object TextOps {
       ((lit(1103515245L) * col("id") + 12345L) % 2147483648L - 1073741824L).as("w_int")
     )
 
+  /** Scala-side mirror of [[lcgWeightTable]]: the same fixed-point
+    * weights as a plain array indexed by bucket, for the PLAN-TIME
+    * baked inference path ([[classifierScoreBaked]]). Equality with
+    * the table generator is asserted in TextOpsSpec.
+    */
+  def lcgWeights(nBuckets: Int): Array[Long] =
+    Array.tabulate(nBuckets)(i => (1103515245L * i + 12345L) % 2147483648L - 1073741824L)
+
   /** fastText-style linear quality-classifier INFERENCE over hashed
     * bag-of-words features — the CCNet / RefinedWeb "model-based
     * quality filter" shape: each whitespace token hashes to a bucket,
@@ -615,6 +623,58 @@ object TextOps {
     *                [[ClassifierScale]] fixed-point.
     * @param biasScaled bias at the same fixed-point scale.
     */
+  /** [[classifierScore]] with the model BAKED INTO THE PLAN: the
+    * weight vector arrives as a literal `array<long>` and each token's
+    * weight is `element_at(weights, bucket+1)` — a constant-folded
+    * array index inside whole-stage codegen, so the broadcast model
+    * JOIN disappears entirely (the embed_project precedent: plan-time
+    * literal planes beat a broadcast by removing a build side, a
+    * hash-probe per row, and one plan exchange boundary). Identical
+    * output to the table form for a dense model (asserted in
+    * TextOpsSpec); sizing: a fastText-style hashed model is
+    * `nBuckets` longs — 8 KB at 1024, 16 MB at 2M buckets, both well
+    * inside task-binary limits, and the literal ships once per
+    * executor with the closure rather than per-query as a broadcast.
+    *
+    * Prefer this form when the model is known at plan time (the
+    * common inference case: weights loaded driver-side from the
+    * training job's output); [[classifierScore]] remains for models
+    * that live in a table.
+    */
+  def classifierScoreBaked(
+      df: DataFrame,
+      weights: Array[Long],
+      textCol: String,
+      idCol: String,
+      biasScaled: Long = 0L
+  ): DataFrame = {
+    val nBuckets = weights.length
+    require(nBuckets >= 2, s"need >= 2 weights, got $nBuckets")
+    val scaleD = ClassifierScale.toDouble
+    val wLit = lit(weights)
+    val acc = df
+      .select(col(idCol), explode(NearDup.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol),
+        element_at(wLit, (pmod(NearDup.hash32(col("tok")), lit(nBuckets.toLong)) + 1L).cast("int")).as("w_int"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w_int")).as("acc"), count(lit(1)).as("n_tok"))
+    val logit =
+      when(col("n_tok") === 0L, lit(biasScaled.toDouble / scaleD))
+        .otherwise(
+          (lit(biasScaled) * col("n_tok") + col("acc")).cast("double") /
+            (col("n_tok") * ClassifierScale).cast("double"))
+    df.select(col(idCol))
+      .join(acc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"), col("acc"))
+      .select(
+        col(idCol),
+        col("n_tok"),
+        logit.as("logit"),
+        (logit >= 0.0).as("keep")
+      )
+  }
+
   def classifierScore(
       df: DataFrame,
       weights: DataFrame,

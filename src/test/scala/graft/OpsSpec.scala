@@ -576,6 +576,39 @@ class OpsSpec extends SparkTestBase {
     assert(out.sameElements(b))
   }
 
+  test("classifierScoreBaked ≡ classifierScore on a dense model; lcgWeights mirrors the table; no join in the plan") {
+    // Scala-side weights mirror the table generator value-for-value
+    val wArr = TextOps.lcgWeights(1024)
+    val wTab = TextOps.lcgWeightTable(spark, 1024)
+      .orderBy("bucket").select("w_int").as[Long].collect()
+    assert(wArr.sameElements(wTab))
+
+    // identical inference output on real corpus text (sf0.001 docs)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaJoin = TextOps.classifierScore(
+      docs, TextOps.lcgWeightTable(spark, 1024), "text", "doc_id", biasScaled = -53687091L)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val baked = TextOps.classifierScoreBaked(
+      docs, wArr, "text", "doc_id", biasScaled = -53687091L)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(viaJoin.sameElements(baked))
+
+    // the point of baking: the token→weight lookup is a literal array
+    // index, so the aggregation side of the plan has NO join (the one
+    // remaining join is the zero-token-row join-back against the ids)
+    val plan = TextOps.classifierScoreBaked(docs, wArr, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.split("join").length - 1 == 1, plan)
+
+    // a SPARSE model must still count every token: drop half the
+    // buckets from the table — n_tok must match the dense run
+    val sparse = TextOps.lcgWeightTable(spark, 1024).filter($"bucket" % 2 === 0)
+    val sparseOut = TextOps.classifierScore(docs, sparse, "text", "doc_id")
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    val denseNtok = baked.map(r => r._1 -> r._2).toMap
+    assert(sparseOut == denseNtok)
+  }
+
   test("tokenBudgetHistogram stays within budget and needs no per-stratum scan") {
     val df = (0L until 2000L).map(i => (i, "w " * (1 + (i % 7)).toInt, s"s${i % 3}"))
       .toDF("doc_id", "text", "source")
