@@ -786,6 +786,25 @@ object SparkEntry {
            |FROM km""".stripMargin
       )
     ),
+    // The documented 100 TB escape hatch, gated: per-partition
+    // bottom-k cut bounds the estimator's shuffle at k·partitions
+    // longs (vs every distinct hash). Same estimate as
+    // text_distinct_kmv — the one-row output is partition-independent
+    // even though the cut union is not. A/B: BASELINE.md round 12.
+    "text_distinct_kmv_cut" -> Entry(
+      (s, dir) => Sketch.distinctTokensKmvCut(docs(s, dir), "text", k = 16),
+      Some(
+        s"""WITH tk AS (SELECT DISTINCT x AS tok FROM
+           |  (SELECT unnest($sqlTokens) AS x FROM documents) WHERE x <> ''),
+           |hh AS (SELECT DISTINCT ${sqlHash32Of("tok")} AS h FROM tk),
+           |km AS (SELECT max(h) AS kth_hash, count(*) AS n_in_k
+           |       FROM (SELECT h FROM hh ORDER BY h LIMIT 16))
+           |SELECT CAST(16 AS INT) AS k, kth_hash,
+           |  CASE WHEN n_in_k = 16 AND kth_hash > 0
+           |       THEN (15 * 4294967296.0) / kth_hash END AS est_distinct
+           |FROM km""".stripMargin
+      )
+    ),
     // Subword token accounting: greedy longest-match segmentation
     // counts (native codegen walk) vs a recursive-CTE DuckDB replica
     // of the SAME maximal-munch loop — integer-exact.

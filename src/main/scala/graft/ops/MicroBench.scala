@@ -158,6 +158,40 @@ object MicroBench {
       return
     }
 
+    if (args.contains("kmvab")) {
+      // KMV estimator A/B: full-distinct shuffle + TakeOrdered vs the
+      // per-partition bottom-k cut (round-12 verdict item 4). Both
+      // estimate-only (the exact countDistinct the sketch replaces is
+      // excluded from both sides). Sentinel-bracketed.
+      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+      def estPlain(k: Int): DataFrame = {
+        val toks = docs.select(explode(NearDup.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        toks.select(graft.ops.NearDup.hash32(col("tok")).as("h"))
+          .distinct().orderBy(col("h")).limit(k)
+          .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("n"))
+      }
+      for (k <- Seq(16, 256)) {
+        time(s"kmv plain k=$k")(estPlain(k))
+        time(s"kmv cut   k=$k")(Sketch.distinctTokensKmvCut(docs, "text", k))
+      }
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("ngprobe")) {
       // dedup_ngram stage bisection: capped sketch arrays, signatures,
       // band candidates, full pipeline.

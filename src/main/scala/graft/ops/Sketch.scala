@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Deterministic cardinality sketches.
   *
   * HyperLogLog answers "how many distinct tokens/urls/ids" without a
@@ -58,6 +60,52 @@ object Sketch {
         lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
         .as("est_distinct"),
       col("exact_distinct")
+    )
+  }
+
+  /** The 100 TB escape hatch documented above, implemented: estimate
+    * only (`(k, kth_hash, est_distinct)` — no exact side), with a
+    * PER-PARTITION bottom-k cut ahead of the exchange. Each input
+    * partition keeps its k smallest distinct hashes in one bounded
+    * TreeSet (≤ k longs live at once, single pass — the genuine
+    * per-partition imperative case), so the shuffle carries AT MOST
+    * `k · partitions` longs no matter how many distinct tokens the
+    * corpus has; the plain form's `distinct()` exchange carries every
+    * distinct hash. Correctness: any hash among the global k smallest
+    * distinct values is, in every partition containing it, among that
+    * partition's k smallest distinct values (fewer than k hashes are
+    * smaller anywhere) — so bottom-k ∘ distinct ∘ union(per-partition
+    * bottom-ks) = bottom-k of the global distinct set, and the one
+    * output row is partition-count-independent even though the
+    * intermediate union is not. A/B vs the plain form: BASELINE.md
+    * round 12 (`MicroBench kmvab`).
+    */
+  def distinctTokensKmvCut(df: DataFrame, textCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df
+      .select(explode(NearDup.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(NearDup.hash32(col("tok")).as("h"))
+      .as[Long]
+    val cut = hashes.mapPartitions { it =>
+      val heap = new java.util.TreeSet[java.lang.Long]()
+      while (it.hasNext) {
+        val h: java.lang.Long = it.next()
+        if (heap.size < k) heap.add(h)
+        else if (h < heap.last()) { if (heap.add(h)) heap.pollLast() }
+      }
+      heap.iterator().asScala.map(_.longValue)
+    }.toDF("h")
+    val kth = cut.distinct().orderBy(col("h")).limit(k)
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("__n_in_k"))
+    kth.select(
+      lit(k).as("k"),
+      col("kth_hash"),
+      when(col("__n_in_k") === k && col("kth_hash") > 0,
+        lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
+        .as("est_distinct")
     )
   }
 }

@@ -435,6 +435,42 @@ class OpsSpec extends SparkTestBase {
     assert(row.getLong(row.fieldIndex("exact_distinct")) == 10L, row)
   }
 
+  test("KMV cut variant: estimate identical to the plain form, partition-count-independent, shuffle bounded") {
+    val df = (0L until 20000L).map(i => (i, s"tok${i % 5000}")).toDF("doc_id", "text")
+    val plain = Sketch.distinctTokensKmv(df, "text", k = 256)
+      .select("k", "kth_hash", "est_distinct").as[(Int, Long, Double)].collect().head
+    val cut = Sketch.distinctTokensKmvCut(df, "text", k = 256)
+      .as[(Int, Long, Double)].collect().head
+    assert(plain == cut, s"$plain vs $cut")
+    // the one-row result is independent of the input partitioning even
+    // though each partition's bottom-k union differs
+    for (p <- Seq(1, 3, 17)) {
+      val r = Sketch.distinctTokensKmvCut(df.repartition(p), "text", k = 256)
+        .as[(Int, Long, Double)].collect().head
+      assert(r == cut, s"p=$p: $r vs $cut")
+    }
+    // below-k corpora degrade to NULL exactly like the plain form
+    val tiny = (0L until 100L).map(i => (i, s"tok${i % 10}")).toDF("doc_id", "text")
+    val row = Sketch.distinctTokensKmvCut(tiny, "text", k = 256).collect().head
+    assert(row.isNullAt(row.fieldIndex("est_distinct")), row)
+    // the cut really bounds what reaches the exchange: k per partition
+    val hashes = df.repartition(4)
+      .select(explode(NearDup.tokens($"text")).as("tok"))
+      .filter(length($"tok") > 0)
+      .select(xxhash64($"tok").as("h")).as[Long] // any deterministic hash: only the row BOUND is under test
+    val k = 16
+    val cutRows = hashes.mapPartitions { it =>
+      val heap = new java.util.TreeSet[java.lang.Long]()
+      while (it.hasNext) {
+        val h: java.lang.Long = it.next()
+        if (heap.size < k) heap.add(h)
+        else if (h < heap.last()) { if (heap.add(h)) heap.pollLast() }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator()).asScala.map(_.longValue)
+    }.count()
+    assert(cutRows <= 4L * k, cutRows)
+  }
+
   test("subwordStats: greedy longest-match counts, code-point fallback, codegen plan") {
     val df = Seq(
       (1L, "theresting"), // th+er+es+t? — greedy walk, hand-checked below
