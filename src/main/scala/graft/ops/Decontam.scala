@@ -37,6 +37,18 @@ object Decontam {
     * doc), `n_eval_docs` (distinct eval docs hit), `contaminated`
     * (`n_hits >= minHits`). Every corpus row appears exactly once —
     * zero-hit documents report `(0, 0, false)`.
+    *
+    * `bloomPreFilter` (default on) builds a Bloom filter over the eval
+    * shingle hashes at PLAN TIME (two driver-side jobs over the small
+    * eval side) and probes it ahead of the exact join — a codegen
+    * `might_contain` over a literal, so almost-all corpus shingles die
+    * before ever entering the join operator; false positives die in
+    * the exact join, so output is IDENTICAL (asserted in OpsSpec and
+    * measured row-diff-zero at sf1/sf3). Measured 20–29% faster at
+    * sf1/sf3 (BASELINE.md round 12). The filter bytes ride the task
+    * binary (~1.2 B per eval shingle at fpp 0.01); for an eval set
+    * with ≳10M distinct shingles, pass `bloomPreFilter = false` rather
+    * than shipping a multi-MB literal.
     */
   def overlap(
       corpus: DataFrame,
@@ -44,7 +56,8 @@ object Decontam {
       textCol: String,
       idCol: String,
       minHits: Int = 2,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      bloomPreFilter: Boolean = true
   ): DataFrame = {
     // Distinct (shingle, eval_id) pairs of the benchmark set: small by
     // assumption, broadcast below.
@@ -58,8 +71,25 @@ object Decontam {
     // would shuffle the full corpus shingle set (measured 2.8x the
     // whole operator's cost at sf1). countDistinct below dedups the
     // few surviving hit rows instead.
-    val hits = NearDup
-      .hashedShingles(corpus, textCol, idCol, shingleN)
+    val corpusShingles = NearDup.hashedShingles(corpus, textCol, idCol, shingleN)
+    val probed =
+      if (!bloomPreFilter) corpusShingles
+      else {
+        import org.apache.spark.sql.graftglue.Bridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.types.BinaryType
+        val n = evalShingles.count()
+        if (n == 0) corpusShingles.filter(lit(false)) // empty eval set: nothing can hit (bloomFilter agg NPEs on zero rows)
+        else {
+          val bf = evalShingles.stat.bloomFilter("h", n, 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          corpusShingles.filter(Bridge.column(BloomFilterMightContain(
+            Literal(bos.toByteArray, BinaryType),
+            Bridge.resolvedExpression(col("h")))))
+        }
+      }
+    val hits = probed
       .join(broadcast(evalShingles), "h")
       .groupBy(col(idCol))
       .agg(
@@ -88,9 +118,10 @@ object Decontam {
       textCol: String,
       idCol: String,
       minHits: Int = 2,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      bloomPreFilter: Boolean = true
   ): DataFrame = {
-    val bad = overlap(corpus, evalDf, textCol, idCol, minHits, shingleN)
+    val bad = overlap(corpus, evalDf, textCol, idCol, minHits, shingleN, bloomPreFilter)
       .filter(col("contaminated"))
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")

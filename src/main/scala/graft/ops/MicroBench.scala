@@ -192,6 +192,73 @@ object MicroBench {
       return
     }
 
+    if (args.contains("bloomab")) {
+      // Decontam pre-filter A/B (round-12 verdict item 5): plain
+      // broadcast join vs a driver-built Bloom filter over the eval
+      // shingle hashes probed ahead of the join
+      // (BloomFilterMightContain over a literal — codegen, foldable).
+      // Hypothesis under test: the bloom cuts rows entering the join;
+      // counter-hypothesis: a broadcast-hash-join probe already
+      // rejects misses at the same per-row cost, so the bloom is pure
+      // added work. Sentinel-bracketed.
+      import org.apache.spark.sql.graftglue.Bridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.types.BinaryType
+      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
+        .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      // same split as the decontam_overlap gate entry: every 20th doc
+      // is eval, the rest corpus
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+      time("decontam plain")(Decontam.overlap(corpus, eval, "text", "doc_id"))
+
+      val evalShingles = NearDup.hashedShingles(eval, "text", "doc_id")
+        .select(col("h"), col("doc_id").as("eval_id")).distinct()
+      val nEval = evalShingles.count()
+      val bf = evalShingles.stat.bloomFilter("h", math.max(nEval, 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      println(s"eval distinct (h,id) pairs: $nEval, bloom bytes: ${bos.size()}")
+      def overlapBloom(): DataFrame = {
+        val might = Bridge.column(BloomFilterMightContain(
+          Literal(bos.toByteArray, BinaryType),
+          Bridge.resolvedExpression(col("h"))))
+        val hits = NearDup.hashedShingles(corpus, "text", "doc_id")
+          .filter(might)
+          .join(broadcast(evalShingles), "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("n_hits"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+        corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2).as("contaminated"))
+      }
+      time("decontam bloom-prefiltered")(overlapBloom())
+      // output equivalence on this very data (bloom has no false
+      // negatives; false positives die in the exact join)
+      val a = Decontam.overlap(corpus, eval, "text", "doc_id")
+      val diff = a.exceptAll(overlapBloom()).count() + overlapBloom().exceptAll(a).count()
+      println(s"row diff plain vs bloom: $diff")
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("ngprobe")) {
       // dedup_ngram stage bisection: capped sketch arrays, signatures,
       // band candidates, full pipeline.

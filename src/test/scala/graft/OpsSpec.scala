@@ -748,6 +748,22 @@ class OpsSpec extends SparkTestBase {
     assert(kept.sameElements(Array(4L, 5L)))
   }
 
+  test("decontam bloom pre-filter: identical output with the filter on/off, empty eval set safe") {
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val evalSet = docs.filter($"doc_id" === 2L)
+    val on = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
+    val off = Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = false)
+      .collect().sortBy(_.getLong(0))
+    assert(on.sameElements(off))
+    // an EMPTY eval set must not crash the bloom build and reports all-zero
+    val none = Decontam.overlap(corpus, evalSet.filter($"doc_id" === -1L), "text", "doc_id")
+      .collect()
+    assert(none.length == corpus.count() && none.forall(r => r.getLong(1) == 0 && !r.getBoolean(3)))
+    // the pre-filter is a codegen might_contain AHEAD of the join
+    val plan = executedPlan(Decontam.overlap(corpus, evalSet, "text", "doc_id"))
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+  }
+
   // ---- plan shape (the 100-TB contract) --------------------------------
 
   test("decontam matches corpus shingles against a broadcast eval set") {
