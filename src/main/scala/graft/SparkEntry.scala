@@ -3,7 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, unix_micros, when}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, posexplode, unix_micros, when}
 
 import graft.ops.{Ann, AsOf, Decontam, Dedup, Incremental, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Shard, Sketch, Skew, TextOps}
 import graft.streaming.Sessionize
@@ -1769,6 +1769,100 @@ object SparkEntry {
     * restricted to new×old, est-sim verified at 0.25 — the snapshot
     * side built only from signature material, as the library op does.
     */
+  /** Day-0 snapshot scratch (signatures of doc_id % 3 != 0), written
+    * once per (sf dir) and reused — see [[scratchComplete]].
+    */
+  private def ensureIncSnapshot(s: SparkSession, dir: String): String = {
+    val snapPath = gateScratch("incsnap", dir)
+    if (!scratchComplete(snapPath))
+      Incremental.signatures(docs(s, dir).filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(snapPath)
+    snapPath
+  }
+
+  /** Day-1-updated snapshot scratch: [[ensureIncSnapshot]] merged with
+    * the surviving signatures of the day-1 batch (doc_id % 9 ∈ {0,3}).
+    * Shared by the `dedup_incremental_update` and `_step2` entries so
+    * gate order doesn't matter.
+    */
+  private def ensureIncSnapshot2(s: SparkSession, dir: String): String = {
+    val snapPath = ensureIncSnapshot(s, dir)
+    val snap2Path = gateScratch("incsnap2", dir)
+    if (!scratchComplete(snap2Path))
+      Incremental.updatedSnapshot(
+        docs(s, dir).filter(col("doc_id") % 9 === 0 || col("doc_id") % 9 === 3),
+        s.read.parquet(snapPath), "text", "doc_id")
+        .write.mode("overwrite").parquet(snap2Path)
+    snap2Path
+  }
+
+  /** Shared CTE chain for the two-crawl incremental oracles: old
+    * corpus (% 3 != 0), day-1 batch (% 9 ∈ {0,3}), day-1 survivor set,
+    * and the updated snapshot `snap (doc_id, digest, sig)` — all
+    * recomputed from raw text (the graft side reads day-0 signatures
+    * from parquet instead; equality is the point of the gate).
+    */
+  private def sqlIncrementalSnapCtes(k: Int): String = {
+    val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
+    s"""old AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       |d1 AS (SELECT * FROM documents WHERE doc_id % 9 IN (0, 3)),
+       |${sqlHashedShingleCtes("old", 3, "_o")},
+       |${sqlHashedShingleCtes("d1", 3, "_1")},
+       |sgo AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh_o),
+       |sg1 AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh_1),
+       |bdo AS (${sqlBands(k, 2, "sgo")}),
+       |bd1 AS (${sqlBands(k, 2, "sg1")}),
+       |cd1 AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |        FROM bd1 n JOIN bdo o ON n.bi = o.bi AND n.bk = o.bk),
+       |near1 AS (SELECT DISTINCT cd1.nid FROM cd1
+       |          JOIN sg1 s1 ON cd1.nid = s1.doc_id JOIN sgo s2 ON cd1.oid = s2.doc_id
+       |          WHERE $est >= 0.25),
+       |dgo AS (SELECT doc_id, md5($sqlNorm) AS digest FROM old),
+       |dg1 AS (SELECT doc_id, md5($sqlNorm) AS digest FROM d1),
+       |ex1 AS (SELECT dg1.doc_id FROM dg1
+       |        JOIN (SELECT DISTINCT digest FROM dgo) od USING (digest)),
+       |snap AS (
+       |  SELECT dgo.doc_id, dgo.digest, sgo.sig FROM dgo JOIN sgo USING (doc_id)
+       |  UNION ALL
+       |  SELECT dg1.doc_id, dg1.digest, sg1.sig FROM dg1 JOIN sg1 USING (doc_id)
+       |  WHERE dg1.doc_id NOT IN (SELECT nid FROM near1)
+       |    AND dg1.doc_id NOT IN (SELECT doc_id FROM ex1))""".stripMargin
+  }
+
+  /** DuckDB replica of [[graft.ops.Incremental.updatedSnapshot]]'s
+    * output (sig exploded to scalars, 1-based index).
+    */
+  private lazy val sqlIncrementalUpdate: String = {
+    val k = 32
+    s"""WITH ${sqlIncrementalSnapCtes(k)}
+       |SELECT snap.doc_id, snap.digest, CAST(g.i AS INT) AS i, snap.sig[g.i] AS v
+       |FROM snap CROSS JOIN (SELECT unnest(generate_series(1, $k)) AS i) g""".stripMargin
+  }
+
+  /** Day-2 batch (% 9 = 6) deduped against the RECOMPUTED updated
+    * snapshot — the oracle for `dedup_incremental_step2`.
+    */
+  private lazy val sqlIncrementalStep2: String = {
+    val k = 32
+    val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
+    s"""WITH ${sqlIncrementalSnapCtes(k)},
+       |d2 AS (SELECT * FROM documents WHERE doc_id % 9 = 6),
+       |${sqlHashedShingleCtes("d2", 3, "_2")},
+       |sg2 AS (SELECT doc_id, ${sqlMinhashSig(k)} AS sig FROM hh_2),
+       |bd2 AS (${sqlBands(k, 2, "sg2")}),
+       |snapb AS (${sqlBands(k, 2, "snap")}),
+       |cd2 AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |        FROM bd2 n JOIN snapb o ON n.bi = o.bi AND n.bk = o.bk),
+       |near2 AS (SELECT DISTINCT cd2.nid FROM cd2
+       |          JOIN sg2 s1 ON cd2.nid = s1.doc_id JOIN snap s2 ON cd2.oid = s2.doc_id
+       |          WHERE $est >= 0.25),
+       |ex2 AS (SELECT d.doc_id FROM (SELECT doc_id, md5($sqlNorm) AS digest FROM d2) d
+       |        JOIN (SELECT DISTINCT digest FROM snap) sd USING (digest))
+       |SELECT doc_id, text, lang, source, n_chars FROM d2
+       |WHERE doc_id NOT IN (SELECT nid FROM near2)
+       |  AND doc_id NOT IN (SELECT doc_id FROM ex2)""".stripMargin
+  }
+
   private lazy val sqlDedupIncremental: String = {
     val k = 32
     val est = s"CAST(len(list_filter(generate_series(1, $k), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / $k"
@@ -2292,16 +2386,45 @@ object SparkEntry {
     "dedup_incremental" -> Entry(
       (s, dir) => {
         val d = docs(s, dir)
-        val snapPath = gateScratch("incsnap", dir)
-        if (!scratchComplete(snapPath))
-          Incremental.signatures(d.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
-            .write.mode("overwrite").parquet(snapPath)
+        val snapPath = ensureIncSnapshot(s, dir)
         Incremental.dedupAgainst(
           d.filter(col("doc_id") % 3 === 0),
           s.read.parquet(snapPath),
           "text", "doc_id")
       },
       Some(sqlDedupIncremental)
+    ),
+    // The WRITE side of the recurring-crawl loop (round 12): emit the
+    // next crawl's snapshot = stored old rows ∪ signatures of day-1
+    // survivors, old side never re-signatured. The dump explodes the
+    // sig array so every component is hash-compared as a scalar — the
+    // oracle rebuilds the identical snapshot from raw text, proving
+    // the stored-signature path loses nothing.
+    "dedup_incremental_update" -> Entry(
+      (s, dir) => {
+        val snap2Path = ensureIncSnapshot2(s, dir)
+        s.read.parquet(snap2Path)
+          .select(col("doc_id"), col("digest"), posexplode(col("sig")))
+          .select(col("doc_id"), col("digest"),
+            (col("pos") + 1).cast("int").as("i"), col("col").as("v"))
+      },
+      Some(sqlIncrementalUpdate)
+    ),
+    // Step 2 of the two-step gate: a day-2 batch deduped against the
+    // snapshot WRITTEN BY dedup_incremental_update, while the oracle
+    // recomputes the whole two-crawl history from text — green only if
+    // the emitted snapshot was exactly right AND feeding it back
+    // reproduces incremental semantics.
+    "dedup_incremental_step2" -> Entry(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val snap2Path = ensureIncSnapshot2(s, dir)
+        Incremental.dedupAgainst(
+          d.filter(col("doc_id") % 9 === 6),
+          s.read.parquet(snap2Path),
+          "text", "doc_id")
+      },
+      Some(sqlIncrementalStep2)
     ),
     // The REMAINING pipeline ops as PQL LANGUAGE operators (round-11
     // grammar extension): every `| dedup kind=…`, `| decontam`,

@@ -61,8 +61,52 @@ object Incremental {
       bandRows: Int = 2,
       minEstSim: Double = 0.25
   ): DataFrame = {
-    require(k % bandRows == 0, s"bandRows must divide k ($k % $bandRows != 0)")
     val newSig = signatures(newDf, textCol, idCol, k)
+    newDf.join(dropIds(newSig, snapshot, idCol, k, bandRows, minEstSim), Seq(idCol), "left_anti")
+  }
+
+  /** The NEXT crawl's snapshot: `snapshot ∪ signatures of the new
+    * batch's survivors` — the write side of the recurring-crawl loop.
+    * The old side contributes its STORED rows verbatim (never
+    * re-signatured, never re-read as text — the design invariant that
+    * makes the loop O(new batch) per crawl); the new side's signatures
+    * are computed ONCE and serve both the dedup decision and the
+    * emitted rows. Feeding the result back as the next
+    * [[dedupAgainst]] `snapshot` reproduces incremental semantics
+    * exactly — the two-step gate entries
+    * `dedup_incremental_update`/`_step2` prove this against an oracle
+    * that recomputes everything from raw text.
+    */
+  def updatedSnapshot(
+      newDf: DataFrame,
+      snapshot: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 32,
+      bandRows: Int = 2,
+      minEstSim: Double = 0.25
+  ): DataFrame = {
+    val newSig = signatures(newDf, textCol, idCol, k)
+    val drops = dropIds(newSig, snapshot, idCol, k, bandRows, minEstSim)
+    snapshot
+      .select(col(idCol), col("digest"), col("sig"))
+      .unionByName(newSig.join(drops, Seq(idCol), "left_anti"))
+  }
+
+  /** Ids of new-batch rows that duplicate the snapshot (exact digest
+    * or banded-LSH near match) — the shared core of [[dedupAgainst]]
+    * and [[updatedSnapshot]]. `newSig` is a [[signatures]] frame of
+    * the new batch.
+    */
+  private def dropIds(
+      newSig: DataFrame,
+      snapshot: DataFrame,
+      idCol: String,
+      k: Int,
+      bandRows: Int,
+      minEstSim: Double
+  ): DataFrame = {
+    require(k % bandRows == 0, s"bandRows must divide k ($k % $bandRows != 0)")
 
     val exactIds = newSig
       .select(col(idCol), col("digest"))
@@ -91,6 +135,6 @@ object Incremental {
       .select(col(idCol))
       .distinct()
 
-    newDf.join(exactIds.union(nearIds).distinct(), Seq(idCol), "left_anti")
+    exactIds.union(nearIds).distinct()
   }
 }

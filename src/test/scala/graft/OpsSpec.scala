@@ -698,6 +698,40 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("updatedSnapshot: old rows verbatim ∪ survivor signatures; feeding it back reproduces dedupAgainst") {
+    import graft.ops.Incremental
+    val snapshotDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark query engines")
+    ).toDF("doc_id", "text")
+    val day1 = Seq(
+      (10L, "The quick  brown fox jumps over the lazy dog"), // exact dup → dropped
+      (11L, "una frase totalmente nueva sobre otro tema distinto") // fresh → survives
+    ).toDF("doc_id", "text")
+    val snap0 = Incremental.signatures(snapshotDocs, "text", "doc_id")
+    val snap1 = Incremental.updatedSnapshot(day1, snap0, "text", "doc_id")
+
+    // content: exactly old ∪ signatures(survivors), old rows byte-identical
+    val expected = snap0.unionByName(
+      Incremental.signatures(day1.filter($"doc_id" === 11L), "text", "doc_id"))
+    assert(snap1.exceptAll(expected).count() == 0 && expected.exceptAll(snap1).count() == 0)
+
+    // the loop closes: day-2 dedup against the UPDATED snapshot drops a
+    // near-dup of a DAY-1 survivor (proof the update actually extends
+    // coverage, not just preserves the old side)
+    val day2 = Seq(
+      (20L, "una frase totalmente nueva sobre otro tema diferente"), // near dup of 11
+      (21L, "entirely fresh day two content nothing shares shingles here")
+    ).toDF("doc_id", "text")
+    val out2 = Incremental.dedupAgainst(day2, snap1, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.sameElements(Array(21L)), out2.toSeq)
+    // …while against the ORIGINAL snapshot doc 20 would have survived
+    val out2old = Incremental.dedupAgainst(day2, snap0, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2old.sameElements(Array(20L, 21L)), out2old.toSeq)
+  }
+
   test("mixture refuses an input that already has an `epoch` column") {
     val df = spark.range(5).select(col("id").as("doc_id"), lit("a").as("source"), lit(9).as("epoch"))
     val e = intercept[IllegalArgumentException](
