@@ -87,4 +87,53 @@ class ErrorSpanSpec extends AnyFunSuite {
     // 'x' is line 2, column 9 (1-based)
     assert(e.getMessage.startsWith("2:9:"), e.getMessage)
   }
+
+  // ---- the REMAINING reference error corpus (round 12): every
+  // `err: true` case in parser_test.go and every TokenError case in
+  // lex_test.go now has a position-exact assertion. The reference's
+  // tolerant scanner emits error TOKENS and keeps going; graft's strict
+  // lexer throws at the first of them — parity is thrown-span ==
+  // FIRST reference error-token span.
+
+  test("parser_test.go: double trailing comma anchors on the empty slot's comma") {
+    // reference TwoArgFunctionWithTwoTrailingCommas
+    assertAnchored("""StormEvents | where strcat("abc", "def",,)""", ",", occurrence = 2)
+  }
+
+  test("parser_test.go: summarize followed by a random keyword anchors on it") {
+    // reference SummarizeRandomToken
+    assertAnchored("StormEvents | summarize and", "and")
+  }
+
+  test("lex_test.go: unterminated quoted identifier spans to EOF") {
+    // reference UnterminatedQuotedIdent: Error(0,4)
+    assert(errSpan("`foo") == Span(0, 4))
+    // reference LineSplitQuotedIdent: first Error(0,4) — stops BEFORE the newline
+    assert(errSpan("`foo\nbar`") == Span(0, 4))
+  }
+
+  test("lex_test.go: unterminated / line-split strings span the consumed prefix") {
+    // reference UnterminatedString: Error(0,4)
+    assert(errSpan("\"abc") == Span(0, 4))
+    // reference StringWithNewline: first Error(0,4)
+    assert(errSpan("\"abc\ndef\"") == Span(0, 4))
+    // reference LineSplitMapKey: first Error(1,5) — the string, not the bracket
+    assert(errSpan("['foo\nbar']") == Span(1, 5))
+    // reference StringWithEOFAfterBackslash: Error(0,5) — backslash consumed
+    assert(errSpan("\"abc\\") == Span(0, 5))
+    // reference StringWithNewlineAfterBackslash: first Error(0,5)
+    assert(errSpan("\"abc\\\ndef\"") == Span(0, 5))
+  }
+
+  test("lex_test.go: hex-literal errors span '0x' only, not trailing content") {
+    // reference UnterminatedHex: Error(0,2)
+    assert(errSpan("0x") == Span(0, 2))
+    // reference BrokenHex: Error(0,2), the 'y' is a SEPARATE identifier token
+    assert(errSpan("0xy") == Span(0, 2))
+  }
+
+  test("lex_test.go: unrecognized characters span exactly one char (fuzz corpus shape)") {
+    // reference Fuzz8adaab75de5f9003: first Error(8,9) on the NUL byte
+    assert(errSpan("vents | \u0000\u0010\u0000\u0000M=") == Span(8, 9))
+  }
 }
