@@ -259,6 +259,26 @@ object MicroBench {
       return
     }
 
+    if (args.contains("embedgeo")) {
+      // LSH geometry vs corpus size (round-12 sf10 finding): with the
+      // default 32-plane/8-bit geometry the sign-LSH bucket occupancy
+      // grows linearly with n, so candidate PAIRS grow ~n² (measured:
+      // 102k → 982k → 11.1M pairs at sf1/sf3/sf10). The documented
+      // prescription is bandBits ~ log2(n/targetOccupancy); this mode
+      // measures it: same corpus, default vs scaled geometry.
+      val vecs = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
+      // planes cap at 62 (one-long packed signature)
+      for ((planes, bits) <- Seq((32, 8), (48, 12), (60, 15))) {
+        val pairs = NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim = 64,
+          planes = planes, bandBits = bits)
+        val t0 = System.nanoTime()
+        val n = pairs.count()
+        println(f"embed geometry $planes/$bits: $n%12d pairs  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("ngprobe")) {
       // dedup_ngram stage bisection: capped sketch arrays, signatures,
       // band candidates, full pipeline.
