@@ -700,10 +700,35 @@ object NearDup {
       .join(base, Seq(idCol))
   }
 
+  /** The LSH band-geometry sizing rule, as code: the `bandBits` that
+    * keeps expected bucket occupancy `n / 2^bandBits` at or below
+    * `targetOccupancy`, clamped to the packed-signature limits. With a
+    * FIXED geometry, bucket occupancy grows linearly in the corpus and
+    * candidate pairs quadratically — measured at sf1/sf3/sf10: 102k →
+    * 982k → 11.14M pairs under the default 32/8, vs ~94% of the pair
+    * mass at 4.5× less cost under 60/15 at sf10 (BASELINE.md round 12,
+    * `MicroBench embedgeo`). Size `bandBits` from the corpus estimate
+    * at plan time; recover recall by adding BANDS (more planes), never
+    * by widening buckets.
+    *
+    * @param n expected corpus row count (an estimate is fine — one
+    *          bit of error doubles/halves occupancy, nothing breaks)
+    * @param targetOccupancy expected rows per band bucket to aim for
+    */
+  def bandBitsFor(n: Long, targetOccupancy: Int = 64): Int = {
+    require(n >= 1 && targetOccupancy >= 1,
+      s"need n >= 1 and targetOccupancy >= 1, got $n, $targetOccupancy")
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n + targetOccupancy - 1) / targetOccupancy - 1))
+    math.min(31, math.max(1, needed)) // ≥2 bands within a 62-bit packed sig
+  }
+
   /** Embedding near-duplicate pairs via sign-LSH candidates + exact
     * cosine rescoring. `planes` random hyperplanes give a `planes`-bit
     * signature, split into bands of `bandBits`; candidates share a
-    * band. Output: `id_a, id_b, cos_sim`.
+    * band. Output: `id_a, id_b, cos_sim`. For corpora past ~100k rows
+    * size the geometry with [[bandBitsFor]] — the defaults are right
+    * for ≤50k rows (occupancy ≤ ~200 at 8 bits).
     */
   def embedCosinePairs(
       df: DataFrame,

@@ -782,6 +782,21 @@ class OpsSpec extends SparkTestBase {
     assert(kept.sameElements(Array(4L, 5L)))
   }
 
+  test("bandBitsFor: ceil(log2(n/target)), clamped, monotone") {
+    // exact powers and the off-by-one edges
+    assert(NearDup.bandBitsFor(200000, 64) == 12)  // 200k/64 = 3125 → 2^12
+    assert(NearDup.bandBitsFor(4096 * 64, 64) == 12)
+    assert(NearDup.bandBitsFor(4096 * 64 + 1, 64) == 13)
+    assert(NearDup.bandBitsFor(64, 64) == 1)  // floor: never 0 bits
+    assert(NearDup.bandBitsFor(1) == 1)
+    assert(NearDup.bandBitsFor(Long.MaxValue, 1) == 31) // ceiling: ≥2 bands in a 62-bit sig
+    // resulting occupancy is at or below target for a spread of sizes
+    for (n <- Seq(1000L, 50000L, 200000L, 10000000L); t <- Seq(16, 64, 256)) {
+      val b = NearDup.bandBitsFor(n, t)
+      if (b < 31) assert(n.toDouble / (1L << b) <= t, s"n=$n t=$t bits=$b")
+    }
+  }
+
   test("decontam bloom pre-filter: identical output with the filter on/off, empty eval set safe") {
     val corpus = docs.filter($"doc_id" =!= 2L)
     val evalSet = docs.filter($"doc_id" === 2L)
