@@ -2016,6 +2016,43 @@ object SparkEntry {
        |WHERE $dotAB / (e1.nrm * e2.nrm) >= 0.4""".stripMargin
   }
 
+  /** Adaptive-geometry oracle: reproduces `NearDup.autoGeometry` IN
+    * SQL — bandBits from the corpus count with exact integer
+    * arithmetic (no float log2: the smallest b with
+    * max(1, ceil(n/occ) − 1) < 2^b, the bit-length formula
+    * `bandBitsFor` computes with numberOfLeadingZeros), nBands =
+    * max(2, min(4, 62 // bits)). Sign bits are precomputed for all 62
+    * possible planes (plane p's hyperplane is the same LCG stream
+    * prefix regardless of how many planes a geometry uses), then the
+    * signature packs the first nb·bits of them. This makes the oracle
+    * track the engine's plan-time geometry choice at EVERY scale
+    * factor — the same SQL text verifies sf0.01 and sf10.
+    */
+  private def sqlEmbedAutoOracle(occupancy: Int = 64): String = {
+    val dim = 64
+    val signList = s"list_transform(generate_series(0, 61), p -> CASE WHEN " +
+      s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
+      s"j -> v[j+1] * (${sqlPlane(s"p * $dim + j")})), (x, y) -> x + y) >= 0 " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |params AS (SELECT bits, GREATEST(2, LEAST(4, 62 // bits)) AS nb FROM (
+       |  SELECT COALESCE((SELECT MIN(b) FROM generate_series(1, 31) t(b)
+       |    WHERE (SELECT GREATEST(1, (count(*) + ${occupancy - 1}) // $occupancy - 1) FROM embeddings)
+       |          < (CAST(1 AS BIGINT) << b)), 31) AS bits)),
+       |sb AS (SELECT vec_id, v, nrm, $signList AS sgn FROM n),
+       |sg AS (SELECT vec_id, v, nrm,
+       |  list_reduce(list_transform(generate_series(0, nb * bits - 1), p -> sgn[p+1] << p), (x, y) -> x + y) AS sig
+       |FROM sb, params),
+       |bd AS (SELECT vec_id, bi, (sig >> CAST(bi * bits AS INT)) % (CAST(1 AS BIGINT) << bits) AS bk
+       |       FROM sg, params, generate_series(0, 3) t(bi) WHERE bi < nb),
+       |cd AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM bd a JOIN bd b ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, $dotAB / (e1.nrm * e2.nrm) AS cos_sim
+       |FROM cd JOIN sg e1 ON cd.id_a = e1.vec_id JOIN sg e2 ON cd.id_b = e2.vec_id
+       |WHERE $dotAB / (e1.nrm * e2.nrm) >= 0.4""".stripMargin
+  }
+
   // ---- §2.4 ANN oracle SQL (mirrors Ann.bruteTopK / Ann.lshTopK) -------
 
   /** Every 50th vec_id is a probe: 10 queries at sf0.01, 40 at sf0.1. */
@@ -2151,6 +2188,36 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Adaptive-cell-count IVF oracle: nCells = clamp(4, 65536,
+    * round(√n)) computed IN SQL from the corpus count — mirrors
+    * `Ann.autoCells` (IEEE sqrt is correctly rounded and round()
+    * half-away-from-zero matches Math.round on positives, so both
+    * engines derive the identical integer at every scale). The seed
+    * LIMIT takes the value as a scalar subquery.
+    */
+  private def sqlAnnIvfAutoOracle: String = {
+    val dim = 64
+    val nProbe = 2
+    val dC = s"list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * ct.cv[i]), (x, y) -> x + y)"
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |params AS (SELECT GREATEST(4, LEAST(65536, CAST(round(sqrt(count(*))) AS BIGINT))) AS cells FROM embeddings),
+       |hs AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM n),
+       |sd AS (SELECT vec_id, v, h FROM hs ORDER BY h, vec_id LIMIT (SELECT cells FROM params)),
+       |ct AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c, v AS cv FROM sd),
+       |cd AS (SELECT n.vec_id, ct.c, $dC AS d FROM n CROSS JOIN ct),
+       |rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r FROM cd),
+       |cell AS (SELECT vec_id, c FROM rk WHERE r = 1),
+       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $annQueryPred),
+       |cand AS (SELECT qc.query_id, cell.vec_id FROM cell JOIN qc USING (c)
+       |         WHERE cell.vec_id <> qc.query_id),
+       |sc AS (SELECT cand.query_id, cand.vec_id, $dotQ / (b.nrm * qn.nrm) AS cos_sim
+       |       FROM cand JOIN n b ON cand.vec_id = b.vec_id JOIN n qn ON cand.query_id = qn.vec_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** SemDeDup oracle (mirrors SemDedup.pairs): within-cell pairs of
     * the hash-seeded Voronoi assignment, exact cosine >= minCos.
     */
@@ -2236,6 +2303,14 @@ object SparkEntry {
       (s, dir) => NearDup.embedCosinePairs(Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
       Some(sqlEmbedOracle)
     ),
+    // The adaptive-geometry form: bandBits sized from the actual
+    // corpus count at plan time (NearDup.autoGeometry), oracle
+    // computing the same geometry in SQL — one text, every scale.
+    "dedup_embed_auto" -> Entry(
+      (s, dir) => NearDup.embedCosinePairsAuto(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
+      Some(sqlEmbedAutoOracle())
+    ),
     "dedup_pipeline" -> Entry(
       (s, dir) => NearDup.deduplicateCorpus(docs(s, dir), "text", "doc_id"),
       Some(sqlDedupPipelineOracle)
@@ -2313,6 +2388,16 @@ object SparkEntry {
         Ann.ivfTopKSeeded(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
       },
       Some(sqlAnnIvfSeededOracle)
+    ),
+    // √n cell count resolved from the actual corpus at plan time
+    // (Ann.autoCells) — the oracle recomputes it in SQL, so one text
+    // tracks the engine's index sizing at every scale factor.
+    "ann_ivf_auto" -> Entry(
+      (s, dir) => {
+        val emb = Tables.parquetDir(s, dir)("embeddings")
+        Ann.ivfTopKSeededAuto(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+      },
+      Some(sqlAnnIvfAutoOracle)
     ),
     // Lloyd k-means, 16 cells × 2 iterations: hash-sampled seeds,
     // fixed-point (2^24-scaled long) component means so the grouped
@@ -2442,6 +2527,13 @@ object SparkEntry {
       "embeddings | dedup kind=embed dim=64 embedding by vec_id | project vec_id, label",
       s"""SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id_b FROM ($sqlEmbedOracle))""".stripMargin
+    ),
+    "pql_dedup_embed_auto" -> q(
+      // occupancy= selects the adaptive band geometry (corpus counted
+      // at compile time, bandBits from NearDup.autoGeometry)
+      "embeddings | dedup kind=embed dim=64 occupancy=64 embedding by vec_id | project vec_id, label",
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlEmbedAutoOracle()}))""".stripMargin
     ),
     "pql_dedup_semantic" -> q(
       "embeddings | dedup kind=semantic cos=0.4 embedding by vec_id | project vec_id, label",

@@ -167,11 +167,20 @@ private[graft] final class Compiler(
           // count per signature bit), not derivable from the array
           // column's type — required in the query text
           val dim = o.requiredInt("dim", min = 1)
-          graft.ops.NearDup.dropNearDuplicates(
-            df,
-            graft.ops.NearDup.embedCosinePairs(
-              df, text.name, id.name, dim, minCos = o.double("cos", 0.4, min = -1.0, max = 1.0)),
-            id.name)
+          val cos = o.double("cos", 0.4, min = -1.0, max = 1.0)
+          // occupancy=<n> switches to the adaptive band geometry:
+          // the corpus is counted once at compile time and bandBits
+          // sized so expected bucket occupancy stays at or below n
+          // (NearDup.autoGeometry) — the 100-TB form, where a fixed
+          // geometry makes candidate pairs quadratic in corpus size
+          val pairs = o.intOpt("occupancy", min = 1) match {
+            case Some(t) =>
+              graft.ops.NearDup.embedCosinePairsAuto(
+                df, text.name, id.name, dim, targetOccupancy = t, minCos = cos)
+            case None =>
+              graft.ops.NearDup.embedCosinePairs(df, text.name, id.name, dim, minCos = cos)
+          }
+          graft.ops.NearDup.dropNearDuplicates(df, pairs, id.name)
         case "semantic" =>
           graft.ops.SemDedup.deduplicate(
             df, text.name, id.name,
@@ -215,7 +224,7 @@ private[graft] final class Compiler(
     * silently ignore is a compile error, not noise.
     */
   private def allowedFor(kind: String): Set[String] = kind match {
-    case "embed"    => Set("dim", "cos")
+    case "embed"    => Set("dim", "cos", "occupancy")
     case "semantic" => Set("cells", "cos")
     case _          => Set.empty
   }
@@ -246,6 +255,9 @@ private[graft] final class Compiler(
         if (v < min) fail(s"option $name must be >= $min, got $v", o.valueSpan)
         v
     }
+
+    def intOpt(name: String, min: Int): Option[Int] =
+      if (byName.contains(name)) Some(int(name, default = min, min = min)) else None
 
     def requiredInt(name: String, min: Int): Int = {
       if (!byName.contains(name)) fail(s"$opName requires option $name=<n>", opSpan)

@@ -136,6 +136,38 @@ object Ann {
     ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
       seededCentroids(corpus, vecCol, idCol, nCells))
 
+  /** The IVF index-sizing rule as code: `nCells ~ √n`, the shape that
+    * balances assignment cost (n·nCells dot products) against probe
+    * cost (~nProbe·n/nCells rescans per query) — the lever ivfTopK's
+    * doc quantifies (fixed 8 cells went 9× at 10× data, sf1 round 10).
+    * Clamped to [4, 65536]: the ceiling keeps the centroid component
+    * frame broadcastable (65536·dim rows ≈ 4M — still a few tens of
+    * MB), the floor keeps probe-2 meaningful on tiny corpora.
+    */
+  def autoCells(n: Long): Int =
+    // clamp in Long BEFORE narrowing: round(sqrt(Long.MaxValue)) ≈ 3·10⁹
+    // overflows Int, and a negative wrap would clamp to the floor
+    math.max(4L, math.min(65536L, math.round(math.sqrt(math.max(0L, n).toDouble)))).toInt
+
+  /** [[ivfTopKSeeded]] with the cell count chosen from the ACTUAL
+    * corpus size at plan time (one narrow count, the AQE trade — same
+    * adaptive-planning pattern as NearDup.embedCosinePairsAuto). Pass
+    * `knownCount` when a catalog estimate is already at hand.
+    */
+  def ivfTopKSeededAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int = 5,
+      nProbe: Int = 2,
+      knownCount: Option[Long] = None
+  ): DataFrame = {
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    ivfTopKSeeded(corpus, queries, vecCol, idCol, dim, k, nCells = autoCells(n), nProbe = nProbe)
+  }
+
   /** Hash-sampled centroid components `(c, j, w)` (see
     * [[ivfTopKSeeded]]).
     */

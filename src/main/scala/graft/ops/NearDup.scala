@@ -723,6 +723,44 @@ object NearDup {
     math.min(31, math.max(1, needed)) // ≥2 bands within a 62-bit packed sig
   }
 
+  /** Full band geometry from a corpus-size estimate: `(planes,
+    * bandBits)` with bucket occupancy bounded by [[bandBitsFor]] and
+    * as many bands as fit the 62-bit packed signature, capped at the
+    * default 4 (recall rises with band count; 4 matches the measured
+    * sizing curve's 32/8 → 48/12 → 60/15 ladder, and past 15-bit
+    * bands the packed signature forces fewer, wider bands).
+    */
+  def autoGeometry(n: Long, targetOccupancy: Int = 64): (Int, Int) = {
+    val bits = bandBitsFor(math.max(1L, n), targetOccupancy)
+    val nBands = math.max(2, math.min(4, 62 / bits))
+    (nBands * bits, bits)
+  }
+
+  /** [[embedCosinePairs]] with the band geometry chosen at plan time
+    * from the ACTUAL corpus size — the adaptive form of the sizing
+    * rule the sf10 sweep measured (fixed geometry ⇒ quadratic
+    * candidate growth; sized geometry keeps ~94% of the pair mass at
+    * 4.5× less cost at sf10). The one extra cost is a narrow
+    * single-column `count()` before plan construction — the same
+    * runtime-statistics trade AQE makes, and noise next to the LSH
+    * join it sizes. Pass `knownCount` when the caller already has the
+    * figure (a catalog estimate is fine: one bit of error
+    * halves/doubles occupancy, nothing breaks).
+    */
+  def embedCosinePairsAuto(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      targetOccupancy: Int = 64,
+      minCos: Double = 0.4,
+      knownCount: Option[Long] = None
+  ): DataFrame = {
+    val n = knownCount.getOrElse(df.select(col(idCol)).count())
+    val (planes, bandBits) = autoGeometry(n, targetOccupancy)
+    embedCosinePairs(df, vecCol, idCol, dim, planes, bandBits, minCos)
+  }
+
   /** Embedding near-duplicate pairs via sign-LSH candidates + exact
     * cosine rescoring. `planes` random hyperplanes give a `planes`-bit
     * signature, split into bands of `bandBits`; candidates share a

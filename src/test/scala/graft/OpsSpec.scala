@@ -797,6 +797,51 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("autoGeometry: occupancy-bounded bits, 4 bands while they fit a 62-bit sig, never overflowing") {
+    assert(NearDup.autoGeometry(2000, 64) == (20, 5))      // gate-SF ballpark
+    assert(NearDup.autoGeometry(200000, 64) == (48, 12))   // the measured sf1-ish rung
+    assert(NearDup.autoGeometry(2000000, 64) == (60, 15))  // sf10's sizing-curve winner
+    assert(NearDup.autoGeometry(1L << 40, 64) == (62, 31)) // bits ceiling: two 31-bit bands
+    for (n <- Seq(1L, 100L, 65536L, 1L << 20, 1L << 33, Long.MaxValue); t <- Seq(1, 64, 256)) {
+      val (planes, bits) = NearDup.autoGeometry(n, t)
+      assert(planes % bits == 0 && planes <= 62 && planes / bits >= 2, s"n=$n t=$t -> $planes/$bits")
+    }
+  }
+
+  test("embedCosinePairsAuto == embedCosinePairs at the resolved geometry; knownCount overrides the scan") {
+    val n = vecs.count()
+    val (planes, bits) = NearDup.autoGeometry(n)
+    val auto = NearDup.embedCosinePairsAuto(vecs, "embedding", "vec_id", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim = 8, planes, bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit)
+    // a knownCount estimate is honored without counting (different
+    // geometry -> generally different candidate set than `auto`)
+    val big = NearDup.embedCosinePairsAuto(
+      vecs, "embedding", "vec_id", dim = 8, knownCount = Some(4096L * 64))
+    val plan = executedPlan(big)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("autoCells: round(sqrt(n)) clamped to [4, 65536]") {
+    assert(Ann.autoCells(0) == 4)
+    assert(Ann.autoCells(500) == 22)          // gate corpus: round(22.36)
+    assert(Ann.autoCells(1024) == 32)          // the hand-picked gate default, recovered
+    assert(Ann.autoCells(1000000) == 1000)
+    assert(Ann.autoCells(Long.MaxValue) == 65536)
+  }
+
+  test("ivfTopKSeededAuto == ivfTopKSeeded at the resolved cell count") {
+    val queries = vecs.filter($"vec_id" === 0L)
+    val auto = Ann.ivfTopKSeededAuto(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val explicit = Ann.ivfTopKSeeded(vecs, queries, "embedding", "vec_id", dim = 8, k = 3,
+      nCells = Ann.autoCells(vecs.count()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("decontam bloom pre-filter: identical output with the filter on/off, empty eval set safe") {
     val corpus = docs.filter($"doc_id" =!= 2L)
     val evalSet = docs.filter($"doc_id" === 2L)
