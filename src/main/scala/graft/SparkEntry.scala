@@ -2188,6 +2188,63 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Adaptive-geometry ANN-LSH oracle — the probe-side twin of
+    * [[sqlEmbedAutoOracle]]: same exact-integer bandBits computation,
+    * but up to SEVEN bands (mirrors `Ann.lshTopKAuto`'s
+    * maxBands = 7 recall stance).
+    */
+  private def sqlAnnLshAutoOracle(occupancy: Int = 64): String = {
+    val dim = 64
+    val signList = s"list_transform(generate_series(0, 61), p -> CASE WHEN " +
+      s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
+      s"j -> v[j+1] * (${sqlPlane(s"p * $dim + j")})), (x, y) -> x + y) >= 0 " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> s1.v[i] * qs.qv[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |params AS (SELECT bits, GREATEST(2, LEAST(7, 62 // bits)) AS nb FROM (
+       |  SELECT COALESCE((SELECT MIN(b) FROM generate_series(1, 31) t(b)
+       |    WHERE (SELECT GREATEST(1, (count(*) + ${occupancy - 1}) // $occupancy - 1) FROM embeddings)
+       |          < (CAST(1 AS BIGINT) << b)), 31) AS bits)),
+       |sb AS (SELECT vec_id, v, nrm, $signList AS sgn FROM n),
+       |sg AS (SELECT vec_id, v, nrm,
+       |  list_reduce(list_transform(generate_series(0, nb * bits - 1), p -> sgn[p+1] << p), (x, y) -> x + y) AS sig
+       |FROM sb, params),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig FROM sg WHERE $annQueryPred),
+       |bd AS (SELECT vec_id, bi, (sig >> CAST(bi * bits AS INT)) % (CAST(1 AS BIGINT) << bits) AS bk
+       |       FROM sg, params, generate_series(0, 6) t(bi) WHERE bi < nb),
+       |qb AS (SELECT vec_id AS query_id, bi, bk FROM bd WHERE $annQueryPred),
+       |cd AS (SELECT DISTINCT q.query_id, b.vec_id
+       |       FROM bd b JOIN qb q ON b.bi = q.bi AND b.bk = q.bk AND b.vec_id <> q.query_id),
+       |sc AS (SELECT cd.query_id, cd.vec_id, $dotQ / (s1.nrm * qs.qn) AS cos_sim
+       |       FROM cd JOIN sg s1 ON cd.vec_id = s1.vec_id JOIN qs ON cd.query_id = qs.query_id)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM sc)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** Adaptive-cell-count SemDeDup oracle: cells =
+    * clamp(1, 65536, ceil(n / targetCellSize)) computed IN SQL with
+    * exact integer arithmetic — mirrors `SemDedup.autoCellCount`.
+    */
+  private def sqlSemDedupAutoPairs(targetCellSize: Int, minCos: Double): String = {
+    val dim = 64
+    val dC = s"list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * ct.cv[i]), (x, y) -> x + y)"
+    val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
+    s"""${sqlEmbedBase(dim)},
+       |params AS (SELECT GREATEST(1, LEAST(65536, (count(*) + ${targetCellSize - 1}) // $targetCellSize)) AS cells FROM embeddings),
+       |hs AS (SELECT vec_id, v, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h FROM n),
+       |sd AS (SELECT vec_id, v, h FROM hs ORDER BY h, vec_id LIMIT (SELECT cells FROM params)),
+       |ct AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c, v AS cv FROM sd),
+       |cd AS (SELECT n.vec_id, ct.c, $dC AS d FROM n CROSS JOIN ct),
+       |rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r FROM cd),
+       |cell AS (SELECT vec_id, c FROM rk WHERE r = 1),
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c AS c
+       |       FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, CAST(c AS INT) AS cell, $dotAB / (e1.nrm * e2.nrm) AS cos_sim
+       |FROM pr JOIN n e1 ON pr.id_a = e1.vec_id JOIN n e2 ON pr.id_b = e2.vec_id
+       |WHERE $dotAB / (e1.nrm * e2.nrm) >= $minCos""".stripMargin
+  }
+
   /** Adaptive-cell-count IVF oracle: nCells = clamp(4, 65536,
     * round(√n)) computed IN SQL from the corpus count — mirrors
     * `Ann.autoCells` (IEEE sqrt is correctly rounded and round()
@@ -2375,6 +2432,14 @@ object SparkEntry {
       },
       Some(sqlAnnLshOracle)
     ),
+    // probe-side adaptive geometry (Ann.lshTopKAuto, 7-band cap)
+    "ann_lsh_auto" -> Entry(
+      (s, dir) => {
+        val emb = Tables.parquetDir(s, dir)("embeddings")
+        Ann.lshTopKAuto(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+      },
+      Some(sqlAnnLshAutoOracle())
+    ),
     "ann_ivf" -> Entry(
       (s, dir) => {
         val emb = Tables.parquetDir(s, dir)("embeddings")
@@ -2415,6 +2480,14 @@ object SparkEntry {
       (s, dir) => SemDedup.pairs(
         Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4),
       Some(sqlSemDedupPairs(0.4))
+    ),
+    // linear cell-count rule resolved from the corpus at plan time
+    // (SemDedup.autoCellCount: within-cell work is quadratic in cell
+    // size, so cells scale with n; oracle recomputes it in SQL)
+    "dedup_semantic_auto" -> Entry(
+      (s, dir) => SemDedup.pairsAuto(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4),
+      Some(sqlSemDedupAutoPairs(64, 0.4))
     ),
     // Scalar int8 quantization (FAISS-SQ8-style): corpus-wide
     // per-dimension extrema, then floor-linear codes. Exploded
@@ -2539,6 +2612,13 @@ object SparkEntry {
       "embeddings | dedup kind=semantic cos=0.4 embedding by vec_id | project vec_id, label",
       s"""SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
+    ),
+    "pql_dedup_semantic_auto" -> q(
+      // occupancy= is the target cell size; the cell count resolves
+      // from the corpus count at compile time
+      "embeddings | dedup kind=semantic cos=0.4 occupancy=64 embedding by vec_id | project vec_id, label",
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupAutoPairs(64, 0.4)}))""".stripMargin
     ),
     "pql_decontam" -> q(
       """documents | where doc_id % 20 != 0

@@ -182,10 +182,21 @@ private[graft] final class Compiler(
           }
           graft.ops.NearDup.dropNearDuplicates(df, pairs, id.name)
         case "semantic" =>
-          graft.ops.SemDedup.deduplicate(
-            df, text.name, id.name,
-            nCells = o.int("cells", 32, min = 1),
-            minCos = o.double("cos", 0.9, min = -1.0, max = 1.0))
+          val cos = o.double("cos", 0.9, min = -1.0, max = 1.0)
+          // occupancy=<n> = target CELL SIZE, resolving nCells from
+          // the corpus count at compile time (SemDedup.autoCellCount —
+          // within-cell work is quadratic in cell size, so cells must
+          // scale linearly with the corpus); exclusive with cells=
+          (o.intOpt("occupancy", min = 1), o.intOpt("cells", min = 1)) match {
+            case (Some(_), Some(_)) =>
+              fail("dedup kind=semantic takes cells= or occupancy=, not both", span)
+            case (Some(t), None) =>
+              graft.ops.NearDup.dropNearDuplicates(
+                df, graft.ops.SemDedup.pairsAuto(df, text.name, id.name, t, cos), id.name)
+            case (None, cells) =>
+              graft.ops.SemDedup.deduplicate(
+                df, text.name, id.name, nCells = cells.getOrElse(32), minCos = cos)
+          }
       }
       o.finish()
       out
@@ -225,7 +236,7 @@ private[graft] final class Compiler(
     */
   private def allowedFor(kind: String): Set[String] = kind match {
     case "embed"    => Set("dim", "cos", "occupancy")
-    case "semantic" => Set("cells", "cos")
+    case "semantic" => Set("cells", "cos", "occupancy")
     case _          => Set.empty
   }
 

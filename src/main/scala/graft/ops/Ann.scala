@@ -136,6 +136,31 @@ object Ann {
     ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
       seededCentroids(corpus, vecCol, idCol, nCells))
 
+  /** [[lshTopK]] with the band geometry sized from the ACTUAL corpus
+    * count at plan time — the probe-side twin of
+    * `NearDup.embedCosinePairsAuto` (ann_lsh showed the same
+    * geometry-saturation slope at sf10 as the pair op: bucket
+    * occupancy `n / 2^bandBits` grows linearly under fixed bands, and
+    * every query probes every over-full bucket it lands in). Seven
+    * bands while they fit the 62-bit signature — the top-k op keeps
+    * lshTopK's recall-over-bands stance (56/8 default = 7 bands)
+    * rather than the pair op's 4.
+    */
+  def lshTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int = 5,
+      targetOccupancy: Int = 64,
+      knownCount: Option[Long] = None
+  ): DataFrame = {
+    val n = knownCount.getOrElse(corpus.select(col(idCol)).count())
+    val (planes, bandBits) = NearDup.autoGeometry(n, targetOccupancy, maxBands = 7)
+    lshTopK(corpus, queries, vecCol, idCol, dim, k, planes, bandBits)
+  }
+
   /** The IVF index-sizing rule as code: `nCells ~ √n`, the shape that
     * balances assignment cost (n·nCells dot products) against probe
     * cost (~nProbe·n/nCells rescans per query) — the lever ivfTopK's

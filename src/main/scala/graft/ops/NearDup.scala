@@ -718,8 +718,9 @@ object NearDup {
   def bandBitsFor(n: Long, targetOccupancy: Int = 64): Int = {
     require(n >= 1 && targetOccupancy >= 1,
       s"need n >= 1 and targetOccupancy >= 1, got $n, $targetOccupancy")
-    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1L, (n + targetOccupancy - 1) / targetOccupancy - 1))
+    // non-overflowing ceildiv: n + (t-1) wraps negative near Long.MaxValue
+    val ceilDiv = n / targetOccupancy + (if (n % targetOccupancy == 0) 0 else 1)
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, ceilDiv - 1))
     math.min(31, math.max(1, needed)) // ≥2 bands within a 62-bit packed sig
   }
 
@@ -730,9 +731,10 @@ object NearDup {
     * sizing curve's 32/8 → 48/12 → 60/15 ladder, and past 15-bit
     * bands the packed signature forces fewer, wider bands).
     */
-  def autoGeometry(n: Long, targetOccupancy: Int = 64): (Int, Int) = {
+  def autoGeometry(n: Long, targetOccupancy: Int = 64, maxBands: Int = 4): (Int, Int) = {
+    require(maxBands >= 2, s"need maxBands >= 2, got $maxBands")
     val bits = bandBitsFor(math.max(1L, n), targetOccupancy)
-    val nBands = math.max(2, math.min(4, 62 / bits))
+    val nBands = math.max(2, math.min(maxBands, 62 / bits))
     (nBands * bits, bits)
   }
 

@@ -75,6 +75,37 @@ object SemDedup {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** The SemDeDup cell-sizing rule as code: within-cell work is
+    * quadratic in E[cell size] = n / nCells, so nCells must scale
+    * LINEARLY with the corpus — `ceil(n / targetCellSize)` (the paper
+    * runs ~10k-row clusters at web scale; 64 is the right target for
+    * the gate corpora). Clamped to [1, 65536]: the ceiling keeps the
+    * seeded-centroid component frame broadcastable (65536·dim rows).
+    */
+  def autoCellCount(n: Long, targetCellSize: Int = 64): Int = {
+    require(targetCellSize >= 1, s"need targetCellSize >= 1, got $targetCellSize")
+    val m = math.max(0L, n)
+    // non-overflowing ceildiv: m + (t-1) wraps negative at Long.MaxValue
+    val cells = m / targetCellSize + (if (m % targetCellSize == 0) 0 else 1)
+    math.max(1L, math.min(65536L, cells)).toInt
+  }
+
+  /** [[pairs]] with the cell count resolved from the ACTUAL corpus
+    * size at plan time (one narrow count — the adaptive-planning
+    * pattern of `NearDup.embedCosinePairsAuto` / `Ann.autoCells`).
+    */
+  def pairsAuto(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      targetCellSize: Int = 64,
+      minCos: Double = 0.9,
+      knownCount: Option[Long] = None
+  ): DataFrame = {
+    val n = knownCount.getOrElse(df.select(col(idCol)).count())
+    pairs(df, vecCol, idCol, nCells = autoCellCount(n, targetCellSize), minCos = minCos)
+  }
+
   /** Corpus with semantic near-duplicates removed: for every
     * within-cell pair above `minCos`, the larger id is dropped (the
     * smallest id in each similarity neighborhood survives — the

@@ -790,6 +790,7 @@ class OpsSpec extends SparkTestBase {
     assert(NearDup.bandBitsFor(64, 64) == 1)  // floor: never 0 bits
     assert(NearDup.bandBitsFor(1) == 1)
     assert(NearDup.bandBitsFor(Long.MaxValue, 1) == 31) // ceiling: ≥2 bands in a 62-bit sig
+    assert(NearDup.bandBitsFor(Long.MaxValue, 64) == 31) // ceildiv must not overflow
     // resulting occupancy is at or below target for a spread of sizes
     for (n <- Seq(1000L, 50000L, 200000L, 10000000L); t <- Seq(16, 64, 256)) {
       val b = NearDup.bandBitsFor(n, t)
@@ -830,6 +831,31 @@ class OpsSpec extends SparkTestBase {
     assert(Ann.autoCells(1024) == 32)          // the hand-picked gate default, recovered
     assert(Ann.autoCells(1000000) == 1000)
     assert(Ann.autoCells(Long.MaxValue) == 65536)
+  }
+
+  test("autoCellCount: ceil(n/target) clamped to [1, 65536]") {
+    assert(SemDedup.autoCellCount(0) == 1)
+    assert(SemDedup.autoCellCount(500, 64) == 8)      // gate corpus
+    assert(SemDedup.autoCellCount(64, 64) == 1)
+    assert(SemDedup.autoCellCount(65, 64) == 2)
+    assert(SemDedup.autoCellCount(Long.MaxValue, 64) == 65536)
+  }
+
+  test("pairsAuto == pairs at the resolved cell count; lshTopKAuto == lshTopK at the resolved geometry") {
+    val n = vecs.count()
+    val sem = SemDedup.pairsAuto(vecs, "embedding", "vec_id", minCos = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semX = SemDedup.pairs(vecs, "embedding", "vec_id",
+      nCells = SemDedup.autoCellCount(n), minCos = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem == semX)
+    val queries = vecs.filter($"vec_id" === 0L)
+    val (planes, bits) = NearDup.autoGeometry(n, 64, maxBands = 7)
+    val lsh = Ann.lshTopKAuto(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val lshX = Ann.lshTopK(vecs, queries, "embedding", "vec_id", dim = 8, k = 3, planes, bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(lsh == lshX)
   }
 
   test("ivfTopKSeededAuto == ivfTopKSeeded at the resolved cell count") {
