@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Nearest-centroid assignment against a PLAN-TIME centroid matrix:
+  * `argmax_c dot(v, centroid_c)`, ties to the smallest `c`.
+  *
+  * Replaces the explode → broadcast-join-on-dimension → groupBy-sum →
+  * window-rank assignment shape ([[graft.ops.Ann]].cellRanks) wherever
+  * only the WINNING cell is needed: that shape materializes
+  * `n · dim · nCells` joined rows before the aggregate — 40G rows for
+  * the sf10 SemDeDup auto sizing (200k vectors × 64 dims × 3125
+  * cells), measured ~16 min — while this expression is one fused
+  * dot-product loop per row inside whole-stage codegen, no join, no
+  * aggregate, no shuffle. The matrix rides the generated class as a
+  * single reference object (`ctx.addReferenceObj`), NOT per-component
+  * literals: 200k doubles as literals would blow janino's
+  * per-class constant pool.
+  *
+  * Semantics mirror cellRanks' `row_number() OVER (ORDER BY d DESC, c)
+  * = 1` exactly:
+  *   - per-cell dot is the j-ascending left fold over positions
+  *     present in BOTH the vector and the matrix row (the dimension
+  *     join), skipping null vector elements (SQL `sum` skips nulls);
+  *   - the strict `Double.compare(d, best) > 0` replacement rule keeps
+  *     the smallest winning `c` on exact ties and ranks NaN largest —
+  *     both exactly Spark's descending sort order;
+  *   - an EMPTY vector assigns NULL (posexplode of an empty array
+  *     produced no assignment rows), as does an empty matrix.
+  */
+case class ArgmaxDot(child: Expression, matrix: Array[Double], dim: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(matrix.length % dim == 0,
+    s"matrix length ${matrix.length} is not a multiple of dim=$dim")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_argmax_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val c = ArgmaxDot.compute(a.asInstanceOf[ArrayData], matrix, dim)
+    if (c < 0) null else c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("argmaxMatrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("cell")
+      s"""
+         |final int $c = graft.functions.ArgmaxDot.compute($v, $matRef, $dim);
+         |if ($c < 0) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArgmaxDot {
+
+  /** Winning cell index, or -1 for "no assignment" (empty vector or
+    * empty matrix). Called from generated code.
+    */
+  def compute(v: ArrayData, m: Array[Double], dim: Int): Int = {
+    val nCells = m.length / dim
+    val n = math.min(v.numElements(), dim)
+    if (v.numElements() == 0 || nCells == 0) return -1
+    var bestC = 0
+    var best = cellDot(v, m, 0, n)
+    var c = 1
+    while (c < nCells) {
+      val d = cellDot(v, m, c * dim, n)
+      if (java.lang.Double.compare(d, best) > 0) { best = d; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  private def cellDot(v: ArrayData, m: Array[Double], off: Int, n: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      if (!v.isNullAt(j)) s += v.getDouble(j) * m(off + j)
+      j += 1
+    }
+    s
+  }
+
+  /** Column-side entry point. */
+  def apply(v: Column, matrix: Array[Double], dim: Int): Column =
+    Bridge.column(ArgmaxDot(Bridge.expression(v), matrix, dim))
+}

@@ -213,6 +213,37 @@ object Ann {
       .select(col("c"), col("j"), col("x").as("w"))
   }
 
+  /** The hash-seeded centroid set as a PLAN-TIME flat matrix
+    * (row-major, cell-index order — the same `ORDER BY h, id` rank
+    * [[seededCentroids]] assigns): one TakeOrderedAndProject over the
+    * corpus collects `nCells` vectors (bounded: 65536 · dim doubles at
+    * the cap), for the baked-assignment path
+    * ([[graft.functions.ArgmaxDot]]) that replaces the
+    * n·dim·nCells-row join shape wherever only the argmax cell is
+    * needed. Returns the matrix and the vector dimension.
+    */
+  private[ops] def seededCentroidMatrix(
+      corpus: DataFrame, vecCol: String, idCol: String, nCells: Int): (Array[Double], Int) = {
+    val base = prep(corpus, vecCol, idCol)
+    val h = NearDup.hash32(col(idCol).cast("string"))
+    val rows = base.select(col(idCol), col("v"), h.as("h"))
+      .orderBy(col("h"), col(idCol)).limit(nCells)
+      .select(col("v")).collect()
+    if (rows.isEmpty) return (Array.empty[Double], 1)
+    val dim = rows.head.getSeq[Double](0).length
+    require(dim >= 1, s"seed vectors must be non-empty, got dim=$dim")
+    val mat = new Array[Double](rows.length * dim)
+    var c = 0
+    while (c < rows.length) {
+      val v = rows(c).getSeq[Double](0)
+      require(v.length == dim, s"ragged seed vectors: ${v.length} vs $dim")
+      var j = 0
+      while (j < dim) { mat(c * dim + j) = v(j); j += 1 }
+      c += 1
+    }
+    (mat, dim)
+  }
+
   /** Shared IVF machinery: assign cells by max centroid dot product,
     * probe `nProbe` cells per query, rescore exactly. `centroids` is a
     * small `(c, j, w)` component frame — always broadcast.

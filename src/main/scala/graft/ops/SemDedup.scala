@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * very high thresholds (0.9+) affordable on web-scale corpora.
   *
   * Scale posture (100 TB):
-  *   - Cell assignment is the shared IVF machinery
-  *     ([[Ann.cellRanks]] over broadcast [[Ann.seededCentroids]]):
-  *     exploded-vector ⋈ broadcast(centroid components) → one groupBy —
-  *     the corpus never shuffles for assignment beyond its own id key.
+  *   - Cell assignment is BAKED (round 12): the hash-seeded centroid
+  *     matrix ([[Ann.seededCentroidMatrix]]) is collected at plan time
+  *     and the argmax evaluated as one codegen loop per row
+  *     ([[graft.functions.ArgmaxDot]]) — no join, no aggregate, the
+  *     corpus never shuffles for assignment at all. (The previous
+  *     explode ⋈ broadcast → groupBy → window shape materialized
+  *     n·dim·nCells rows — 40G at the sf10 auto sizing, ~16 min where
+  *     the baked loop takes seconds.)
   *   - The within-cell pair join shuffles each side once, keyed on the
   *     cell id; pairs are enumerated inside the generated sort-merge
   *     join loop (id_a < id_b and the cosine threshold are join-side
@@ -51,9 +55,20 @@ object SemDedup {
       nCells: Int = 32,
       minCos: Double = 0.9
   ): DataFrame = {
-    val centroids = Ann.seededCentroids(df, vecCol, idCol, nCells)
-    val cells = Ann.cellRanks(df, vecCol, idCol, idCol, centroids)
-      .filter(col("r") === 1).select(col(idCol), col("c"))
+    // BAKED assignment (round 12): the seed matrix is collected at
+    // plan time (one TakeOrderedAndProject, ≤65536·dim doubles) and
+    // argmax evaluated as one codegen loop per row — the join shape
+    // (explode dims ⋈ broadcast centroids → groupBy → window) it
+    // replaces materializes n·dim·nCells rows before aggregating,
+    // measured ~16 min vs seconds at the sf10 auto sizing (200k × 64
+    // × 3125). Output-identical to cellRanks r=1 (OpsSpec asserts it,
+    // including the tie and NaN orderings).
+    val (mat, mDim) = Ann.seededCentroidMatrix(df, vecCol, idCol, nCells)
+    val cells = df
+      // native array Cast (codegen), not transform() (interpreted HOF)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v0"))
+      .select(col(idCol), graft.functions.ArgmaxDot(col("v0"), mat, mDim).as("c"))
+      .filter(col("c").isNotNull)
     val base = df
       .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
