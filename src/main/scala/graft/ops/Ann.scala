@@ -93,7 +93,21 @@ object Ann {
       nProbe: Int = 2
   ): DataFrame =
     ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
-      lcgCentroids(corpus.sparkSession, dim, nCells))
+      lcgCentroids(corpus.sparkSession, dim, nCells),
+      lcgCentroidMatrix(dim, nCells), dim)
+
+  /** Driver-side mirror of [[lcgCentroids]] — the same LCG stream
+    * evaluated as a flat row-major matrix (exact integer arithmetic,
+    * identical doubles; [[Project.planeValue]] is the shared scalar
+    * mirror, asserted against the Column form in ProjectSpec). Feeds
+    * the BAKED corpus-assignment path.
+    */
+  private[ops] def lcgCentroidMatrix(dim: Int, nCells: Int): Array[Double] = {
+    val mat = new Array[Double](nCells * dim)
+    var i = 0
+    while (i < mat.length) { mat(i) = Project.planeValue(1000L * dim + i); i += 1 }
+    mat
+  }
 
   /** Data-independent centroid components `(c, j, w)`: LCG stream
     * offset past the LSH planes.
@@ -133,8 +147,11 @@ object Ann {
       nCells: Int = 32,
       nProbe: Int = 2
   ): DataFrame =
-    ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
-      seededCentroids(corpus, vecCol, idCol, nCells))
+    {
+      val (mat, mDim) = seededCentroidMatrix(corpus, vecCol, idCol, nCells)
+      ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
+        seededCentroids(corpus, vecCol, idCol, nCells), mat, mDim)
+    }
 
   /** [[lshTopK]] with the band geometry sized from the ACTUAL corpus
     * count at plan time — the probe-side twin of
@@ -271,10 +288,22 @@ object Ann {
       idCol: String,
       k: Int,
       nProbe: Int,
-      centroids: DataFrame
+      centroids: DataFrame,
+      centroidMatrix: Array[Double],
+      matDim: Int
   ): DataFrame = {
-    val corpusCells = cellRanks(corpus, vecCol, idCol, idCol, centroids)
-      .filter(col("r") === 1).select(col(idCol), col("c"))
+    // CORPUS assignment is BAKED (round 12, same move as SemDedup):
+    // one codegen argmax per row against the plan-time matrix, instead
+    // of the explode ⋈ broadcast → groupBy-sum → window shape that
+    // materializes n·dim·nCells rows — and whose grouped double sums
+    // lose left-fold exactness once the aggregate SPILLS (measured at
+    // the sf10 SemDeDup auto sizing: 99/12.19M rows drifted from the
+    // oracle). QUERY probes keep the window form: it needs the top
+    // nProbe cells, and the query side is small by construction.
+    val corpusCells = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v0"))
+      .select(col(idCol), graft.functions.ArgmaxDot(col("v0"), centroidMatrix, matDim).as("c"))
+      .filter(col("c").isNotNull)
     val queryCells = cellRanks(queries, vecCol, idCol, "query_id", centroids)
       .filter(col("r") <= nProbe).select(col("query_id"), col("c"))
     val cand = corpusCells
