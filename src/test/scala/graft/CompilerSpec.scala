@@ -236,4 +236,18 @@ class CompilerSpec extends SparkTestBase {
     val e2 = intercept[Exception](Pql.query(spark, "D | sample 1.5 by doc_id", dcat))
     assert(e2.getMessage.contains("sample rate"), e2.getMessage)
   }
+
+  test("occupancy= option: rejected for non-adaptive kinds, exclusive with cells=, min-checked") {
+    // occupancy only means something where the engine has an adaptive
+    // sizing rule (embed, semantic) — elsewhere it's a compile error,
+    // not silence
+    val e1 = intercept[Exception](Pql.query(spark, "D | dedup kind=minhash occupancy=64 text by doc_id", dcat))
+    assert(e1.getMessage.contains("not valid"), e1.getMessage)
+    val e2 = intercept[Exception](
+      Pql.query(spark, "D | dedup kind=semantic cells=8 occupancy=64 text by doc_id", dcat))
+    assert(e2.getMessage.contains("not both"), e2.getMessage)
+    val e3 = intercept[Exception](
+      Pql.query(spark, "D | dedup kind=embed dim=8 occupancy=0 text by doc_id", dcat))
+    assert(e3.getMessage.contains(">= 1"), e3.getMessage)
+  }
 }
