@@ -66,6 +66,86 @@ case class ArgmaxDot(child: Expression, matrix: Array[Double], dim: Int)
     copy(child = newChild)
 }
 
+/** Packed sign-LSH signature against a PLAN-TIME hyperplane matrix:
+  * bit `p` of the Long result is `fold_j(v[j]·m[p·dim+j]) >= 0`.
+  *
+  * Replaces the explode → groupBy(`planes`+1 double-sum aggregates) →
+  * join-back signature shape: that pays an n-row shuffle plus a join
+  * per signature pass, and grouped double sums are only
+  * left-fold-exact while each group stays in one aggregation partial
+  * (the spill-order hazard [[ArgmaxDot]]'s swap measured at sf10 —
+  * 99/12.19M drifted rows). This is one fused planes×dim loop per row
+  * in whole-stage codegen, shuffle-free, fold-order fixed by
+  * construction.
+  *
+  * Null semantics match the DuckDB oracle (which indexes
+  * `v[1..dim]`, so any missing/NULL component nulls EVERY plane's
+  * sum and `CASE NULL >= 0` is false): a vector shorter than `dim`
+  * or with a null component in its first `dim` positions → signature
+  * 0 (all bits clear). A NaN plane sum clears its bit (`NaN >= 0` is
+  * false in Java, Spark, and SQL alike). A null ARRAY → null
+  * signature (null band keys join nothing, like the dropped row of
+  * the aggregate shape).
+  */
+case class PackedSignSig(child: Expression, matrix: Array[Double], dim: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(matrix.length % dim == 0,
+    s"matrix length ${matrix.length} is not a multiple of dim=$dim")
+  require(matrix.length / dim >= 1 && matrix.length / dim <= 62,
+    s"planes must be in [1, 62], got ${matrix.length / dim}")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sign_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    PackedSignSig.compute(a.asInstanceOf[ArrayData], matrix, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("signPlanes", matrix, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.PackedSignSig.compute($v, $matRef, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PackedSignSig {
+
+  /** Packed signature; 0L when the vector cannot support a full plane
+    * sum (short vector / null component — the oracle's NULL-sum
+    * semantics). Called from generated code.
+    */
+  def compute(v: ArrayData, m: Array[Double], dim: Int): Long = {
+    val planes = m.length / dim
+    if (v.numElements() < dim) return 0L
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return 0L
+      j += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      val off = p * dim
+      var i = 0
+      while (i < dim) { s += v.getDouble(i) * m(off + i); i += 1 }
+      if (s >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** Column-side entry point. */
+  def apply(v: Column, matrix: Array[Double], dim: Int): Column =
+    Bridge.column(PackedSignSig(Bridge.expression(v), matrix, dim))
+}
+
 object ArgmaxDot {
 
   /** Winning cell index, or -1 for "no assignment" (empty vector or

@@ -682,22 +682,27 @@ object NearDup {
       dim: Int,
       planes: Int
   ): DataFrame = {
-    // 62, not 64: bit p of the signature is built as `lit(1L << p)` and
-    // summed, so every partial sum must stay a positive signed long
-    // (1L << 63 is negative; 62 leaves headroom for the reduce).
+    // 62, not 64: sign bits pack into a positive signed long
+    // (1L << 63 is negative; 62 leaves headroom for band arithmetic).
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
-    val base = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-    val exploded = base.select(col(idCol), posexplode(col("v")).as(Seq("j", "x")))
-    val planeSums = (0 until planes).map { p =>
-      sum(col("x") * planeComponent(lit(p) * dim + col("j"))).as(s"d$p")
-    }
-    val aggs = planeSums :+ sum(col("x") * col("x")).as("nn")
-    val sig = (0 until planes)
-      .map(p => when(col(s"d$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), sqrt(col("nn")).as("nrm"), sig.as("sig"))
-      .join(base, Seq(idCol))
+    // ROWWISE baked-matrix form (round 12): the plane matrix —
+    // the same LCG stream as before, planeValue(p·dim + j) — rides
+    // the generated code as one reference object and the whole
+    // signature is one fused planes×dim loop per row
+    // (functions.PackedSignSig). Replaces explode → groupBy with
+    // `planes`+1 double-sum aggregates → join-back: that shape paid
+    // an n-row shuffle plus a join per signature pass, and its
+    // grouped double sums are only left-fold-exact while every
+    // (id, plane) group stays in ONE aggregation partial — the same
+    // spill-order hazard the baked cell assignment removed
+    // (BASELINE.md round 12: 99/12.19M rows drifted at sf10).
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val mat = Array.tabulate(planes * dim)(i => Project.planeValue(i.toLong))
+    base.select(
+      col(idCol),
+      sqrt(graft.functions.ArrayMath.dotProduct(col("v"), col("v"))).as("nrm"),
+      graft.functions.PackedSignSig(col("v"), mat, dim).as("sig"),
+      col("v"))
   }
 
   /** The LSH band-geometry sizing rule, as code: the `bandBits` that

@@ -37,6 +37,35 @@ class CellAssignSpec extends SparkTestBase {
     assert(viaBaked == viaWindow && viaBaked.size == 10)
   }
 
+  test("PackedSignSig == independent driver-side recomputation for every geometry in use") {
+    for (planes <- Seq(4, 21, 32, 56, 62)) {
+      val viaExpr = NearDup.signSigs(vecs, "embedding", "vec_id", dim = 8, planes = planes)
+        .select($"vec_id", $"sig", $"nrm")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val raw = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toMap
+      for ((id, v) <- raw) {
+        var sig = 0L
+        for (p <- 0 until planes) {
+          var s = 0.0
+          for (j <- 0 until 8) s += v(j) * Project.planeValue(p.toLong * 8 + j)
+          if (s >= 0) sig |= 1L << p
+        }
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        assert(viaExpr(id)._1 == sig, s"planes=$planes id=$id")
+        assert(viaExpr(id)._2 == nrm, s"planes=$planes id=$id nrm")
+      }
+    }
+  }
+
+  test("PackedSignSig null semantics: short vector or null component -> all bits clear") {
+    import graft.functions.PackedSignSig
+    val m = Array(1.0, 1.0, -1.0, -1.0) // 2 planes, dim 2
+    assert(PackedSignSig.compute(ArrayData.toArrayData(Array(1.0, 2.0)), m, 2) == 1L)
+    assert(PackedSignSig.compute(ArrayData.toArrayData(Array(1.0)), m, 2) == 0L) // short
+    assert(PackedSignSig.compute(
+      ArrayData.toArrayData(Array[java.lang.Double](1.0, null)), m, 2) == 0L)    // null component
+  }
+
   test("tie goes to the smallest c; NaN ranks largest; empty vector/matrix -> no assignment") {
     val v = ArrayData.toArrayData(Array(1.0, 0.0))
     assert(ArgmaxDot.compute(v, Array(2.0, 0.0, 2.0, 0.0), 2) == 0)
