@@ -34,6 +34,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Null is possible even with NON-null children (length mismatch /
+  // null element), so nullability must not follow the children: with
+  // two non-nullable inputs nullSafeCodeGen would emit a constant
+  // isNull and the `isNull = true` branches below fail janino
+  // compilation (silent interpreted fallback — the ArgmaxDot twin of
+  // this bug was caught live at sf10).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

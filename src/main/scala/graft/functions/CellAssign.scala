@@ -44,6 +44,12 @@ case class ArgmaxDot(child: Expression, matrix: Array[Double], dim: Int)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // Can return null even for a NON-null child (empty vector/matrix) —
+  // the default child-follows nullability would make nullSafeCodeGen
+  // emit a constant-false isNull and the `isNull = true` assignment
+  // below a compile error (caught live: janino "isNull_1 is not an
+  // rvalue" → silent interpreted fallback).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_argmax_dot"
 
   override def nullSafeEval(a: Any): Any = {
