@@ -2356,8 +2356,13 @@ object SparkEntry {
       (s, dir) => NearDup.simhashPairs(docs(s, dir), "text", "doc_id"),
       Some(sqlSimhashOracle)
     ),
+    // FIXED 32/8 geometry, passed explicitly: since round 13 the
+    // library default is adaptive (NearDup.autoGeometry), and this
+    // entry is the fixed-geometry regression sentry.
     "dedup_embed" -> Entry(
-      (s, dir) => NearDup.embedCosinePairs(Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64),
+      (s, dir) => NearDup.embedCosinePairs(
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", dim = 64,
+        planes = 32, bandBits = 8),
       Some(sqlEmbedOracle)
     ),
     // The adaptive-geometry form: bandBits sized from the actual
@@ -2428,7 +2433,9 @@ object SparkEntry {
     "ann_lsh" -> Entry(
       (s, dir) => {
         val emb = Tables.parquetDir(s, dir)("embeddings")
-        Ann.lshTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+        // fixed 56/8 sentry — the library default is adaptive (r13)
+        Ann.lshTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5,
+          planes = 56, bandBits = 8)
       },
       Some(sqlAnnLshOracle)
     ),
@@ -2443,14 +2450,18 @@ object SparkEntry {
     "ann_ivf" -> Entry(
       (s, dir) => {
         val emb = Tables.parquetDir(s, dir)("embeddings")
-        Ann.ivfTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+        // fixed 32-cell sentry — the library default is adaptive (r13)
+        Ann.ivfTopK(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5,
+          nCells = 32)
       },
       Some(sqlAnnIvfOracle)
     ),
     "ann_ivf_seeded" -> Entry(
       (s, dir) => {
         val emb = Tables.parquetDir(s, dir)("embeddings")
-        Ann.ivfTopKSeeded(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5)
+        // fixed 32-cell sentry — the library default is adaptive (r13)
+        Ann.ivfTopKSeeded(emb, emb.filter(expr(annQueryPred)), "embedding", "vec_id", dim = 64, k = 5,
+          nCells = 32)
       },
       Some(sqlAnnIvfSeededOracle)
     ),
@@ -2477,8 +2488,10 @@ object SparkEntry {
     // hash-seeded Voronoi cells. The 0.4 threshold matches dedup_embed
     // so the two candidate strategies are comparable on the same data.
     "dedup_semantic" -> Entry(
+      // fixed 32-cell sentry — the library default is adaptive (r13)
       (s, dir) => SemDedup.pairs(
-        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4),
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id",
+        nCells = 32, minCos = 0.4),
       Some(sqlSemDedupPairs(0.4))
     ),
     // linear cell-count rule resolved from the corpus at plan time
@@ -2528,8 +2541,10 @@ object SparkEntry {
       )
     ),
     "dedup_semantic_drop" -> Entry(
+      // fixed 32-cell sentry — the library default is adaptive (r13)
       (s, dir) => SemDedup.deduplicate(
-        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id", minCos = 0.4)
+        Tables.parquetDir(s, dir)("embeddings"), "embedding", "vec_id",
+        nCells = 32, minCos = 0.4)
         .select(col("vec_id"), col("label")),
       Some(
         s"""SELECT vec_id, label FROM embeddings
@@ -2597,26 +2612,34 @@ object SparkEntry {
       // dim is a required plan parameter (hyperplane geometry), spelled
       // in the query; the embedding array column itself is projected
       // away so both engines compare scalar columns only.
-      "embeddings | dedup kind=embed dim=64 embedding by vec_id | project vec_id, label",
+      // planes=/bits= pin the FIXED 32/8 sentry geometry — the bare
+      // operator's default went adaptive in round 13.
+      "embeddings | dedup kind=embed dim=64 planes=32 bits=8 embedding by vec_id | project vec_id, label",
       s"""SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id_b FROM ($sqlEmbedOracle))""".stripMargin
     ),
     "pql_dedup_embed_auto" -> q(
-      // occupancy= selects the adaptive band geometry (corpus counted
-      // at compile time, bandBits from NearDup.autoGeometry)
-      "embeddings | dedup kind=embed dim=64 occupancy=64 embedding by vec_id | project vec_id, label",
+      // the BARE operator: since round 13 the default geometry is
+      // adaptive (corpus counted at compile time, bandBits from
+      // NearDup.autoGeometry at occupancy 64) — this entry gates that
+      // the default IS the adaptive path
+      "embeddings | dedup kind=embed dim=64 embedding by vec_id | project vec_id, label",
       s"""SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlEmbedAutoOracle()}))""".stripMargin
     ),
     "pql_dedup_semantic" -> q(
-      "embeddings | dedup kind=semantic cos=0.4 embedding by vec_id | project vec_id, label",
+      // cells= pins the FIXED 32-cell sentry index — the bare
+      // operator's default went adaptive in round 13
+      "embeddings | dedup kind=semantic cos=0.4 cells=32 embedding by vec_id | project vec_id, label",
       s"""SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
     ),
     "pql_dedup_semantic_auto" -> q(
-      // occupancy= is the target cell size; the cell count resolves
-      // from the corpus count at compile time
-      "embeddings | dedup kind=semantic cos=0.4 occupancy=64 embedding by vec_id | project vec_id, label",
+      // the BARE operator: since round 13 the default cell count is
+      // adaptive (target cell size 64, resolved from the corpus count
+      // at compile time) — this entry gates that the default IS the
+      // adaptive path
+      "embeddings | dedup kind=semantic cos=0.4 embedding by vec_id | project vec_id, label",
       s"""SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupAutoPairs(64, 0.4)}))""".stripMargin
     ),

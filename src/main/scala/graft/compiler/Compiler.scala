@@ -168,34 +168,48 @@ private[graft] final class Compiler(
           // column's type — required in the query text
           val dim = o.requiredInt("dim", min = 1)
           val cos = o.double("cos", 0.4, min = -1.0, max = 1.0)
-          // occupancy=<n> switches to the adaptive band geometry:
-          // the corpus is counted once at compile time and bandBits
-          // sized so expected bucket occupancy stays at or below n
-          // (NearDup.autoGeometry) — the 100-TB form, where a fixed
-          // geometry makes candidate pairs quadratic in corpus size
-          val pairs = o.intOpt("occupancy", min = 1) match {
-            case Some(t) =>
-              graft.ops.NearDup.embedCosinePairsAuto(
-                df, text.name, id.name, dim, targetOccupancy = t, minCos = cos)
-            case None =>
-              graft.ops.NearDup.embedCosinePairs(df, text.name, id.name, dim, minCos = cos)
-          }
+          // The DEFAULT band geometry is ADAPTIVE (round 13): the
+          // corpus is counted once at compile time and bandBits sized
+          // so expected bucket occupancy stays at or below occupancy=
+          // (64 unset) — NearDup.autoGeometry, the 100-TB form, where
+          // a fixed geometry makes candidate pairs quadratic in corpus
+          // size. planes=/bits= pin a FIXED geometry (the regression
+          // sentry / reproduce-an-old-run path; both together,
+          // exclusive with occupancy=).
+          val pairs =
+            (o.intOpt("planes", min = 1), o.intOpt("bits", min = 1),
+              o.intOpt("occupancy", min = 1)) match {
+              case (Some(_), Some(_), Some(_)) =>
+                fail("dedup kind=embed takes planes=/bits= or occupancy=, not both", span)
+              case (Some(p), Some(b), None) =>
+                graft.ops.NearDup.embedCosinePairs(
+                  df, text.name, id.name, dim, planes = p, bandBits = b, minCos = cos)
+              case (None, None, t) =>
+                graft.ops.NearDup.embedCosinePairsAuto(
+                  df, text.name, id.name, dim, targetOccupancy = t.getOrElse(64), minCos = cos)
+              case _ =>
+                fail("dedup kind=embed needs planes= and bits= together", span)
+            }
           graft.ops.NearDup.dropNearDuplicates(df, pairs, id.name)
         case "semantic" =>
           val cos = o.double("cos", 0.9, min = -1.0, max = 1.0)
           // occupancy=<n> = target CELL SIZE, resolving nCells from
           // the corpus count at compile time (SemDedup.autoCellCount —
           // within-cell work is quadratic in cell size, so cells must
-          // scale linearly with the corpus); exclusive with cells=
+          // scale linearly with the corpus); exclusive with cells=.
+          // The DEFAULT (neither option) is ADAPTIVE at target 64
+          // (round 13 — sf10 measured fixed 32 cells at 22.0 s vs
+          // 4.94 s sized); cells= pins a fixed index (sentry path).
           (o.intOpt("occupancy", min = 1), o.intOpt("cells", min = 1)) match {
             case (Some(_), Some(_)) =>
               fail("dedup kind=semantic takes cells= or occupancy=, not both", span)
-            case (Some(t), None) =>
+            case (occ, None) =>
               graft.ops.NearDup.dropNearDuplicates(
-                df, graft.ops.SemDedup.pairsAuto(df, text.name, id.name, t, cos), id.name)
-            case (None, cells) =>
+                df, graft.ops.SemDedup.pairsAuto(df, text.name, id.name, occ.getOrElse(64), cos),
+                id.name)
+            case (None, Some(c)) =>
               graft.ops.SemDedup.deduplicate(
-                df, text.name, id.name, nCells = cells.getOrElse(32), minCos = cos)
+                df, text.name, id.name, nCells = c, minCos = cos)
           }
       }
       o.finish()
@@ -235,7 +249,7 @@ private[graft] final class Compiler(
     * silently ignore is a compile error, not noise.
     */
   private def allowedFor(kind: String): Set[String] = kind match {
-    case "embed"    => Set("dim", "cos", "occupancy")
+    case "embed"    => Set("dim", "cos", "occupancy", "planes", "bits")
     case "semantic" => Set("cells", "cos", "occupancy")
     case _          => Set.empty
   }

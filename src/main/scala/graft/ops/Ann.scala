@@ -87,14 +87,22 @@ object Ann {
       // Size the index to the corpus: probe cost per query is
       // ~nProbe·n/nCells rescans, so nCells should grow ~√n (the
       // sf1 sweep measured a 9× slope at 10× data with the old fixed
-      // 8 cells — 2.5k vectors per cell). 32 is right for the 10^4-ish
-      // gate corpora; a 10^9-vector index wants thousands of cells.
-      nCells: Int = 32,
-      nProbe: Int = 2
-  ): DataFrame =
+      // 8 cells — 2.5k vectors per cell). DEFAULT IS ADAPTIVE
+      // (round 13): nCells = 0 resolves √n cells from the corpus
+      // count at plan time ([[autoCells]]); pass an explicit count
+      // for a fixed index (regression sentry path).
+      nCells: Int = 0,
+      nProbe: Int = 2,
+      knownCount: Option[Long] = None
+  ): DataFrame = {
+    require(nCells >= 0, s"nCells must be >= 0 (0 = adaptive), got $nCells")
+    val cells =
+      if (nCells != 0) nCells
+      else autoCells(knownCount.getOrElse(corpus.select(col(idCol)).count()))
     ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
-      lcgCentroids(corpus.sparkSession, dim, nCells),
-      lcgCentroidMatrix(dim, nCells), dim)
+      lcgCentroids(corpus.sparkSession, dim, cells),
+      lcgCentroidMatrix(dim, cells), dim)
+  }
 
   /** Driver-side mirror of [[lcgCentroids]] — the same LCG stream
     * evaluated as a flat row-major matrix (exact integer arithmetic,
@@ -144,13 +152,21 @@ object Ann {
       idCol: String,
       dim: Int,
       k: Int = 5,
-      nCells: Int = 32,
-      nProbe: Int = 2
+      // DEFAULT IS ADAPTIVE (round 13): nCells = 0 → √n cells from
+      // the corpus count at plan time ([[autoCells]]); pass an
+      // explicit count for a fixed index (regression sentry path).
+      nCells: Int = 0,
+      nProbe: Int = 2,
+      knownCount: Option[Long] = None
   ): DataFrame =
     {
-      val (mat, mDim) = seededCentroidMatrix(corpus, vecCol, idCol, nCells)
+      require(nCells >= 0, s"nCells must be >= 0 (0 = adaptive), got $nCells")
+      val cells =
+        if (nCells != 0) nCells
+        else autoCells(knownCount.getOrElse(corpus.select(col(idCol)).count()))
+      val (mat, mDim) = seededCentroidMatrix(corpus, vecCol, idCol, cells)
       ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
-        seededCentroids(corpus, vecCol, idCol, nCells), mat, mDim)
+        seededCentroids(corpus, vecCol, idCol, cells), mat, mDim)
     }
 
   /** [[lshTopK]] with the band geometry sized from the ACTUAL corpus
@@ -359,13 +375,20 @@ object Ann {
     * at sf1: 46.5M candidate pairs). Recall comes from ADDING bands,
     * not widening buckets: P(per-band miss) = 1 − (1 − θ/π)^bandBits,
     * so round 9's 32/8 (4 bands) silently traded recall for the wider
-    * buckets — the default is now 56/8 = SEVEN 256-bucket bands (56 is
-    * the largest multiple of 8 under the 62-bit signature cap), which
-    * keeps candidate linearity AND more band draws than the old 16/4's
-    * four. A 10^9-vector index wants 16-bit bands — then buy recall
-    * back with more planes, never fewer bands. Recall vs bruteTopK is
-    * asserted in OpsSpec so a future geometry change can't silently
-    * trade it again.
+    * buckets — a fixed-geometry caller wants e.g. 56/8 = SEVEN
+    * 256-bucket bands (56 is the largest multiple of 8 under the
+    * 62-bit signature cap), which keeps candidate linearity AND more
+    * band draws than the old 16/4's four. A 10^9-vector index wants
+    * 16-bit bands — then buy recall back with more planes, never fewer
+    * bands. Recall vs bruteTopK is asserted in OpsSpec so a future
+    * geometry change can't silently trade it again.
+    *
+    * DEFAULT GEOMETRY IS ADAPTIVE (round 13): leaving `planes` and
+    * `bandBits` unset sizes the bands from the actual corpus count at
+    * plan time ([[lshTopKAuto]], 7-band cap — sf10 measured fixed 56/8
+    * at 6.52 s vs sized 3.22 s). Pass BOTH for a fixed geometry
+    * (regression sentry path); exactly one is an error.
+    * `targetOccupancy`/`knownCount` apply only on the adaptive path.
     * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
     */
   def lshTopK(
@@ -375,9 +398,16 @@ object Ann {
       idCol: String,
       dim: Int,
       k: Int = 5,
-      planes: Int = 56,
-      bandBits: Int = 8
+      planes: Int = 0,
+      bandBits: Int = 0,
+      targetOccupancy: Int = 64,
+      knownCount: Option[Long] = None
   ): DataFrame = {
+    require((planes == 0) == (bandBits == 0),
+      s"pass BOTH planes and bandBits for a fixed geometry or NEITHER for the " +
+        s"adaptive default, got planes=$planes, bandBits=$bandBits")
+    if (planes == 0)
+      return lshTopKAuto(corpus, queries, vecCol, idCol, dim, k, targetOccupancy, knownCount)
     // leftover signature bits that don't fill a whole band are dropped
     // (nBands floors), never folded into a degenerate always-equal key;
     // width bounds (≤ 62 bits, Long band arithmetic) are enforced in

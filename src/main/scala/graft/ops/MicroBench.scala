@@ -374,7 +374,8 @@ object MicroBench {
       // visible next to the times.
       val vecs = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
       val dim = 64
-      // mirror embedCosinePairs' defaults (32 planes, 8-bit bands)
+      // the fixed 32/8 sentry geometry (the library default went
+      // adaptive in round 13; this probe pins the historical shape)
       time("embed-sigs") {
         NearDup.signSigs(vecs, "embedding", "vec_id", dim, 32)
       }
@@ -393,9 +394,9 @@ object MicroBench {
           .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
       }")
       time("embed-pairs (full)") {
-        NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim)
+        NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim, planes = 32, bandBits = 8)
       }
-      val full = NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim)
+      val full = NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim, planes = 32, bandBits = 8)
       full.write.format("noop").mode("overwrite").save()
       println(full.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange"))

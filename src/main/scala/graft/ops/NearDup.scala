@@ -744,8 +744,10 @@ object NearDup {
   }
 
   /** [[embedCosinePairs]] with the band geometry chosen at plan time
-    * from the ACTUAL corpus size — the adaptive form of the sizing
-    * rule the sf10 sweep measured (fixed geometry ⇒ quadratic
+    * from the ACTUAL corpus size — since round 13 this IS
+    * [[embedCosinePairs]]' default path (call that with explicit
+    * `planes`/`bandBits` for a fixed geometry). The adaptive form of
+    * the sizing rule the sf10 sweep measured (fixed geometry ⇒ quadratic
     * candidate growth; sized geometry keeps ~94% of the pair mass at
     * 4.5× less cost at sf10). The one extra cost is a narrow
     * single-column `count()` before plan construction — the same
@@ -771,19 +773,35 @@ object NearDup {
   /** Embedding near-duplicate pairs via sign-LSH candidates + exact
     * cosine rescoring. `planes` random hyperplanes give a `planes`-bit
     * signature, split into bands of `bandBits`; candidates share a
-    * band. Output: `id_a, id_b, cos_sim`. For corpora past ~100k rows
-    * size the geometry with [[bandBitsFor]] — the defaults are right
-    * for ≤50k rows (occupancy ≤ ~200 at 8 bits).
+    * band. Output: `id_a, id_b, cos_sim`.
+    *
+    * DEFAULT GEOMETRY IS ADAPTIVE (round 13): leaving `planes` and
+    * `bandBits` unset resolves the band geometry from the actual
+    * corpus count at plan time ([[autoGeometry]]) — the sf10 sweep
+    * showed a fixed geometry makes candidate pairs quadratic in the
+    * corpus (102k → 982k → 11.14M under 32/8 at sf1/sf3/sf10), so the
+    * saturating defaults are no longer the silent path. Passing BOTH
+    * `planes` and `bandBits` pins a fixed geometry (the regression
+    * sentry / reproduce-an-old-run path); passing exactly one is an
+    * error. `targetOccupancy`/`knownCount` only apply on the adaptive
+    * path ([[embedCosinePairsAuto]] documents them).
     */
   def embedCosinePairs(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       dim: Int,
-      planes: Int = 32,
-      bandBits: Int = 8,
-      minCos: Double = 0.4
+      planes: Int = 0,
+      bandBits: Int = 0,
+      minCos: Double = 0.4,
+      targetOccupancy: Int = 64,
+      knownCount: Option[Long] = None
   ): DataFrame = {
+    require((planes == 0) == (bandBits == 0),
+      s"pass BOTH planes and bandBits for a fixed geometry or NEITHER for the " +
+        s"adaptive default, got planes=$planes, bandBits=$bandBits")
+    if (planes == 0)
+      return embedCosinePairsAuto(df, vecCol, idCol, dim, targetOccupancy, minCos, knownCount)
     // leftover signature bits that don't fill a whole band are dropped
     // (nBands floors), never folded into a degenerate always-equal key;
     // width bounds are enforced in signBandKeys

@@ -47,14 +47,25 @@ object SemDedup {
   /** Within-cell near-duplicate pairs: `(id_a, id_b, cell, cos_sim)`
     * with `id_a < id_b` and `cos_sim >= minCos`, where both ids are
     * assigned to the same Voronoi `cell` of the hash-seeded centroids.
+    *
+    * DEFAULT CELL COUNT IS ADAPTIVE (round 13): `nCells = 0` resolves
+    * `ceil(n / 64)` cells from the actual corpus count at plan time
+    * ([[autoCellCount]] — within-cell work is quadratic in cell size,
+    * and sf10 measured the old fixed-32 default at 22.0 s vs 4.94 s
+    * sized). Pass an explicit count for a fixed index (regression
+    * sentry path); `knownCount` skips the plan-time count.
     */
   def pairs(
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      nCells: Int = 32,
-      minCos: Double = 0.9
+      nCells: Int = 0,
+      minCos: Double = 0.9,
+      knownCount: Option[Long] = None
   ): DataFrame = {
+    require(nCells >= 0, s"nCells must be >= 0 (0 = adaptive), got $nCells")
+    if (nCells == 0)
+      return pairsAuto(df, vecCol, idCol, minCos = minCos, knownCount = knownCount)
     // BAKED assignment (round 12): the seed matrix is collected at
     // plan time (one TakeOrderedAndProject, ≤65536·dim doubles) and
     // argmax evaluated as one codegen loop per row — the join shape
@@ -125,12 +136,13 @@ object SemDedup {
     * within-cell pair above `minCos`, the larger id is dropped (the
     * smallest id in each similarity neighborhood survives — the
     * deterministic stand-in for the paper's keep-one-per-group).
+    * `nCells = 0` (the default) sizes the cells adaptively ([[pairs]]).
     */
   def deduplicate(
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      nCells: Int = 32,
+      nCells: Int = 0,
       minCos: Double = 0.9
   ): DataFrame =
     NearDup.dropNearDuplicates(df, pairs(df, vecCol, idCol, nCells, minCos), idCol)

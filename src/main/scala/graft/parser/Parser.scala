@@ -19,7 +19,7 @@ object Parser {
   private[parser] val joinFlavors = Set("inner", "innerunique", "leftouter")
   private[parser] val dedupKinds =
     Set("exact", "lines", "substrings", "minhash", "simhash", "embed", "semantic")
-  private[parser] val dedupOptions = Set("dim", "cells", "cos", "occupancy")
+  private[parser] val dedupOptions = Set("dim", "cells", "cos", "occupancy", "planes", "bits")
   private[parser] val decontamOptions = Set("hits", "ngram")
   private[parser] val packOptions = Set("shards")
 }

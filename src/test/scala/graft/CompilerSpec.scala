@@ -250,4 +250,47 @@ class CompilerSpec extends SparkTestBase {
       Pql.query(spark, "D | dedup kind=embed dim=8 occupancy=0 text by doc_id", dcat))
     assert(e3.getMessage.contains(">= 1"), e3.getMessage)
   }
+
+  test("dedup kind=embed/semantic: adaptive default, planes=/bits= pin a fixed geometry") {
+    val session = spark
+    import session.implicits._
+    // two near-identical direction pairs + two singletons, dim 4
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.99, 0.01, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)), (3L, Seq(0.0, 0.99, 0.01, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0)), (5L, Seq(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "emb")
+    def ecat(name: String): DataFrame = name match {
+      case "E" => e
+      case other => sys.error(s"no table $other")
+    }
+    def kept(q: String): Seq[Long] =
+      Pql.query(spark, q, ecat).select("vec_id").as[Long].collect().sorted.toSeq
+    // the BARE operator is the adaptive path (round-13 default)
+    val bare = kept("E | dedup kind=embed dim=4 emb by vec_id")
+    val libAuto = graft.ops.NearDup.dropNearDuplicates(
+      e, graft.ops.NearDup.embedCosinePairsAuto(e, "emb", "vec_id", dim = 4), "vec_id")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(bare == libAuto)
+    // planes=/bits= pin the fixed geometry the library sentry uses
+    val fixed = kept("E | dedup kind=embed dim=4 planes=8 bits=4 emb by vec_id")
+    val libFixed = graft.ops.NearDup.dropNearDuplicates(
+      e, graft.ops.NearDup.embedCosinePairs(
+        e, "emb", "vec_id", dim = 4, planes = 8, bandBits = 4), "vec_id")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(fixed == libFixed)
+    // bare semantic = adaptive cell count
+    val bareSem = kept("E | dedup kind=semantic cos=0.95 emb by vec_id")
+    val libSem = graft.ops.NearDup.dropNearDuplicates(
+      e, graft.ops.SemDedup.pairsAuto(e, "emb", "vec_id", minCos = 0.95), "vec_id")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(bareSem == libSem)
+    // half-set or conflicting geometry options are compile errors
+    val e1 = intercept[Exception](
+      Pql.query(spark, "E | dedup kind=embed dim=4 planes=8 emb by vec_id", ecat))
+    assert(e1.getMessage.contains("planes= and bits= together"), e1.getMessage)
+    val e2 = intercept[Exception](
+      Pql.query(spark, "E | dedup kind=embed dim=4 planes=8 bits=4 occupancy=32 emb by vec_id", ecat))
+    assert(e2.getMessage.contains("not both"), e2.getMessage)
+  }
 }

@@ -868,6 +868,48 @@ class OpsSpec extends SparkTestBase {
     assert(auto == explicit && auto.nonEmpty)
   }
 
+  test("adaptive sizing IS the default (round 13): bare calls equal their _auto twins") {
+    // The sf10 ladder measured fixed geometry saturating at 100×
+    // (semantic 22.0 s fixed-32 vs 4.94 s sized; embed pairs quadratic
+    // under 32/8), so the bare operator now routes through
+    // autoGeometry/autoCells/autoCellCount. These four pins mean a
+    // future default change shows up as a test diff, not a silent
+    // scale regression.
+    val queries = vecs.filter($"vec_id" === 0L)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(pairSet(NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim = 8)) ==
+      pairSet(NearDup.embedCosinePairsAuto(vecs, "embedding", "vec_id", dim = 8)))
+    assert(topSet(Ann.lshTopK(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)) ==
+      topSet(Ann.lshTopKAuto(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)))
+    assert(topSet(Ann.ivfTopKSeeded(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)) ==
+      topSet(Ann.ivfTopKSeededAuto(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)))
+    assert(topSet(Ann.ivfTopK(vecs, queries, "embedding", "vec_id", dim = 8, k = 3)) ==
+      topSet(Ann.ivfTopK(vecs, queries, "embedding", "vec_id", dim = 8, k = 3,
+        nCells = Ann.autoCells(vecs.count()))))
+    assert(pairSet(SemDedup.pairs(vecs, "embedding", "vec_id", minCos = 0.2)) ==
+      pairSet(SemDedup.pairsAuto(vecs, "embedding", "vec_id", minCos = 0.2)))
+    // knownCount skips the plan-time count on the default path too
+    val known = NearDup.embedCosinePairs(
+      vecs, "embedding", "vec_id", dim = 8, knownCount = Some(vecs.count()))
+    assert(pairSet(known) == pairSet(NearDup.embedCosinePairsAuto(vecs, "embedding", "vec_id", dim = 8)))
+  }
+
+  test("half-set fixed geometry is rejected, not silently defaulted") {
+    intercept[IllegalArgumentException](
+      NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim = 8, planes = 32))
+    intercept[IllegalArgumentException](
+      NearDup.embedCosinePairs(vecs, "embedding", "vec_id", dim = 8, bandBits = 8))
+    intercept[IllegalArgumentException](
+      Ann.lshTopK(vecs, vecs.filter($"vec_id" === 0L), "embedding", "vec_id", dim = 8, planes = 56))
+    intercept[IllegalArgumentException](
+      Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "embedding", "vec_id", dim = 8, nCells = -1))
+    intercept[IllegalArgumentException](
+      SemDedup.pairs(vecs, "embedding", "vec_id", nCells = -1))
+  }
+
   test("decontam bloom pre-filter: identical output with the filter on/off, empty eval set safe") {
     val corpus = docs.filter($"doc_id" =!= 2L)
     val evalSet = docs.filter($"doc_id" === 2L)
