@@ -20,10 +20,15 @@ import graft.sources.Tables
   * With no QUERY argument the source is read from stdin (like the
   * reference). Input splits into statements at top-level semicolons
   * ([[graft.parser.splitStatements]]); `let` statements carry forward
-  * as a prelude for every later statement in the session, exactly the
+  * as a prelude for every later statement in the session, the
   * reference CLI's accumulation loop (cmd/pql/main.go:64-110): a bad
   * statement logs one error line to stderr and processing continues,
-  * with a non-zero exit at the end. Tables resolve as
+  * with a non-zero exit at the end. ONE intentional divergence: the
+  * reference's run() compiles a trailing UNTERMINATED statement
+  * without the accumulated prelude (main.go's loop only prepends lets
+  * once a semicolon closes the statement); graft applies the prelude
+  * to every statement including the final unterminated one, so
+  * `let x = 1; T | where a == x` works without a trailing semicolon. Tables resolve as
   * `DIR/<name>.parquet`; without `--tables`, names resolve from the
   * Spark session catalog. `--compile` prints the Spark SQL text
   * ([[Pql.compileToSql]]) per statement instead of executing — the

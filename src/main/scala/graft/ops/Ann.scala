@@ -268,6 +268,14 @@ object Ann {
     val mat = new Array[Double](rows.length * dim)
     var c = 0
     while (c < rows.length) {
+      // reject null components BEFORE the Double view silently unboxes
+      // them to 0.0 — the query-side broadcast centroid frame keeps
+      // them as NULL weights (x * NULL term skipped), so a silent 0.0
+      // here could assign corpus and query rows to DIFFERENT cells for
+      // the same vector (advice, round 12)
+      val raw = rows(c).getSeq[Any](0)
+      require(!raw.contains(null),
+        s"seed vector $c has null components — clean the corpus vectors before indexing")
       val v = rows(c).getSeq[Double](0)
       require(v.length == dim, s"ragged seed vectors: ${v.length} vs $dim")
       var j = 0

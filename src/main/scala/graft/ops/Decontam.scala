@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** Corpus plan-size floor (bytes) for the adaptive bloom decision:
+    * below it the exact broadcast join alone is cheaper than the bloom
+    * build's two fixed driver jobs. Break-even measured between the
+    * sf0.1 corpus (0.6 MB parquet, bloom +44% — round 12) and sf1
+    * (5.9 MB, bloom −29%); 4 MiB splits the measured interval. The
+    * estimate read is `optimizedPlan.stats.sizeInBytes` — free, no
+    * Spark job.
+    */
+  private[graft] val BloomMinCorpusBytes: Long = 4L << 20
+
   /** Per-corpus-document overlap report against `evalDf`.
     *
     * Output: `idCol, n_hits` (distinct shingles shared with ANY eval
@@ -38,17 +48,26 @@ object Decontam {
     * (`n_hits >= minHits`). Every corpus row appears exactly once —
     * zero-hit documents report `(0, 0, false)`.
     *
-    * `bloomPreFilter` (default on) builds a Bloom filter over the eval
-    * shingle hashes at PLAN TIME (two driver-side jobs over the small
-    * eval side) and probes it ahead of the exact join — a codegen
-    * `might_contain` over a literal, so almost-all corpus shingles die
-    * before ever entering the join operator; false positives die in
-    * the exact join, so output is IDENTICAL (asserted in OpsSpec and
-    * measured row-diff-zero at sf1/sf3). Measured 20–29% faster at
-    * sf1/sf3 (BASELINE.md round 12). The filter bytes ride the task
-    * binary (~1.2 B per eval shingle at fpp 0.01); for an eval set
-    * with ≳10M distinct shingles, pass `bloomPreFilter = false` rather
-    * than shipping a multi-MB literal.
+    * `bloomPreFilter` builds a Bloom filter over the eval shingle
+    * hashes at PLAN TIME and probes it ahead of the exact join — a
+    * codegen `might_contain` over a literal, so almost-all corpus
+    * shingles die before ever entering the join operator; false
+    * positives die in the exact join, so output is IDENTICAL (asserted
+    * in OpsSpec and measured row-diff-zero at sf1/sf3). Measured
+    * 20–29% faster at sf1/sf3 (BASELINE.md round 12).
+    *
+    * The DEFAULT (`None`) is ADAPTIVE (round 13): the bloom build is
+    * two eager driver-side Spark jobs over the eval shingles (count +
+    * bloomFilter — they run when `overlap` is CALLED, not when the
+    * result executes), a fixed ~0.2 s constant that at small corpus
+    * scale exceeds what the probe saves (measured +44% on the sf0.1
+    * bench row, round 12). `None` consults the corpus plan's
+    * size-in-bytes estimate — a pure plan-statistics read, no job —
+    * and builds the bloom only at or above [[BloomMinCorpusBytes]].
+    * `Some(true)` forces the filter (and the eager jobs) regardless;
+    * `Some(false)` disables it — also the right call when the eval set
+    * has ≳10M distinct shingles (the filter bytes ride the task binary
+    * at ~1.2 B per shingle at fpp 0.01; don't ship a multi-MB literal).
     */
   def overlap(
       corpus: DataFrame,
@@ -57,7 +76,7 @@ object Decontam {
       idCol: String,
       minHits: Int = 2,
       shingleN: Int = 3,
-      bloomPreFilter: Boolean = true
+      bloomPreFilter: Option[Boolean] = None
   ): DataFrame = {
     // Distinct (shingle, eval_id) pairs of the benchmark set: small by
     // assumption, broadcast below.
@@ -72,22 +91,32 @@ object Decontam {
     // whole operator's cost at sf1). countDistinct below dedups the
     // few surviving hit rows instead.
     val corpusShingles = NearDup.hashedShingles(corpus, textCol, idCol, shingleN)
+    val useBloom = bloomPreFilter.getOrElse(
+      corpus.queryExecution.optimizedPlan.stats.sizeInBytes >= BloomMinCorpusBytes)
     val probed =
-      if (!bloomPreFilter) corpusShingles
+      if (!useBloom) corpusShingles
       else {
         import org.apache.spark.sql.graftglue.Bridge
         import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
         import org.apache.spark.sql.types.BinaryType
-        val n = evalShingles.count()
-        if (n == 0) corpusShingles.filter(lit(false)) // empty eval set: nothing can hit (bloomFilter agg NPEs on zero rows)
-        else {
-          val bf = evalShingles.stat.bloomFilter("h", n, 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          corpusShingles.filter(Bridge.column(BloomFilterMightContain(
-            Literal(bos.toByteArray, BinaryType),
-            Bridge.resolvedExpression(col("h")))))
-        }
+        // cache across the two eager driver jobs (count + bloomFilter)
+        // so the eval shingle set is computed once, not twice; released
+        // before return — the broadcast-join side re-derives it lazily
+        // at execution time, when this plan-time cache would be gone
+        // from the pinned set anyway
+        evalShingles.persist()
+        try {
+          val n = evalShingles.count()
+          if (n == 0) corpusShingles.filter(lit(false)) // empty eval set: nothing can hit (bloomFilter agg NPEs on zero rows)
+          else {
+            val bf = evalShingles.stat.bloomFilter("h", n, 0.01)
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            corpusShingles.filter(Bridge.column(BloomFilterMightContain(
+              Literal(bos.toByteArray, BinaryType),
+              Bridge.resolvedExpression(col("h")))))
+          }
+        } finally evalShingles.unpersist(blocking = false)
       }
     val hits = probed
       .join(broadcast(evalShingles), "h")
@@ -119,7 +148,7 @@ object Decontam {
       idCol: String,
       minHits: Int = 2,
       shingleN: Int = 3,
-      bloomPreFilter: Boolean = true
+      bloomPreFilter: Option[Boolean] = None
   ): DataFrame = {
     val bad = overlap(corpus, evalDf, textCol, idCol, minHits, shingleN, bloomPreFilter)
       .filter(col("contaminated"))

@@ -668,12 +668,21 @@ object NearDup {
     * `(id, v, nrm, sig)` where bit p of `sig` is the sign of the dot
     * product with deterministic hyperplane p ([[planeComponent]]).
     *
-    * Plan shape: posexplode the vector, compute every plane's partial
-    * product in one codegen'd projection, then ONE groupBy with
-    * `planes + 1` primitive sum aggregates (the +1 is the squared
-    * norm). A doc's exploded rows stay contiguous in its partition, so
-    * the double summation order is the in-array order — bit-for-bit
-    * the `list_reduce` left fold the DuckDB oracle computes.
+    * Plan shape (round 12): the whole signature is ONE fused
+    * planes×dim codegen loop per row over a plan-time plane matrix
+    * ([[graft.functions.PackedSignSig]]) — no shuffle, and the double
+    * summation order is the in-array order, bit-for-bit the
+    * `list_reduce` left fold the DuckDB oracle computes.
+    *
+    * DEGENERATE VECTORS (advice, round 12): a vector SHORTER than
+    * `dim`, or with a null component among its first `dim` positions,
+    * gets signature 0 and a NULL `nrm` (PackedSignSig/DotProduct
+    * return null; the null norm then nulls every cosine the row
+    * touches, so such rows never produce pairs). Elements PAST `dim`
+    * are ignored. The pre-round-12 aggregate shape instead skipped
+    * null terms and folded extra elements into later planes — callers
+    * relying on that behavior for ragged corpora should clean vectors
+    * to exactly `dim` non-null components first. Matches the oracle.
     */
   private[ops] def signSigs(
       df: DataFrame,

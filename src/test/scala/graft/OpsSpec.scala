@@ -913,17 +913,33 @@ class OpsSpec extends SparkTestBase {
   test("decontam bloom pre-filter: identical output with the filter on/off, empty eval set safe") {
     val corpus = docs.filter($"doc_id" =!= 2L)
     val evalSet = docs.filter($"doc_id" === 2L)
-    val on = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
-    val off = Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = false)
+    val on = Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = Some(true))
+      .collect().sortBy(_.getLong(0))
+    val off = Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = Some(false))
       .collect().sortBy(_.getLong(0))
     assert(on.sameElements(off))
+    // the adaptive default must agree with both forced forms
+    val auto = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
+    assert(auto.sameElements(off))
     // an EMPTY eval set must not crash the bloom build and reports all-zero
-    val none = Decontam.overlap(corpus, evalSet.filter($"doc_id" === -1L), "text", "doc_id")
-      .collect()
+    val none = Decontam.overlap(corpus, evalSet.filter($"doc_id" === -1L), "text", "doc_id",
+      bloomPreFilter = Some(true)).collect()
     assert(none.length == corpus.count() && none.forall(r => r.getLong(1) == 0 && !r.getBoolean(3)))
     // the pre-filter is a codegen might_contain AHEAD of the join
-    val plan = executedPlan(Decontam.overlap(corpus, evalSet, "text", "doc_id"))
+    val plan = executedPlan(
+      Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = Some(true)))
     assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+  }
+
+  test("decontam adaptive bloom: skipped below the corpus-size floor, built above it") {
+    // the spec fixture is tiny — the default (None) must NOT pay the
+    // bloom's two fixed driver jobs here (the +44% sf0.1 regression,
+    // round 12), and the decision must read plan statistics only
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val evalSet = docs.filter($"doc_id" === 2L)
+    val small = executedPlan(Decontam.overlap(corpus, evalSet, "text", "doc_id"))
+    assert(!small.contains("might_contain"), s"bloom built below the size floor:\n$small")
+    assert(corpus.queryExecution.optimizedPlan.stats.sizeInBytes < Decontam.BloomMinCorpusBytes)
   }
 
   // ---- plan shape (the 100-TB contract) --------------------------------
