@@ -243,6 +243,51 @@ private[graft] final class Compiler(
         catch { case _: NumberFormatException => fail(s"invalid sample rate $rate", rateSpan) }
       if (r < 0.0 || r > 1.0) fail(s"sample rate must be in [0, 1], got $rate", rateSpan)
       graft.ops.Sampling.bernoulli(df, id.name, r)
+
+    case AsofJoinOp(right, onCols, tol, span) =>
+      // last `on` column = shared event time; the rest = equi-key.
+      // Value columns are everything else the right side carries — the
+      // library operator's union+keyed-window plan (AsOf.joinAsOf) does
+      // the rest: one shuffle on the key, no range condition, hot keys
+      // split across time buckets.
+      val rightDf = compileTabular(right)
+      val keys = onCols.init.map(_.name)
+      val ts = onCols.last.name
+      onCols.find(c => !df.columns.contains(c.name) && c.name != ts).foreach(c =>
+        fail(s"asof join column ${c.name} not found on the left side", c.span))
+      if (!df.columns.contains(ts)) fail(s"asof join timestamp $ts not found on the left side", onCols.last.span)
+      (keys :+ ts).find(n => !rightDf.columns.contains(n)).foreach(n =>
+        fail(s"asof join column $n not found on the right side", span))
+      val valueCols = rightDf.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
+      if (valueCols.isEmpty)
+        fail("asof join right side carries no value columns beyond the key and timestamp", span)
+      tol match {
+        case None => graft.ops.AsOf.joinAsOf(df, rightDf, keys, ts, valueCols)
+        case Some(o) =>
+          val ms = exprs.parseDurationMillis(o.value, o.valueSpan)
+          graft.ops.AsOf.joinAsOfTolerant(df, rightDf, keys, ts, valueCols, s"$ms milliseconds")
+      }
+
+    case RangeJoinOp(right, onCols, bucket, span) =>
+      // last three `on` columns = left point, right interval start/end
+      // (half-open); the rest = equi-key. Compiles to the bucketed
+      // equi-join form (RangeJoin.pointInInterval) — never the
+      // broadcast-nested-loop a raw BETWEEN join would plan to.
+      val rightDf = compileTabular(right)
+      val keys = onCols.dropRight(3).map(_.name)
+      val Seq(tsC, startC, endC) = onCols.takeRight(3)
+      if (!df.columns.contains(tsC.name))
+        fail(s"range join point column ${tsC.name} not found on the left side", tsC.span)
+      Seq(startC, endC).find(c => !rightDf.columns.contains(c.name)).foreach(c =>
+        fail(s"range join interval column ${c.name} not found on the right side", c.span))
+      keys.find(n => !df.columns.contains(n) || !rightDf.columns.contains(n)).foreach(n =>
+        fail(s"range join key column $n must exist on both sides", span))
+      val micros = bucket match {
+        case Some(o) => exprs.parseDurationMillis(o.value, o.valueSpan) * 1000L
+        case None    => 3600000000L // 1h — right for hour-scale intervals
+      }
+      graft.ops.RangeJoin.pointInInterval(
+        df, rightDf, keys, tsC.name, startC.name, endC.name, bucketMicros = micros)
   }
 
   /** Option names valid for each dedup kind: an option the op would

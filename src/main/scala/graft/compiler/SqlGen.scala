@@ -221,12 +221,14 @@ private[graft] final class SqlGen(
 
     case other =>
       val name = other match {
-        case _: DedupOp    => "dedup"
-        case _: SampleOp   => "sample"
-        case _: DecontamOp => "decontam"
-        case _: ChunkOp    => "chunk"
-        case _: PackOp     => "pack"
-        case _             => "this"
+        case _: DedupOp     => "dedup"
+        case _: SampleOp    => "sample"
+        case _: DecontamOp  => "decontam"
+        case _: ChunkOp     => "chunk"
+        case _: PackOp      => "pack"
+        case _: AsofJoinOp  => "join kind=asof"
+        case _: RangeJoinOp => "join kind=range"
+        case _              => "this"
       }
       fail(
         s"operator '$name' compiles to a multi-stage library plan, not a single SQL query; " +

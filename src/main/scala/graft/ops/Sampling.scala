@@ -167,6 +167,62 @@ object Sampling {
     * avoids. A stratum whose very first bucket overflows the budget
     * selects nothing (matching the exact form's strict semantics).
     */
+  /** Stratum-row floor above which [[tokenBudgetAuto]] switches from
+    * the exact running-total form to [[tokenBudgetHistogram]]. The
+    * exact form's per-stratum window is ONE sequential task per
+    * stratum regardless of cluster size, so its wall-clock grows
+    * linearly with the largest stratum while the histogram form stays
+    * flat (parallelism independent of stratum size). Measured at
+    * sf1 (≈17k rows/stratum) the exact form still wins — the histogram
+    * pays two extra small aggregates — while at sf10 (≈170k
+    * rows/stratum) the exact window is the 2.2×-vs-oracle bottleneck
+    * the histogram removes; 100k splits the measured interval.
+    */
+  private[graft] val ExactMaxStratumRows: Long = 100000L
+
+  /** Auto-switching token budget (round 13): the exact
+    * [[tokenBudget]] semantics while the LARGEST stratum is small
+    * enough that its sequential running-total task is cheap, the
+    * [[tokenBudgetHistogram]] threshold selection once any stratum
+    * crosses [[ExactMaxStratumRows]] — the same plan-time-count
+    * pattern as the adaptive LSH/IVF geometry (`autoGeometry`): one
+    * narrow strata-column count job at PLAN time decides the shape,
+    * and an oracle can recompute the decision in SQL, so the same
+    * query text verifies at every scale.
+    *
+    * Output is schema-stable across the crossover:
+    * `(idCol, strataCol, n_tok)` — the exact branch drops its
+    * `cum_tok` audit column (a per-row running total is exactly what
+    * the scale branch cannot produce). Callers that want `cum_tok`
+    * or exact-boundary semantics unconditionally should call
+    * [[tokenBudget]] directly; callers with a catalog-known row count
+    * pass `knownMaxStratumRows` and skip the plan-time job.
+    */
+  def tokenBudgetAuto(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      strataCol: String,
+      budgetTokens: Long,
+      salt: String = "budget",
+      maxExactStratumRows: Long = ExactMaxStratumRows,
+      knownMaxStratumRows: Option[Long] = None,
+      bucketBits: Int = 12
+  ): DataFrame = {
+    // plan-time decision: a groupBy-count over the strata column only
+    // (narrow scan, map-side combined; the text column — the expensive
+    // read — is untouched by this job)
+    val maxRows = knownMaxStratumRows.getOrElse {
+      val r = df.groupBy(col(strataCol)).count().agg(max(col("count"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (maxRows <= maxExactStratumRows)
+      tokenBudget(df, textCol, idCol, strataCol, budgetTokens, salt)
+        .select(col(idCol), col(strataCol), col("n_tok"))
+    else
+      tokenBudgetHistogram(df, textCol, idCol, strataCol, budgetTokens, salt, bucketBits)
+  }
+
   def tokenBudgetHistogram(
       df: DataFrame,
       textCol: String,

@@ -191,3 +191,32 @@ final case class PackOp(
   */
 final case class SampleOp(rate: String, rateSpan: Span, idCol: Ident, span: Span)
     extends TabularOperator
+
+/** `| join kind=asof [tolerance="1h"] (Right) on Key, ..., TsCol` —
+  * graft EXTENSION (round 13): most-recent-prior join, the first query
+  * an event-analytics user writes after plain `join`. The LAST `on`
+  * column is the shared event-time column; everything before it is the
+  * equi-key. The joined value columns are the right side's remaining
+  * columns (right − keys − ts). With `tolerance`, matches older than
+  * the duration are nulled out ([[graft.ops.AsOf.joinAsOfTolerant]]).
+  */
+final case class AsofJoinOp(
+    right: TabularExpr,
+    onCols: List[Ident],
+    tolerance: Option[OpOption],
+    span: Span
+) extends TabularOperator
+
+/** `| join kind=range [bucket="1h"] (Right) on Key, ..., TsCol,
+  * StartCol, EndCol` — graft EXTENSION (round 13): point-in-interval
+  * join. The last three `on` columns are the left point column and the
+  * right side's half-open interval `[start, end)`; preceding columns
+  * are the equi-key. `bucket` tunes the interval-explode width
+  * ([[graft.ops.RangeJoin.pointInInterval]]; default 1h).
+  */
+final case class RangeJoinOp(
+    right: TabularExpr,
+    onCols: List[Ident],
+    bucket: Option[OpOption],
+    span: Span
+) extends TabularOperator

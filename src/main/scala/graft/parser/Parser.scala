@@ -17,6 +17,8 @@ object Parser {
     new Parser(source, Lexer.scan(source)).parseProgram()
 
   private[parser] val joinFlavors = Set("inner", "innerunique", "leftouter")
+  /** graft extension join flavors (not in the reference grammar). */
+  private[parser] val extJoinFlavors = Set("asof", "range")
   private[parser] val dedupKinds =
     Set("exact", "lines", "substrings", "minhash", "simhash", "embed", "semantic")
   private[parser] val dedupOptions = Set("dim", "cells", "cos", "occupancy", "planes", "bits")
@@ -360,7 +362,7 @@ private final class Parser(source: String, tokens: Vector[Token]) {
     SummarizeOp(aggs, by, span0)
   }
 
-  private def parseJoin(span0: Span): JoinOp = {
+  private def parseJoin(span0: Span): TabularOperator = {
     var flavor = "innerunique"
     if (atKeywordIdent("kind")) {
       next()
@@ -370,13 +372,39 @@ private final class Parser(source: String, tokens: Vector[Token]) {
         case Some(t) => fail(s"expected join flavor, got ${describe(t)}", t.span)
         case None    => fail("expected join flavor, got EOF", eofSpan)
       }
-      if (!Parser.joinFlavors.contains(f.value))
+      if (!Parser.joinFlavors.contains(f.value) && !Parser.extJoinFlavors.contains(f.value))
         fail(
-          s"expected join flavor (one of ${Parser.joinFlavors.toList.sorted.mkString(", ")}), got ${f.value}",
+          s"expected join flavor (one of ${(Parser.joinFlavors ++ Parser.extJoinFlavors).toList.sorted.mkString(", ")}), got ${f.value}",
           f.span
         )
       flavor = f.value
     }
+    // graft extension flavors take an optional duration option between
+    // the kind and the right side, then an identifier-only `on` list
+    // (last column(s) are the time axis — see AsofJoinOp/RangeJoinOp)
+    if (flavor == "asof") {
+      val tol = parseDurationOption("tolerance")
+      val right = parseJoinRight()
+      val cols = parseOnIdentList()
+      if (cols.length < 2)
+        fail("asof join needs at least one key column and a timestamp column", span0)
+      AsofJoinOp(right, cols, tol, span0.union(cols.last.span))
+    } else if (flavor == "range") {
+      val bucket = parseDurationOption("bucket")
+      val right = parseJoinRight()
+      val cols = parseOnIdentList()
+      if (cols.length < 3)
+        fail("range join needs a point column and interval start/end columns", span0)
+      RangeJoinOp(right, cols, bucket, span0.union(cols.last.span))
+    } else {
+      val right = parseJoinRight()
+      val conds = parseExprList()
+      JoinOp(flavor, right, conds, span0)
+    }
+  }
+
+  /** `(RightPipeline) on` — the shared middle of every join form. */
+  private def parseJoinRight(): TabularExpr = {
     expect(LParen, "'('")
     val right = parseTabularExpr()
     expect(RParen, "')'")
@@ -385,8 +413,29 @@ private final class Parser(source: String, tokens: Vector[Token]) {
       case Some(t) => fail(s"expected 'on', got ${describe(t)}", t.span)
       case None    => fail("expected 'on', got EOF", eofSpan)
     }
-    val conds = parseExprList()
-    JoinOp(flavor, right, conds, span0)
+    right
+  }
+
+  /** Optional `name="<duration>"` option (extension join flavors). */
+  private def parseDurationOption(name: String): Option[OpOption] =
+    if (!atAssignedIdent(name)) None
+    else {
+      val n = parseIdent("option name")
+      next() // '='
+      val v = peek match {
+        case Some(t) if t.kind == Str => next()
+        case Some(t) => fail(s"expected duration string for $name, got ${describe(t)}", t.span)
+        case None    => fail(s"expected duration string for $name, got EOF", eofSpan)
+      }
+      Some(OpOption(n, v.value, v.span))
+    }
+
+  /** Comma-separated bare column identifiers after `on`. */
+  private def parseOnIdentList(): List[Ident] = {
+    val out = List.newBuilder[Ident]
+    out += parseIdent("column name")
+    while (at(Comma)) { next(); out += parseIdent("column name") }
+    out.result()
   }
 
   private def parseRender(span0: Span): RenderOp = {

@@ -40,6 +40,8 @@ object Walk {
     case JoinOp(_, right, conds, _)      => right :: conds
     case AsOp(name, _)                   => List(name)
     case RenderOp(chart, props, _)       => chart :: props.flatMap(p => List(p.name, p.value))
+    case AsofJoinOp(right, cols, tol, _)   => right :: (cols ::: tol.map(_.name).toList)
+    case RangeJoinOp(right, cols, buck, _) => right :: (cols ::: buck.map(_.name).toList)
     case DedupOp(_, opts, text, id, _)   => opts.map(_.name) ::: List(text, id)
     case SampleOp(_, _, id, _)           => List(id)
     case DecontamOp(ev, opts, text, id, _) => ev :: opts.map(_.name) ::: List(text, id)

@@ -206,6 +206,70 @@ class CompilerSpec extends SparkTestBase {
     assert(got == 1L)
   }
 
+  // ---- graft extension joins: asof / range ----------------------------
+
+  private lazy val trades: DataFrame = {
+    val session = spark
+    import session.implicits._
+    Seq(
+      ("A", 10L, 1), ("A", 20L, 2), ("A", 35L, 3),
+      ("B", 5L, 4)
+    ).toDF("sym", "t", "trade_id")
+      .select(col("sym"), timestamp_micros(col("t") * 1000000L).as("t"), col("trade_id"))
+  }
+  private lazy val quotes: DataFrame = {
+    val session = spark
+    import session.implicits._
+    Seq(
+      ("A", 8L, 1.5), ("A", 20L, 2.5), ("A", 30L, 3.5),
+      ("B", 50L, 9.0)
+    ).toDF("sym", "t", "px")
+      .select(col("sym"), timestamp_micros(col("t") * 1000000L).as("t"), col("px"))
+  }
+  private def jcat(name: String): DataFrame = name match {
+    case "TR"  => trades
+    case "QT"  => quotes
+    case other => sys.error(s"no table $other")
+  }
+
+  test("| join kind=asof equals the library call; tolerance nulls stale matches") {
+    val got = Pql.query(spark, "TR | join kind=asof (QT) on sym, t", jcat)
+      .select("trade_id", "px").collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // exact-ts quote matches (>=); B's quote is in the future → null
+    assert(got == Map(1 -> Some(1.5), 2 -> Some(2.5), 3 -> Some(3.5), 4 -> None))
+    val lib = graft.ops.AsOf.joinAsOf(trades, quotes, Seq("sym"), "t", Seq("px"))
+      .select("trade_id", "px").collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == lib)
+    // 2-second tolerance, INCLUSIVE bound (quote.ts >= trade.ts - 2s):
+    // trade 1 @10 keeps the quote @8 exactly at the bound; trade 3 @35
+    // loses the stale quote @30
+    val tol = Pql.query(spark, """TR | join kind=asof tolerance="2s" (QT) on sym, t""", jcat)
+      .select("trade_id", "px").collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol == Map(1 -> Some(1.5), 2 -> Some(2.5), 3 -> None, 4 -> None))
+    // missing columns fail with a compile error, not an analysis error
+    assertThrows[graft.compiler.PqlCompileException](Pql.query(spark, "TR | join kind=asof (QT) on sym, nope", jcat))
+  }
+
+  test("| join kind=range equals the library call (half-open intervals)") {
+    val iv = quotes.select(col("sym"), col("t").as("s"),
+      timestamp_micros(unix_micros(col("t")) + 10000000L).as("e"), col("px"))
+    def rcat(name: String): DataFrame = name match {
+      case "TR" => trades
+      case "IV" => iv
+      case other => sys.error(s"no table $other")
+    }
+    val got = Pql.query(spark,
+      """TR | join kind=range bucket="5s" (IV) on sym, t, s, e | project trade_id, px""", rcat)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toSet
+    val lib = graft.ops.RangeJoin.pointInInterval(trades, iv, Seq("sym"), "t", "s", "e", 5000000L)
+      .select("trade_id", "px").collect().map(r => r.getInt(0) -> r.getDouble(1)).toSet
+    assert(got == lib)
+    // trade 2 at t=20 hits quote intervals [20,30) — exact start inclusive
+    assert(got.contains(2 -> 2.5))
+    // end is exclusive: t=30 interval [20,30) does not include 30
+    assert(!got.contains(3 -> 2.5) && got.contains(3 -> 3.5))
+  }
+
   test("| sample applies the deterministic Bernoulli filter") {
     val a = Pql.query(spark, "D | sample 1.0 by doc_id", dcat).count()
     assert(a == 3L)

@@ -667,6 +667,32 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan) // cut joins map-side
   }
 
+  test("tokenBudgetAuto crosses from the exact form to the histogram at the stratum floor") {
+    val df = (0L until 2000L).map(i => (i, "w " * (1 + (i % 7)).toInt, s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val budget = 500L
+    // below the floor (default: ~667 rows/stratum « 100k) the auto form
+    // IS the exact form, minus the cum_tok audit column
+    val auto = Sampling.tokenBudgetAuto(df, "text", "doc_id", "source", budget)
+      .as[(Long, String, Long)].collect().toSet
+    val exact = Sampling.tokenBudget(df, "text", "doc_id", "source", budget)
+      .select("doc_id", "source", "n_tok").as[(Long, String, Long)].collect().toSet
+    assert(auto == exact)
+    // above the floor it IS the histogram form — force the crossover
+    // with a knownMaxStratumRows override (also proving the override
+    // skips the plan-time count job: same decision, no extra scan)
+    val forced = Sampling.tokenBudgetAuto(df, "text", "doc_id", "source", budget,
+      knownMaxStratumRows = Some(200000L))
+      .as[(Long, String, Long)].collect().toSet
+    val hist = Sampling.tokenBudgetHistogram(df, "text", "doc_id", "source", budget)
+      .as[(Long, String, Long)].collect().toSet
+    assert(forced == hist)
+    // both branches expose the SAME schema — the crossover is invisible
+    // to downstream plans
+    assert(Sampling.tokenBudgetAuto(df, "text", "doc_id", "source", budget).columns.toSeq ==
+      Seq("doc_id", "source", "n_tok"))
+  }
+
   test("incremental dedup drops exact and near dups of the snapshot, keeps fresh docs") {
     import graft.ops.Incremental
     val snapshotDocs = Seq(

@@ -97,6 +97,36 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[PqlParseException](Parser.parse("L | join kind=full (R) on k"))
   }
 
+  test("join kind=asof: identifier on-list, optional tolerance, arity check") {
+    val AsofJoinOp(right, cols, tol, _) =
+      tabular("""L | join kind=asof tolerance="1h" (R | where x > 1) on k1, k2, ts""")
+        .operators.head: @unchecked
+    assert(right.operators.length == 1)
+    assert(cols.map(_.name) == List("k1", "k2", "ts"))
+    assert(tol.exists(o => o.name.name == "tolerance" && o.value == "1h"))
+    val AsofJoinOp(_, cols2, tol2, _) =
+      tabular("L | join kind=asof (R) on k, ts").operators.head: @unchecked
+    assert(cols2.map(_.name) == List("k", "ts") && tol2.isEmpty)
+    // needs a key AND a timestamp; bare expressions are rejected
+    assertThrows[PqlParseException](Parser.parse("L | join kind=asof (R) on ts"))
+    assertThrows[PqlParseException](Parser.parse("L | join kind=asof (R) on $left.k == $right.k, ts"))
+  }
+
+  test("join kind=range: point/start/end tail, optional bucket, arity check") {
+    val RangeJoinOp(right, cols, bucket, _) =
+      tabular("""L | join kind=range bucket="30m" (R) on k, ts, s, e""").operators.head: @unchecked
+    assert(right.operators.isEmpty)
+    assert(cols.map(_.name) == List("k", "ts", "s", "e"))
+    assert(bucket.exists(o => o.name.name == "bucket" && o.value == "30m"))
+    // keyless point-in-interval still parses (equi-join on bucket only)
+    val RangeJoinOp(_, cols2, b2, _) =
+      tabular("L | join kind=range (R) on ts, s, e").operators.head: @unchecked
+    assert(cols2.map(_.name) == List("ts", "s", "e") && b2.isEmpty)
+    assertThrows[PqlParseException](Parser.parse("L | join kind=range (R) on ts, s"))
+    // the duration options take a string, not a number
+    assertThrows[PqlParseException](Parser.parse("L | join kind=range bucket=30 (R) on ts, s, e"))
+  }
+
   test("let statements") {
     val stmts = Parser.parse("let n = 3; let s = \"x\"; T | take n")
     assert(stmts.collect { case l: LetStatement => l.name.name } == List("n", "s"))
