@@ -23,12 +23,19 @@ import graft.sources.Tables
   * as a prelude for every later statement in the session, the
   * reference CLI's accumulation loop (cmd/pql/main.go:64-110): a bad
   * statement logs one error line to stderr and processing continues,
-  * with a non-zero exit at the end. ONE intentional divergence: the
-  * reference's run() compiles a trailing UNTERMINATED statement
-  * without the accumulated prelude (main.go's loop only prepends lets
-  * once a semicolon closes the statement); graft applies the prelude
-  * to every statement including the final unterminated one, so
-  * `let x = 1; T | where a == x` works without a trailing semicolon. Tables resolve as
+  * with a non-zero exit at the end. TWO intentional divergences:
+  * (1) the reference's run() compiles a trailing UNTERMINATED
+  * statement without the accumulated prelude (main.go's loop only
+  * prepends lets once a semicolon closes the statement); graft applies
+  * the prelude to every statement including the final unterminated
+  * one, so `let x = 1; T | where a == x` works without a trailing
+  * semicolon. (2) the reference skips token-free statements only in
+  * TRAILING position (main.go:110 checks `len(parser.Scan(stmt)) > 0`
+  * there alone), so a mid-session empty statement — `;;`, or a
+  * whitespace/comment-only statement — reaches `pql.Compile` and fails
+  * with "missing tabular queries" (pql.go's nil-expr check), exiting
+  * 1; graft skips token-free statements in EVERY position, so `;;` is
+  * harmless. Both are spec-pinned (CliSpec). Tables resolve as
   * `DIR/<name>.parquet`; without `--tables`, names resolve from the
   * Spark session catalog. `--compile` prints the Spark SQL text
   * ([[Pql.compileToSql]]) per statement instead of executing — the

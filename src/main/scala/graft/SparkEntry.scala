@@ -1423,6 +1423,36 @@ object SparkEntry {
            |SELECT DISTINCT CAST(bi AS INT) AS band_idx, bk AS band_key FROM bd""".stripMargin
       )
     ),
+    // Streaming EMBEDDING near-dup (round 13): per-row PackedSignSig
+    // band rows (stateless codegen — no shuffle before the stateful
+    // op) → watermark-bounded first-arrival state per (band_idx,
+    // band_key). Gated like stream_dedup_minhash: the projection is
+    // the emitted BAND SET — deterministic under any partitioning —
+    // which the oracle recomputes from scratch with the batch sign-LSH
+    // signature SQL (fixed 32/8 geometry pinned in both engines).
+    "stream_dedup_embed" -> Entry(
+      (s, dir) => {
+        val sink = "sde_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/embeddings.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
+        val bands = graft.streaming.Streaming
+          .dedupEmbedBands(stream, "embedding", "ts", "1 hour", dim = 64)
+          .select(col("band_idx"), col("band_key"))
+        val q = graft.streaming.Streaming.runToMemory(bands, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |sg AS (SELECT vec_id, CAST(${sqlSignSig(64, planes = 32)} AS BIGINT) AS sig FROM e),
+           |bd AS (${(0 until 4)
+            .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
+            .mkString("\nUNION ALL ")})
+           |SELECT DISTINCT CAST(bi AS INT) AS band_idx, bk AS band_key FROM bd""".stripMargin
+      )
+    ),
     // The batched mapPartitions decode path, driver-gated end to end:
     // the stub histogram divides small counts by 32 (a power of two),
     // so float arithmetic is exact and DuckDB reproduces every value

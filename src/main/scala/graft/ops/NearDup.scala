@@ -611,6 +611,43 @@ object NearDup {
       .select((df.columns.map(col) :+ col("__band.band_idx") :+ col("__band.band_key")): _*)
   }
 
+  /** Per-ROW embedding sign-LSH band rows, the streaming-safe form of
+    * [[embedCosinePairs]]' candidate keys: the rowwise
+    * [[graft.functions.PackedSignSig]] signature (one fused planes×dim
+    * codegen loop over a plan-time plane matrix — round 12) plus
+    * [[signBandKeys]]' integer band extraction, all row-local — no
+    * shuffle, no aggregation — so it composes with Structured
+    * Streaming's stateful operators (see `Streaming.dedupEmbedBands`).
+    * Band keys are bit-identical to the batch pipeline's: same LCG
+    * plane stream, same left-fold dot order, same shift/mod banding.
+    *
+    * Output: input columns + `band_idx`, `band_key`
+    * (`planes / bandBits` rows per input row). Degenerate vectors
+    * (shorter than `dim`, or null among the first `dim` components)
+    * carry NULL band keys — they collide with nothing but other
+    * degenerates, mirroring the batch path where their NULL norm kills
+    * every cosine.
+    */
+  def rowEmbedBandRows(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 32,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(bandBits >= 1 && planes / bandBits >= 1,
+      s"bandBits must be in [1, planes], got $bandBits")
+    val nBands = planes / bandBits
+    val mat = Array.tabulate(planes * dim)(i => Project.planeValue(i.toLong))
+    df.withColumn("__sig",
+        graft.functions.PackedSignSig(col(vecCol).cast("array<double>"), mat, dim))
+      .withColumn("__bands", signBandKeys(col("__sig"), nBands, bandBits))
+      .select(
+        df.columns.map(col) :+
+          posexplode(col("__bands")).as(Seq("band_idx", "band_key")): _*)
+  }
+
   /** The production corpus-dedup pipeline: exact dedup FIRST (clone
     * cliques make any pairs operator's output quadratic in clique
     * size), then MinHash-LSH near-dup removal on the survivors.

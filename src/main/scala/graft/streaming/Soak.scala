@@ -55,6 +55,11 @@ object Soak {
     docs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$scratch/docs")
     forceMtimeOrder(s"$scratch/docs")
+    val embs = t("embeddings")
+      .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
+    embs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$scratch/embs")
+    forceMtimeOrder(s"$scratch/embs")
 
     def fileStream(path: String): DataFrame =
       spark.readStream
@@ -102,6 +107,17 @@ object Soak {
         .dedupMinhashBands(fileStream(s"$scratch/docs"), "text", "ts", "1 hour")
         .select(col("band_idx"), col("band_key"))
       Streaming.runToParquet(bands, s"$scratch/sdm_out", s"$scratch/sdm_ckpt")
+    }
+
+    // 3b. streaming EMBEDDING band dedup (stream_dedup_embed shape,
+    // round 13): the rowwise PackedSignSig keeps the pre-state plan
+    // stateless; state rows must track band keys inside one lateness
+    // window, not the whole corpus's band space.
+    soak("stream_dedup_embed", s"$scratch/sdemb_out") { () =>
+      val bands = Streaming
+        .dedupEmbedBands(fileStream(s"$scratch/embs"), "embedding", "ts", "1 hour", dim = 64)
+        .select(col("band_idx"), col("band_key"))
+      Streaming.runToParquet(bands, s"$scratch/sdemb_out", s"$scratch/sdemb_ckpt")
     }
 
     // 4. capped sessions (sessions_capped shape): the one CUSTOM-state

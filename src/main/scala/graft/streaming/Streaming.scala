@@ -94,6 +94,32 @@ object Streaming {
       .rowBandRows(df.withWatermark(tsCol, maxLateness), textCol, k, bandRows)
       .dropDuplicatesWithinWatermark("band_idx", "band_key")
 
+  /** Streaming EMBEDDING near-dup state (round 13): each incoming row
+    * expands to its sign-LSH band rows
+    * ([[graft.ops.NearDup.rowEmbedBandRows]] — the rowwise
+    * PackedSignSig signature is ONE stateless codegen projection, so
+    * nothing shuffles before the stateful operator) and each
+    * (band_idx, band_key) is kept only for its FIRST arrival within
+    * the watermark. Same contract as [[dedupMinhashBands]] with
+    * hyperplane bands instead of minhash bands: the emitted band SET
+    * is deterministic under any partitioning/arrival interleaving;
+    * which row owns a contested band follows arrival order. A row that
+    * retains all `planes/bandBits` of its bands is novel; fewer means
+    * an earlier arrival claimed one (embedding near-dup candidate).
+    */
+  def dedupEmbedBands(
+      df: DataFrame,
+      vecCol: String,
+      tsCol: String,
+      maxLateness: String,
+      dim: Int,
+      planes: Int = 32,
+      bandBits: Int = 8
+  ): DataFrame =
+    graft.ops.NearDup
+      .rowEmbedBandRows(df.withWatermark(tsCol, maxLateness), vecCol, dim, planes, bandBits)
+      .dropDuplicatesWithinWatermark("band_idx", "band_key")
+
   /** Run a compiled (streaming) plan into an in-memory table named
     * `name` — the test/debug sink. `complete` mode mirrors batch
     * results for unbounded aggregations; `append` emits only

@@ -147,4 +147,31 @@ class CliSpec extends SparkTestBase {
     assert(exit == 1, out) // the bad let failed → non-zero
     assert(out.contains("5"), out) // but the region count still ran: 5 regions
   }
+
+  test("subprocess: empty (;;) and whitespace-only statements are skipped everywhere, exit 0") {
+    // INTENTIONAL DIVERGENCE, pinned: the reference skips token-free
+    // statements only in trailing position (main.go:110), so its `;;`
+    // reaches pql.Compile and exits 1 on "missing tabular queries"
+    // (pql.go nil-expr check). graft skips them in every position —
+    // `;;`, comment-only statements, and whitespace-only trailers are
+    // all harmless.
+    val session = ";;\nregion | count;\n  ;\n// just a comment\n;\n   \n"
+    val (exit, out) = runCli(Seq("--tables", sf), session)
+    assert(exit == 0, out)
+    assert(out.contains("5"), out) // the one real statement ran
+  }
+
+  test("subprocess: let-only input emits nothing and exits 0 (reference parity)") {
+    // parity with main.go:83-96: completed lets are validated with a
+    // placeholder query, accumulate silently, print nothing; with no
+    // tabular statement the session's finalError stays nil → exit 0.
+    val (exit, out) = runCli(Seq("--tables", sf), "let n = 2;\nlet m = n + 1;\n")
+    assert(exit == 0, out)
+    assert(!out.contains("+--"), out) // no rendered table
+    // and the accumulated lets actually bind when a query follows
+    val (exit2, out2) = runCli(Seq("--tables", sf),
+      "let n = 2;\nregion | where r_regionkey == n | project r_name")
+    assert(exit2 == 0, out2)
+    assert(out2.contains("ASIA"), out2)
+  }
 }

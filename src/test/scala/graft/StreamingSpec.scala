@@ -202,6 +202,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming embed band state: first arrival claims bands, near-dup vector loses them") {
+    implicit val ctx = spark.sqlContext
+    val dim = 8
+    // v2 ≈ v1 (tiny perturbation → same sign pattern on every plane);
+    // v3 = −v1 (opposite signs → different band keys almost surely)
+    val v1 = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val v2 = v1.map(_ * 1.01)
+    val v3 = v1.map(-_)
+    val ms = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val out = Streaming.dedupEmbedBands(
+      ms.toDF.toDF("ts", "vec_id", "embedding"), "embedding", "ts", "5 minutes",
+      dim = dim, planes = 32, bandBits = 8)
+    assert(out.isStreaming)
+    val q = Streaming.runToMemory(out, "stream_embed_bands", "append")
+    try {
+      ms.addData(Seq((ts(0), 1L, v1.toSeq)))
+      q.processAllAvailable()
+      ms.addData(Seq((ts(1), 2L, v2.toSeq), (ts(2), 3L, v3.toSeq)))
+      q.processAllAvailable()
+      val claims = spark.table("stream_embed_bands")
+        .select("vec_id").as[Long].collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(claims(1L) == 4) // 32/8 → 4 bands, all claimed by first arrival
+      assert(claims.getOrElse(2L, 0) == 0, claims.toString) // identical sign sig: every band lost
+      assert(claims(3L) == 4) // opposite vector: no collisions
+      // band keys are bit-identical to the batch path's signature bands
+      val batch = graft.ops.NearDup.rowEmbedBandRows(
+        Seq((1L, v1.toSeq), (3L, v3.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", dim, planes = 32, bandBits = 8)
+        .select("band_idx", "band_key").as[(Int, Long)].collect().toSet
+      val streamed = spark.table("stream_embed_bands")
+        .select("band_idx", "band_key").as[(Int, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
     name => m.getOrElse(name, sys.error(s"unknown table $name"))
 }
