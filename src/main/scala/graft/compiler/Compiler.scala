@@ -251,9 +251,14 @@ private[graft] final class Compiler(
       // the rest: one shuffle on the key, no range condition, hot keys
       // split across time buckets.
       val rightDf = compileTabular(right)
+      // a repeated on-column would compile into a degenerate plan
+      // partitioned and ordered by the same column — reject before
+      // splitting keys/timestamp
+      onCols.groupBy(_.name).collectFirst { case (_, cs) if cs.sizeIs > 1 => cs(1) }
+        .foreach(c => fail(s"duplicate asof join column ${c.name}", c.span))
       val keys = onCols.init.map(_.name)
       val ts = onCols.last.name
-      onCols.find(c => !df.columns.contains(c.name) && c.name != ts).foreach(c =>
+      onCols.init.find(c => !df.columns.contains(c.name)).foreach(c =>
         fail(s"asof join column ${c.name} not found on the left side", c.span))
       if (!df.columns.contains(ts)) fail(s"asof join timestamp $ts not found on the left side", onCols.last.span)
       (keys :+ ts).find(n => !rightDf.columns.contains(n)).foreach(n =>
@@ -261,6 +266,19 @@ private[graft] final class Compiler(
       val valueCols = rightDf.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
       if (valueCols.isEmpty)
         fail("asof join right side carries no value columns beyond the key and timestamp", span)
+      // surface AsOf.joinAsOf's preconditions as spanned compile errors
+      // instead of raw IllegalArgumentExceptions at plan-build time
+      val collide = valueCols.intersect(df.columns.toSeq)
+      if (collide.nonEmpty)
+        fail(s"asof join right-side value column${if (collide.sizeIs > 1) "s" else ""} " +
+          s"${collide.mkString(", ")} already exist${if (collide.sizeIs > 1) "" else "s"} on the " +
+          "left side — project or rename on the right side", span)
+      val reserved = Seq("__vals", "__side", "__bucket", "__carry")
+      val badReserved = (df.columns.toSeq ++ valueCols).distinct.intersect(reserved)
+      if (badReserved.nonEmpty)
+        fail(s"asof join input column${if (badReserved.sizeIs > 1) "s" else ""} " +
+          s"${badReserved.mkString(", ")} collide${if (badReserved.sizeIs > 1) "" else "s"} " +
+          "with the operator's internal columns — rename before joining", span)
       tol match {
         case None => graft.ops.AsOf.joinAsOf(df, rightDf, keys, ts, valueCols)
         case Some(o) =>
@@ -274,6 +292,8 @@ private[graft] final class Compiler(
       // equi-join form (RangeJoin.pointInInterval) — never the
       // broadcast-nested-loop a raw BETWEEN join would plan to.
       val rightDf = compileTabular(right)
+      onCols.groupBy(_.name).collectFirst { case (_, cs) if cs.sizeIs > 1 => cs(1) }
+        .foreach(c => fail(s"duplicate range join column ${c.name}", c.span))
       val keys = onCols.dropRight(3).map(_.name)
       val Seq(tsC, startC, endC) = onCols.takeRight(3)
       if (!df.columns.contains(tsC.name))
@@ -282,6 +302,17 @@ private[graft] final class Compiler(
         fail(s"range join interval column ${c.name} not found on the right side", c.span))
       keys.find(n => !df.columns.contains(n) || !rightDf.columns.contains(n)).foreach(n =>
         fail(s"range join key column $n must exist on both sides", span))
+      // the post-join interval filter references the point/start/end
+      // columns unqualified — a same-named column on the OTHER side
+      // would make them ambiguous at runtime; reject at compile time
+      if (rightDf.columns.contains(tsC.name))
+        fail(s"range join right side also carries the point column ${tsC.name} — " +
+          "project or rename it on the right side", tsC.span)
+      Seq(startC, endC).find(c => df.columns.contains(c.name)).foreach(c =>
+        fail(s"range join left side also carries the interval column ${c.name} — " +
+          "project or rename it on the left side", c.span))
+      if ((df.columns ++ rightDf.columns).contains("__bucket"))
+        fail("range join input column __bucket collides with the operator's internal column — rename before joining", span)
       val micros = bucket match {
         case Some(o) => exprs.parseDurationMillis(o.value, o.valueSpan) * 1000L
         case None    => 3600000000L // 1h — right for hour-scale intervals

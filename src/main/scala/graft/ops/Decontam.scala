@@ -41,6 +41,23 @@ object Decontam {
     */
   private[graft] val BloomMinCorpusBytes: Long = 4L << 20
 
+  /** The adaptive bloom decision for a corpus plan: its
+    * size-in-bytes estimate clears [[BloomMinCorpusBytes]] AND is a
+    * real estimate. Plans Spark cannot size (RDD-backed frames, some
+    * views) report `spark.sql.defaultSizeInBytes` (Long.MaxValue
+    * unless tuned) — a sentinel meaning "unknown", not "huge"; forcing
+    * the bloom's two eager driver jobs on it would reintroduce the
+    * small-corpus regression the gate exists to avoid, so unknown
+    * skips the bloom (callers with genuinely large unestimable corpora
+    * pass `bloomPreFilter = Some(true)`).
+    */
+  private[graft] def bloomDecision(corpus: DataFrame): Boolean = {
+    val statSize = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val defaultSize =
+      org.apache.spark.sql.graftglue.Bridge.defaultSizeInBytes(corpus.sparkSession)
+    statSize != BigInt(defaultSize) && statSize >= BloomMinCorpusBytes
+  }
+
   /** Per-corpus-document overlap report against `evalDf`.
     *
     * Output: `idCol, n_hits` (distinct shingles shared with ANY eval
@@ -63,7 +80,9 @@ object Decontam {
     * scale exceeds what the probe saves (measured +44% on the sf0.1
     * bench row, round 12). `None` consults the corpus plan's
     * size-in-bytes estimate — a pure plan-statistics read, no job —
-    * and builds the bloom only at or above [[BloomMinCorpusBytes]].
+    * and builds the bloom only at or above [[BloomMinCorpusBytes]];
+    * an UNESTIMABLE plan (stats report `spark.sql.defaultSizeInBytes`)
+    * counts as below the floor — see [[bloomDecision]].
     * `Some(true)` forces the filter (and the eager jobs) regardless;
     * `Some(false)` disables it — also the right call when the eval set
     * has ≳10M distinct shingles (the filter bytes ride the task binary
@@ -91,8 +110,7 @@ object Decontam {
     // whole operator's cost at sf1). countDistinct below dedups the
     // few surviving hit rows instead.
     val corpusShingles = NearDup.hashedShingles(corpus, textCol, idCol, shingleN)
-    val useBloom = bloomPreFilter.getOrElse(
-      corpus.queryExecution.optimizedPlan.stats.sizeInBytes >= BloomMinCorpusBytes)
+    val useBloom = bloomPreFilter.getOrElse(bloomDecision(corpus))
     val probed =
       if (!useBloom) corpusShingles
       else {

@@ -25,6 +25,13 @@ object Bridge {
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** The session's `spark.sql.defaultSizeInBytes` — the sentinel value
+    * plan statistics report for relations Spark cannot estimate
+    * (`sessionState` is `private[sql]`, hence surfaced here).
+    */
+  def defaultSizeInBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.defaultSizeInBytes
+
   /** Register a temp SQL function on a LIVE session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

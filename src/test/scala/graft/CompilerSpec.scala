@@ -270,6 +270,46 @@ class CompilerSpec extends SparkTestBase {
     assert(!got.contains(3 -> 2.5) && got.contains(3 -> 3.5))
   }
 
+  test("asof/range join hardening: duplicates, collisions, ambiguity are spanned compile errors") {
+    import graft.compiler.PqlCompileException
+    def err(q: String, cat: String => DataFrame): String =
+      intercept[PqlCompileException](Pql.query(spark, q, cat)).getMessage
+    // duplicate on-column would compile into a window partitioned and
+    // ordered by the same column — rejected up front
+    assert(err("TR | join kind=asof (QT) on t, t", jcat).contains("duplicate asof join column t"))
+    // right-side value column colliding with a left column: spanned
+    // compile error, not AsOf.joinAsOf's raw IllegalArgumentException
+    val qtClash = quotes.withColumn("trade_id", lit(9))
+    def ccat(name: String): DataFrame =
+      if (name == "QT") qtClash else jcat(name)
+    val e1 = intercept[PqlCompileException](Pql.query(spark, "TR | join kind=asof (QT) on sym, t", ccat))
+    assert(e1.getMessage.contains("trade_id") && e1.getMessage.contains("rename"), e1.getMessage)
+    // reserved internal names on either input are rejected up front
+    val trReserved = trades.withColumn("__vals", lit(1))
+    def rescat(name: String): DataFrame =
+      if (name == "TR") trReserved else jcat(name)
+    assert(err("TR | join kind=asof (QT) on sym, t", rescat).contains("__vals"))
+    // range join: a right side still carrying the point column would
+    // make the post-join interval filter ambiguous at runtime
+    val ivWithT = quotes.select(col("sym"), col("t"), col("t").as("s"),
+      timestamp_micros(unix_micros(col("t")) + 10000000L).as("e"), col("px"))
+    def rcat(name: String): DataFrame =
+      if (name == "IV") ivWithT else jcat(name)
+    assert(err("TR | join kind=range (IV) on sym, t, s, e", rcat)
+      .contains("also carries the point column t"))
+    // ... and a left side carrying an interval column name, symmetric
+    val trWithS = trades.withColumn("s", lit(1))
+    val ivClean = quotes.select(col("sym"), col("t").as("s"),
+      timestamp_micros(unix_micros(col("t")) + 10000000L).as("e"), col("px"))
+    def lcat(name: String): DataFrame =
+      if (name == "TR") trWithS else if (name == "IV") ivClean else jcat(name)
+    assert(err("TR | join kind=range (IV) on sym, t, s, e", lcat)
+      .contains("also carries the interval column s"))
+    // duplicate on-columns rejected for range too
+    assert(err("TR | join kind=range (IV) on sym, t, s, s", lcat)
+      .contains("duplicate range join column s"))
+  }
+
   test("| sample applies the deterministic Bernoulli filter") {
     val a = Pql.query(spark, "D | sample 1.0 by doc_id", dcat).count()
     assert(a == 3L)

@@ -968,6 +968,30 @@ class OpsSpec extends SparkTestBase {
     assert(corpus.queryExecution.optimizedPlan.stats.sizeInBytes < Decontam.BloomMinCorpusBytes)
   }
 
+  test("decontam adaptive bloom: unestimable plan size reads as unknown, not huge") {
+    // an RDD-backed frame has no real size estimate — its stats report
+    // spark.sql.defaultSizeInBytes (Long.MaxValue by default). That
+    // must NOT force the bloom (its two eager driver jobs are the
+    // small-corpus regression the gate exists to avoid); the output is
+    // identical either way, so this is a pure plan-decision check.
+    val session = spark
+    import session.implicits._
+    val corpus = docs.filter($"doc_id" =!= 2L)
+    val rddCorpus = spark.createDataFrame(corpus.rdd, corpus.schema)
+    val stat = rddCorpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stat == BigInt(Long.MaxValue), s"fixture not unestimable: $stat")
+    assert(!Decontam.bloomDecision(rddCorpus), "unknown size must skip the bloom")
+    // a real estimate above the floor still builds it
+    val big = docs.sparkSession.range(0, 1L << 21).select($"id".as("doc_id"),
+      concat(lit("x "), $"id".cast("string")).as("text"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >= Decontam.BloomMinCorpusBytes)
+    assert(Decontam.bloomDecision(big), "real above-floor size must build the bloom")
+    val evalSet = docs.filter($"doc_id" === 2L)
+    val viaRdd = Decontam.overlap(rddCorpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
+    val viaDf = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
+    assert(viaRdd.sameElements(viaDf))
+  }
+
   // ---- plan shape (the 100-TB contract) --------------------------------
 
   test("decontam matches corpus shingles against a broadcast eval set") {
