@@ -35,6 +35,36 @@ object SparkEntry {
   private def q(pql: String, sql: String): Entry =
     Entry((s, dir) => Pql.query(s, pql, Tables.parquetDir(s, dir)), Some(sql))
 
+  /** Oracle for the auto-switching token budget (shared by the library
+    * entry `sample_token_budget_auto` and its PQL twin
+    * `pql_sample_budget`): recomputes the plan-time crossover decision
+    * in SQL — exact running-total branch at or below the 100k
+    * rows-per-stratum floor, histogram threshold branch above it — so
+    * ONE text verifies the operator at every SF.
+    */
+  private lazy val sqlTokenBudgetAutoOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS BIGINT) AS n_tok,
+       |  ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 8))::BIGINT AS h
+       |FROM documents),
+       |mx AS (SELECT coalesce(max(cnt), 0) AS m
+       |  FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)),
+       |ex AS (SELECT doc_id, source, n_tok FROM (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+       |  FROM t) WHERE cum_tok <= 800),
+       |hb AS (SELECT doc_id, source, n_tok, h // 1048576 AS bucket FROM t),
+       |hh AS (SELECT source, bucket, sum(n_tok) AS mass FROM hb GROUP BY source, bucket),
+       |hc AS (SELECT source, bucket, sum(mass) OVER (
+       |    PARTITION BY source ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM hh),
+       |hm AS (SELECT source, max(bucket) AS maxb FROM hc WHERE cum <= 800 GROUP BY source)
+       |SELECT doc_id, source, n_tok FROM ex WHERE (SELECT m FROM mx) <= 100000
+       |UNION ALL
+       |SELECT hb.doc_id, hb.source, hb.n_tok
+       |FROM hb JOIN hm ON hb.source = hm.source AND hb.bucket <= hm.maxb
+       |WHERE (SELECT m FROM mx) > 100000""".stripMargin
+
   /** Deterministic scratch dir for gate entries that must round-trip
     * through a filesystem: ONE path per (entry, sfDir) instead of a
     * fresh UUID dir per invocation, so repeated verify/test runs don't
@@ -873,29 +903,7 @@ object SparkEntry {
     "sample_token_budget_auto" -> Entry(
       (s, dir) => Sampling.tokenBudgetAuto(
         docs(s, dir), "text", "doc_id", "source", budgetTokens = 800L),
-      Some(
-        s"""WITH t AS (SELECT doc_id, source,
-           |  CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS BIGINT) AS n_tok,
-           |  ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 8))::BIGINT AS h
-           |FROM documents),
-           |mx AS (SELECT coalesce(max(cnt), 0) AS m
-           |  FROM (SELECT count(*) AS cnt FROM documents GROUP BY source)),
-           |ex AS (SELECT doc_id, source, n_tok FROM (
-           |  SELECT doc_id, source, n_tok,
-           |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
-           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-           |  FROM t) WHERE cum_tok <= 800),
-           |hb AS (SELECT doc_id, source, n_tok, h // 1048576 AS bucket FROM t),
-           |hh AS (SELECT source, bucket, sum(n_tok) AS mass FROM hb GROUP BY source, bucket),
-           |hc AS (SELECT source, bucket, sum(mass) OVER (
-           |    PARTITION BY source ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM hh),
-           |hm AS (SELECT source, max(bucket) AS maxb FROM hc WHERE cum <= 800 GROUP BY source)
-           |SELECT doc_id, source, n_tok FROM ex WHERE (SELECT m FROM mx) <= 100000
-           |UNION ALL
-           |SELECT hb.doc_id, hb.source, hb.n_tok
-           |FROM hb JOIN hm ON hb.source = hm.source AND hb.bucket <= hm.maxb
-           |WHERE (SELECT m FROM mx) > 100000""".stripMargin
-      )
+      Some(sqlTokenBudgetAutoOracle)
     ),
     // Streaming parity for the mixture op: the identical
     // Sampling.mixture call over readStream (stateless narrow
@@ -1055,6 +1063,13 @@ object SparkEntry {
       "documents | sample 0.25 by doc_id",
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT / 4294967296.0 < 0.25""".stripMargin
+    ),
+    // `| sample budget=N` (round 14): the auto-switching token budget
+    // in the language — same plan as the library twin
+    // (sample_token_budget_auto), same crossover-recomputing oracle.
+    "pql_sample_budget" -> q(
+      "documents | sample budget=800 text by doc_id, source",
+      sqlTokenBudgetAutoOracle
     ),
     // Scalar-function extensions: the pipeline scores composable in
     // any PQL expression — filter on quality, group by language.
@@ -2753,6 +2768,38 @@ object SparkEntry {
         |FROM events e JOIN events p
         |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE""".stripMargin
+    ),
+    // PQL over a STREAM (round 14): the same `| dedup` text compiled
+    // against a readStream catalog routes to the watermark-bounded
+    // dropDuplicatesWithinWatermark form (first-arrival band claims —
+    // the kinds whose state contract survives an unbounded input;
+    // batch-only kinds are spanned compile errors, spec-pinned in
+    // StreamingSpec). Gated like stream_dedup_minhash: the emitted
+    // BAND SET is deterministic under any arrival order, and the
+    // oracle recomputes it from scratch with the batch signature SQL.
+    "pql_stream_dedup" -> Entry(
+      (s, dir) => {
+        val sink = "pqlsd_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+        val cat: String => DataFrame = {
+          case "documents" => graft.streaming.Streaming.withEventTime(stream, "ts", "1 hour")
+          case other       => sys.error(s"no streaming table $other")
+        }
+        val bands = Pql.query(s,
+          "documents | dedup kind=minhash text by doc_id | project band_idx, band_key", cat)
+        val q = graft.streaming.Streaming.runToMemory(bands, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(
+        s"""WITH ${sqlHashedShingleCtes("documents")},
+           |sg AS (SELECT doc_id, ${sqlMinhashSig(32)} AS sig FROM hh),
+           |bd AS (${sqlBands(32, 2)})
+           |SELECT DISTINCT CAST(bi AS INT) AS band_idx, bk AS band_key FROM bd""".stripMargin
+      )
     ),
     // The SQL-TEXT backend (Pql.compileToSql — the reference's
     // `Compile` analogue): a pipeline compiled to a Spark SQL string,

@@ -152,6 +152,48 @@ private[graft] final class Compiler(
       }
 
     // graft extensions: the §2.4 pipeline operators, in-language ------
+    case DedupOp(kind, opts, text, id, span) if df.isStreaming =>
+      // STREAMING mapping (round 14): the kinds whose state contract
+      // survives an unbounded input compile to their
+      // dropDuplicatesWithinWatermark forms (first-arrival state per
+      // digest / band key, bounded by the event-time watermark — the
+      // graft.streaming library's *On forms); the rest are batch-only
+      // semantics (corpus-wide keep-lowest-id, plan-time corpus
+      // counts, within-cell pair scans) and are rejected with a span.
+      // The catalog owns the watermark (Streaming.withEventTime): the
+      // stateful operator needs one, so its absence is a compile
+      // error here, not an AnalysisException at start().
+      val wm = df.queryExecution.analyzed.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+      }
+      if (wm.isEmpty)
+        fail("streaming dedup needs an event-time watermark on the input " +
+          "(apply withWatermark in the catalog — Streaming.withEventTime)", span)
+      kind match {
+        case "exact" =>
+          new OpOptions(opts, span, Set.empty, "streaming dedup kind=exact").finish()
+          graft.streaming.Streaming.dedupExactOn(df, text.name)
+        case "minhash" =>
+          new OpOptions(opts, span, Set.empty, "streaming dedup kind=minhash").finish()
+          graft.streaming.Streaming.dedupMinhashBandsOn(df, text.name)
+        case "embed" =>
+          // fixed geometry only: the adaptive default sizes bands from
+          // a plan-time corpus count, which an unbounded stream cannot
+          // provide (occupancy= and the cos= rescore are batch-only)
+          val o = new OpOptions(opts, span, Set("dim", "planes", "bits"),
+            "streaming dedup kind=embed")
+          val dim = o.requiredInt("dim", min = 1)
+          val out = graft.streaming.Streaming.dedupEmbedBandsOn(
+            df, text.name, dim,
+            planes = o.int("planes", 32, min = 1),
+            bandBits = o.int("bits", 8, min = 1))
+          o.finish()
+          out
+        case other =>
+          fail(s"dedup kind=$other is not available on a streaming input " +
+            "(streaming kinds: embed, exact, minhash)", span)
+      }
+
     case DedupOp(kind, opts, text, id, span) =>
       val o = new OpOptions(opts, span, allowedFor(kind), s"dedup kind=$kind")
       val out = kind match {
@@ -234,6 +276,26 @@ private[graft] final class Compiler(
         df, id.name, idx.name, tokens.name,
         budgetTokens = rowCount(budget),
         nShards = o.int("shards", 64, min = 1))
+      o.finish()
+      out
+
+    case SampleBudgetOp(opts, text, id, strata, span) =>
+      // `| sample budget=N [bits=b] text by id, strata` → the
+      // auto-switching token budget: ONE plan-time strata-count job
+      // (narrow column — the text column is never read by the
+      // decision) picks the exact running-total window below the
+      // 100k-rows-per-stratum floor, the histogram threshold selection
+      // above it. Output (id, strata, n_tok) is schema-stable across
+      // the crossover. The count job needs a bounded input — reject
+      // streams up front with a span instead of a raw AnalysisException.
+      if (df.isStreaming)
+        fail("sample budget= sizes its plan from a stratum count and is not available on a streaming input", span)
+      val o = new OpOptions(opts, span, Set("budget", "bits"), "sample budget=")
+      val budget = o.requiredLong("budget", min = 0L)
+      val bits = o.int("bits", 12, min = 1)
+      if (bits > 31) fail(s"option bits must be in [1, 31], got $bits", span)
+      val out = graft.ops.Sampling.tokenBudgetAuto(
+        df, text.name, id.name, strata.name, budgetTokens = budget, bucketBits = bits)
       o.finish()
       out
 
@@ -363,6 +425,15 @@ private[graft] final class Compiler(
     def requiredInt(name: String, min: Int): Int = {
       if (!byName.contains(name)) fail(s"$opName requires option $name=<n>", opSpan)
       int(name, default = min, min = min)
+    }
+
+    def requiredLong(name: String, min: Long): Long = byName.get(name) match {
+      case None => fail(s"$opName requires option $name=<n>", opSpan)
+      case Some(o) =>
+        val v = try o.value.toLong
+          catch { case _: NumberFormatException => fail(s"option $name must be an integer, got ${o.value}", o.valueSpan) }
+        if (v < min) fail(s"option $name must be >= $min, got $v", o.valueSpan)
+        v
     }
 
     def double(name: String, default: Double, min: Double = Double.NegativeInfinity,

@@ -222,7 +222,8 @@ private[graft] final class SqlGen(
     case other =>
       val name = other match {
         case _: DedupOp     => "dedup"
-        case _: SampleOp    => "sample"
+        case _: SampleOp       => "sample"
+        case _: SampleBudgetOp => "sample budget="
         case _: DecontamOp  => "decontam"
         case _: ChunkOp     => "chunk"
         case _: PackOp      => "pack"

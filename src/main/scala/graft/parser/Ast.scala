@@ -192,6 +192,24 @@ final case class PackOp(
 final case class SampleOp(rate: String, rateSpan: Span, idCol: Ident, span: Span)
     extends TabularOperator
 
+/** `| sample budget=<tokens> [bits=<n>] TextCol by IdCol, StrataCol` —
+  * graft EXTENSION (round 14): per-stratum token-budget selection
+  * ([[graft.ops.Sampling.tokenBudgetAuto]] — keep each stratum's first
+  * ~budget tokens in deterministic hash order). The engine picks the
+  * form from a plan-time stratum count: the exact running-total window
+  * while every stratum is small, the histogram threshold selection
+  * (`bits` buckets exponent, default 12) once any stratum crosses the
+  * row floor. Output is `(IdCol, StrataCol, n_tok)` at every scale.
+  * Distinguished from the rate form by the literal `budget=`.
+  */
+final case class SampleBudgetOp(
+    opts: List[OpOption],
+    textCol: Ident,
+    idCol: Ident,
+    strataCol: Ident,
+    span: Span
+) extends TabularOperator
+
 /** `| join kind=asof [tolerance="1h"] (Right) on Key, ..., TsCol` —
   * graft EXTENSION (round 13): most-recent-prior join, the first query
   * an event-analytics user writes after plain `join`. The LAST `on`

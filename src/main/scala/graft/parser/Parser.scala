@@ -24,6 +24,7 @@ object Parser {
   private[parser] val dedupOptions = Set("dim", "cells", "cos", "occupancy", "planes", "bits")
   private[parser] val decontamOptions = Set("hits", "ngram")
   private[parser] val packOptions = Set("shards")
+  private[parser] val sampleBudgetOptions = Set("budget", "bits")
 }
 
 private final class Parser(source: String, tokens: Vector[Token]) {
@@ -193,14 +194,28 @@ private final class Parser(source: String, tokens: Vector[Token]) {
         val id = parseIdent("id column")
         DedupOp(kind, opts, text, id, spanTo(id.span))
       case "sample" =>
-        val rate = peek match {
-          case Some(t) if t.kind == Number => next()
-          case Some(t) => fail(s"expected literal sample rate, got ${describe(t)}", t.span)
-          case None    => fail("expected literal sample rate, got EOF", eofSpan)
+        // `budget=` selects the token-budget form; it is only taken
+        // when immediately followed by '=' (same two-token lookahead
+        // as dedup's `kind`), so a rate can still follow a column
+        // literally named budget elsewhere in the pipeline.
+        if (atAssignedIdent("budget")) {
+          val opts = parseOpOptions(Parser.sampleBudgetOptions)
+          val text = parseIdent("text column")
+          expectKeywordIdentOr(By, "'by'")
+          val id = parseIdent("id column")
+          expect(Comma, "','")
+          val strata = parseIdent("strata column")
+          SampleBudgetOp(opts, text, id, strata, spanTo(strata.span))
+        } else {
+          val rate = peek match {
+            case Some(t) if t.kind == Number => next()
+            case Some(t) => fail(s"expected literal sample rate, got ${describe(t)}", t.span)
+            case None    => fail("expected literal sample rate, got EOF", eofSpan)
+          }
+          expectKeywordIdentOr(By, "'by'")
+          val id = parseIdent("id column")
+          SampleOp(rate.value, rate.span, id, spanTo(id.span))
         }
-        expectKeywordIdentOr(By, "'by'")
-        val id = parseIdent("id column")
-        SampleOp(rate.value, rate.span, id, spanTo(id.span))
       case "decontam" =>
         // `decontam against (EvalPipeline) [hits=n] [ngram=n] Text by Id`
         peek match {

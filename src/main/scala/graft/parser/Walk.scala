@@ -44,6 +44,8 @@ object Walk {
     case RangeJoinOp(right, cols, buck, _) => right :: (cols ::: buck.map(_.name).toList)
     case DedupOp(_, opts, text, id, _)   => opts.map(_.name) ::: List(text, id)
     case SampleOp(_, _, id, _)           => List(id)
+    case SampleBudgetOp(opts, text, id, strata, _) =>
+      opts.map(_.name) ::: List(text, id, strata)
     case DecontamOp(ev, opts, text, id, _) => ev :: opts.map(_.name) ::: List(text, id)
     case ChunkOp(n, text, id, _)         => List(n, text, id)
     case PackOp(b, opts, tok, id, idx, _) => b :: opts.map(_.name) ::: List(tok, id, idx)

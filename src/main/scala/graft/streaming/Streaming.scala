@@ -60,8 +60,14 @@ object Streaming {
     * ARRIVAL instead (there is no total order to pick a minimum over).
     */
   def dedupExact(df: DataFrame, textCol: String, tsCol: String, maxLateness: String): DataFrame =
-    df.withWatermark(tsCol, maxLateness)
-      .withColumn("__graft_digest", md5(graft.ops.TextOps.normalize(col(textCol)).cast("binary")))
+    dedupExactOn(df.withWatermark(tsCol, maxLateness), textCol)
+
+  /** [[dedupExact]] over an input that ALREADY carries its event-time
+    * watermark — the form the PQL compiler targets (`| dedup` on a
+    * streaming table; the catalog owns the watermark).
+    */
+  def dedupExactOn(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__graft_digest", md5(graft.ops.TextOps.normalize(col(textCol)).cast("binary")))
       .dropDuplicatesWithinWatermark("__graft_digest")
       .drop("__graft_digest")
 
@@ -90,8 +96,19 @@ object Streaming {
       k: Int = 32,
       bandRows: Int = 2
   ): DataFrame =
+    dedupMinhashBandsOn(df.withWatermark(tsCol, maxLateness), textCol, k, bandRows)
+
+  /** [[dedupMinhashBands]] over an already-watermarked input (the PQL
+    * compiler's target — the catalog owns the watermark).
+    */
+  def dedupMinhashBandsOn(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 32,
+      bandRows: Int = 2
+  ): DataFrame =
     graft.ops.NearDup
-      .rowBandRows(df.withWatermark(tsCol, maxLateness), textCol, k, bandRows)
+      .rowBandRows(df, textCol, k, bandRows)
       .dropDuplicatesWithinWatermark("band_idx", "band_key")
 
   /** Streaming EMBEDDING near-dup state (round 13): each incoming row
@@ -116,8 +133,20 @@ object Streaming {
       planes: Int = 32,
       bandBits: Int = 8
   ): DataFrame =
+    dedupEmbedBandsOn(df.withWatermark(tsCol, maxLateness), vecCol, dim, planes, bandBits)
+
+  /** [[dedupEmbedBands]] over an already-watermarked input (the PQL
+    * compiler's target — the catalog owns the watermark).
+    */
+  def dedupEmbedBandsOn(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 32,
+      bandBits: Int = 8
+  ): DataFrame =
     graft.ops.NearDup
-      .rowEmbedBandRows(df.withWatermark(tsCol, maxLateness), vecCol, dim, planes, bandBits)
+      .rowEmbedBandRows(df, vecCol, dim, planes, bandBits)
       .dropDuplicatesWithinWatermark("band_idx", "band_key")
 
   /** Run a compiled (streaming) plan into an in-memory table named

@@ -317,6 +317,28 @@ class CompilerSpec extends SparkTestBase {
     assert(b == 0L)
   }
 
+  test("| sample budget= compiles to tokenBudgetAuto and matches the library call") {
+    val got = Pql.query(spark,
+      "D | extend src = doc_id % 2 | sample budget=4 text by doc_id, src | sort by doc_id asc",
+      dcat).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lib = graft.ops.Sampling.tokenBudgetAuto(
+      docsT.withColumn("src", expr("doc_id % 2")), "text", "doc_id", "src", budgetTokens = 4L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == lib && got.nonEmpty)
+    // option validation is spanned: bits range, missing budget impossible
+    // by construction (budget= selects the form), unknown options rejected
+    import graft.compiler.PqlCompileException
+    val e = intercept[PqlCompileException](Pql.query(spark,
+      "D | extend src = doc_id % 2 | sample budget=4 bits=40 text by doc_id, src", dcat))
+    assert(e.getMessage.contains("bits"), e.getMessage)
+    // an option foreign to this op never parses as one (the parser's
+    // allowed set only consumes budget=/bits=): `shards` reads as the
+    // text column and the stray '=' is a parse error
+    assertThrows[graft.parser.PqlParseException](Pql.query(spark,
+      "D | extend src = doc_id % 2 | sample budget=4 shards=2 text by doc_id, src", dcat))
+  }
+
   test("quality_score and lang_id compose in expressions") {
     val q = Pql.query(spark,
       "D | extend q = quality_score(text) | where q > 0.0 | count", dcat)

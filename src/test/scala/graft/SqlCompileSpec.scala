@@ -137,6 +137,9 @@ class SqlCompileSpec extends SparkTestBase {
     val e = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | dedup EventNarrative by EventId", catalog))
     assert(e.getMessage.contains("Pql.query"), e.getMessage)
+    val e2 = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
+    assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
   }
 
   test("Walk visits every node and supports pruning") {

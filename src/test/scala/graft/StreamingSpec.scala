@@ -237,6 +237,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("PQL | dedup over a stream: watermarked state for exact/minhash/embed, spanned errors for the rest") {
+    implicit val ctx = spark.sqlContext
+    import graft.compiler.PqlCompileException
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val wm = Streaming.withEventTime(ms.toDF.toDF("ts", "doc_id", "text"), "ts", "5 minutes")
+    val cat = Map("D" -> wm)
+
+    // minhash kind → first-arrival band claims, bit-identical band
+    // keys to the library/batch form
+    val viaPql = Pql.query(spark, "D | dedup kind=minhash text by doc_id | project band_idx, band_key", cat)
+    assert(viaPql.isStreaming)
+    val q = Streaming.runToMemory(viaPql, "pql_stream_bands", "append")
+    try {
+      ms.addData(Seq((ts(0), 1L, "the quick brown fox"), (ts(1), 2L, "another unrelated doc")))
+      q.processAllAvailable()
+      val got = spark.table("pql_stream_bands")
+        .select("band_idx", "band_key").as[(Int, String)].collect().toSet
+      val batch = graft.ops.NearDup.rowBandRows(
+        Seq((1L, "the quick brown fox"), (2L, "another unrelated doc")).toDF("doc_id", "text"),
+        "text", k = 32, bandRows = 2)
+        .select("band_idx", "band_key").as[(Int, String)].collect().toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+
+    // exact kind compiles to the digest state form and stays streaming
+    val viaExact = Pql.query(spark, "D | dedup text by doc_id", cat)
+    assert(viaExact.isStreaming)
+    assert(viaExact.columns.toSeq == Seq("ts", "doc_id", "text")) // full rows, digest dropped
+
+    // kinds without a bounded-state streaming contract: spanned errors
+    for (k <- Seq("semantic", "simhash", "lines", "substrings")) {
+      val e = intercept[PqlCompileException](Pql.query(spark, s"D | dedup kind=$k text by doc_id", cat))
+      assert(e.getMessage.contains("not available on a streaming input"), e.getMessage)
+    }
+    // the adaptive/rescore options are batch-only for embed on a stream
+    val e2 = intercept[PqlCompileException](
+      Pql.query(spark, "D | dedup kind=embed dim=8 occupancy=64 text by doc_id", cat))
+    assert(e2.getMessage.contains("occupancy"), e2.getMessage)
+    // sample budget= needs a plan-time count: rejected on a stream
+    val e3 = intercept[PqlCompileException](
+      Pql.query(spark, "D | sample budget=100 text by doc_id, doc_id", cat))
+    assert(e3.getMessage.contains("streaming"), e3.getMessage)
+
+    // a streaming input WITHOUT a watermark is a compile error with a
+    // span, not an AnalysisException at query start
+    val noWm = Map("D" -> ms.toDF.toDF("ts", "doc_id", "text"))
+    val e4 = intercept[PqlCompileException](Pql.query(spark, "D | dedup text by doc_id", noWm))
+    assert(e4.getMessage.contains("watermark"), e4.getMessage)
+  }
+
   private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
     name => m.getOrElse(name, sys.error(s"unknown table $name"))
 }

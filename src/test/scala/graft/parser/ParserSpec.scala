@@ -233,4 +233,17 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[PqlParseException](Parser.parse("D | sample x by doc_id"))
     assertThrows[PqlParseException](Parser.parse("D | sample 0.25 doc_id"))
   }
+
+  test("sample budget= parses the token-budget form; bare budget still reads as a column") {
+    val SampleBudgetOp(opts, text, id, strata, _) =
+      tabular("D | sample budget=800 bits=10 text by doc_id, source").operators.head: @unchecked
+    assert(opts.map(o => o.name.name -> o.value) == List("budget" -> "800", "bits" -> "10"))
+    assert(text.name == "text" && id.name == "doc_id" && strata.name == "source")
+    // the strata column is required (distinguishes the form from the rate one)
+    assertThrows[PqlParseException](Parser.parse("D | sample budget=800 text by doc_id"))
+    assertThrows[PqlParseException](Parser.parse("D | sample budget= text by doc_id, s"))
+    // `budget` NOT followed by '=' is not the budget form — here it's a
+    // bogus rate position, same error as any other identifier
+    assertThrows[PqlParseException](Parser.parse("D | sample budget by doc_id"))
+  }
 }

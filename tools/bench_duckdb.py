@@ -12,6 +12,7 @@ With no keys, times the four headline queries. Prints one JSON line
 compatible with BENCH_r{N}.json's "queries" field.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -41,15 +42,31 @@ def main():
             pat = f"{p}/*.parquet" if p.is_dir() else str(p)
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
+    # CTAS=1: time CREATE TEMP TABLE AS instead of fetchall. Row-by-row
+    # python conversion dominates multi-million-row results 10:1+ (an
+    # 11M-row fetchall spent >20 min converting vs 297 s of DuckDB
+    # evaluation) — CTAS materializes fully inside the engine, matching
+    # graft's noop-sink timing. Warmups drop to 1 under CTAS (big-SF
+    # oracles run minutes; the first run already warms the page cache).
+    ctas = os.environ.get("CTAS") == "1"
+    n_warm, n_meas = (1, 3) if ctas else (2, 3)
     results = {}
     for k in keys:
         sql = oracle[k]
-        for _ in range(2):
-            con.execute(sql).fetchall()
+
+        def run_once():
+            if ctas:
+                con.execute("DROP TABLE IF EXISTS __bench_out")
+                con.execute(f"CREATE TEMP TABLE __bench_out AS {sql}")
+            else:
+                con.execute(sql).fetchall()
+
+        for _ in range(n_warm):
+            run_once()
         runs = []
-        for _ in range(3):
+        for _ in range(n_meas):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            run_once()
             runs.append(time.perf_counter() - t0)
         results[k] = round(statistics.median(runs), 4)
 
