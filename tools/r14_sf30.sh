@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-14 ask #3: the sf30 (300x) octave. Dumps are produced by a
+# prior graft.Verify run into /tmp/verify_sf30_r14; this script runs
+# the oracle compares (fresh DuckDB process per entry; clusters via
+# the stepwise runner that DuckDB needs at this scale), then the graft
+# wall-times for the slope table (sentinel-bracketed MicroBench,
+# JVM and DuckDB never alive at the same time).
+set -uo pipefail
+cd /root/repo
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+SF=/tmp/graft_sf30
+OUT=/tmp/verify_sf30_r14
+ENTRIES="dedup_pipeline dedup_ngram dedup_minhash dedup_substrings dedup_incremental dedup_simhash ann_lsh_auto dedup_embed_auto dedup_semantic_auto ann_ivf_auto decontam_overlap"
+
+echo "== [1/3] fast_compare per entry (fresh process each) =="
+for e in $ENTRIES; do
+  timeout 3600 python3 tools/fast_compare.py "$OUT" "$SF" "$e" || echo "[compare-rc=$?] $e"
+done
+
+echo "== [2/3] dedup_clusters stepwise compare =="
+timeout 5400 python3 tools/clusters_stepwise.py "$OUT" "$SF" || echo "[stepwise-rc=$?]"
+
+echo "== [3/3] graft sf30 wall-times (MicroBench entry, sentinel-bracketed) =="
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_SENTINEL_SEC=1.0 \
+  java -Xmx96g -cp "$CP" graft.ops.MicroBench entry dedup_clusters $ENTRIES
+echo "== sf30 done =="
