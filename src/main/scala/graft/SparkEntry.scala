@@ -3,7 +3,7 @@ package graft
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, posexplode, unix_micros, when}
+import org.apache.spark.sql.functions.{col, concat, count, expr, length, lit, posexplode, unix_micros, when}
 
 import graft.ops.{Ann, AsOf, Decontam, Dedup, Incremental, Kmeans, Multimodal, NearDup, Project, Quantize, Sampling, SemDedup, Shard, Sketch, Skew, TextOps}
 import graft.streaming.Sessionize
@@ -904,6 +904,47 @@ object SparkEntry {
       (s, dir) => Sampling.tokenBudgetAuto(
         docs(s, dir), "text", "doc_id", "source", budgetTokens = 800L),
       Some(sqlTokenBudgetAutoOracle)
+    ),
+    // Coarse-strata auto budget (round 14): the `source` strata are
+    // 20 uniform groups, so even sf10 (500k docs) peaks at 25k
+    // rows/stratum — below the 100k crossover; no swept entry ever
+    // exercised the histogram branch the auto form exists for. This
+    // entry collapses the strata to TWO groups (source-name length:
+    // src0-src9 vs src10-src19), so sf10 holds 250k rows/stratum and
+    // the crossover genuinely flips there, while gate scales stay on
+    // the exact branch. The oracle recomputes the decision in SQL —
+    // one text, both branches, every SF.
+    "sample_token_budget_auto_coarse" -> Entry(
+      (s, dir) => Sampling.tokenBudgetAuto(
+        docs(s, dir).withColumn(
+          "sgrp", when(length(col("source")) === 4, lit("g0")).otherwise(lit("g1"))),
+        "text", "doc_id", "sgrp", budgetTokens = 5000L),
+      Some(
+        s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN len(source) = 4 THEN 'g0' ELSE 'g1' END AS sgrp, text
+           |FROM documents),
+           |t AS (SELECT doc_id, sgrp,
+           |  CAST(len(regexp_split_to_array(trim(text), '$sqlWs+')) AS BIGINT) AS n_tok,
+           |  ('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 8))::BIGINT AS h
+           |FROM d),
+           |mx AS (SELECT coalesce(max(cnt), 0) AS m
+           |  FROM (SELECT count(*) AS cnt FROM d GROUP BY sgrp)),
+           |ex AS (SELECT doc_id, sgrp, n_tok FROM (
+           |  SELECT doc_id, sgrp, n_tok,
+           |    CAST(sum(n_tok) OVER (PARTITION BY sgrp ORDER BY h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           |  FROM t) WHERE cum_tok <= 5000),
+           |hb AS (SELECT doc_id, sgrp, n_tok, h // 1048576 AS bucket FROM t),
+           |hh AS (SELECT sgrp, bucket, sum(n_tok) AS mass FROM hb GROUP BY sgrp, bucket),
+           |hc AS (SELECT sgrp, bucket, sum(mass) OVER (
+           |    PARTITION BY sgrp ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum FROM hh),
+           |hm AS (SELECT sgrp, max(bucket) AS maxb FROM hc WHERE cum <= 5000 GROUP BY sgrp)
+           |SELECT doc_id, sgrp, n_tok FROM ex WHERE (SELECT m FROM mx) <= 100000
+           |UNION ALL
+           |SELECT hb.doc_id, hb.sgrp, hb.n_tok
+           |FROM hb JOIN hm ON hb.sgrp = hm.sgrp AND hb.bucket <= hm.maxb
+           |WHERE (SELECT m FROM mx) > 100000""".stripMargin
+      )
     ),
     // Streaming parity for the mixture op: the identical
     // Sampling.mixture call over readStream (stateless narrow
