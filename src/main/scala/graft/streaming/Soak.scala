@@ -19,7 +19,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * inside one lateness window, NOT the total keys in the run —
   * recorded in BASELINE.md.
   *
-  * Usage: sbt "runMain graft.streaming.Soak <sfDir> [nFiles]"
+  * Usage: sbt "runMain graft.streaming.Soak <sfDir> [nFiles] [workloads]"
+  * where [workloads] is an optional comma-list restricting the run
+  * (e.g. `stream_dedup_embed`); default runs all five.
   */
 object Soak {
 
@@ -27,6 +29,9 @@ object Soak {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val nFiles = if (args.length > 1) args(1).toInt else 16
+    val selected: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
+    def wants(name: String): Boolean = selected.isEmpty || selected(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,19 +52,27 @@ object Soak {
     // that a raw parquet read refuses; the scratch copies below are
     // Spark-written (micros), so the streams read them raw.
     val t = graft.sources.Tables.parquetDir(spark, sfDir)
-    t("events").repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(s"$scratch/events")
-    forceMtimeOrder(s"$scratch/events")
-    val docs = t("documents")
-      .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
-    docs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(s"$scratch/docs")
-    forceMtimeOrder(s"$scratch/docs")
-    val embs = t("embeddings")
-      .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
-    embs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(s"$scratch/embs")
-    forceMtimeOrder(s"$scratch/embs")
+    val needsEvents = wants("events_windowed_fsink") || wants("sessions_capped")
+    val needsDocs = wants("stream_dedup_exact") || wants("stream_dedup_minhash")
+    if (needsEvents) {
+      t("events").repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$scratch/events")
+      forceMtimeOrder(s"$scratch/events")
+    }
+    if (needsDocs) {
+      val docs = t("documents")
+        .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+      docs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$scratch/docs")
+      forceMtimeOrder(s"$scratch/docs")
+    }
+    if (wants("stream_dedup_embed")) {
+      val embs = t("embeddings")
+        .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
+      embs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$scratch/embs")
+      forceMtimeOrder(s"$scratch/embs")
+    }
 
     def fileStream(path: String): DataFrame =
       spark.readStream
@@ -86,6 +99,7 @@ object Soak {
     }
 
     // 1. windowed agg → parquet file sink (events_windowed_fsink shape)
+    if (wants("events_windowed_fsink"))
     soak("events_windowed_fsink", s"$scratch/fsink_out") { () =>
       val agg = Streaming.withEventTime(fileStream(s"$scratch/events"), "ts", "10 minutes")
         .groupBy(Streaming.binWindow(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -95,6 +109,7 @@ object Soak {
     }
 
     // 2. streaming exact dedup (stream_dedup_exact shape)
+    if (wants("stream_dedup_exact"))
     soak("stream_dedup_exact", s"$scratch/sde_out") { () =>
       val deduped = Streaming.dedupExact(fileStream(s"$scratch/docs"), "text", "ts", "1 hour")
         .select(md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
@@ -102,6 +117,7 @@ object Soak {
     }
 
     // 3. streaming MinHash band dedup (stream_dedup_minhash shape)
+    if (wants("stream_dedup_minhash"))
     soak("stream_dedup_minhash", s"$scratch/sdm_out") { () =>
       val bands = Streaming
         .dedupMinhashBands(fileStream(s"$scratch/docs"), "text", "ts", "1 hour")
@@ -113,6 +129,7 @@ object Soak {
     // round 13): the rowwise PackedSignSig keeps the pre-state plan
     // stateless; state rows must track band keys inside one lateness
     // window, not the whole corpus's band space.
+    if (wants("stream_dedup_embed"))
     soak("stream_dedup_embed", s"$scratch/sdemb_out") { () =>
       val bands = Streaming
         .dedupEmbedBands(fileStream(s"$scratch/embs"), "embedding", "ts", "1 hour", dim = 64)
@@ -125,6 +142,7 @@ object Soak {
     // likeliest state leak, previously proven only by single-batch
     // gates that never fire a timeout. State must stay bounded by the
     // keys active inside one gap window, not the total user count.
+    if (wants("sessions_capped"))
     soak("sessions_capped", s"$scratch/sc_out") { () =>
       val sessions = Sessionize.cappedSessions(
         Streaming.withEventTime(fileStream(s"$scratch/events"), "ts", "10 minutes"),
