@@ -2810,6 +2810,24 @@ object SparkEntry {
         |  ON e.user_id = p.user_id AND p.event_type = 'purchase'
         | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE""".stripMargin
     ),
+    // `| ann` (round 14): the ANN top-k family in the language — the
+    // piped corpus against a query sub-pipeline, `(Queries) on Vec by
+    // Id`. Each entry hash-matches its library twin's oracle verbatim:
+    // kind=brute ≡ ann_brute, kind=lsh (adaptive default geometry) ≡
+    // ann_lsh_auto, kind=ivf (seeded centroids, √n cells, probes=2) ≡
+    // ann_ivf_auto.
+    "pql_ann_brute" -> q(
+      "embeddings | ann (embeddings | where vec_id % 50 == 0) on embedding by vec_id",
+      sqlAnnBruteOracle
+    ),
+    "pql_ann_lsh" -> q(
+      "embeddings | ann kind=lsh dim=64 (embeddings | where vec_id % 50 == 0) on embedding by vec_id",
+      sqlAnnLshAutoOracle()
+    ),
+    "pql_ann_ivf" -> q(
+      "embeddings | ann kind=ivf dim=64 (embeddings | where vec_id % 50 == 0) on embedding by vec_id",
+      sqlAnnIvfAutoOracle
+    ),
     // PQL over a STREAM (round 14): the same `| dedup` text compiled
     // against a readStream catalog routes to the watermark-bounded
     // dropDuplicatesWithinWatermark form (first-arrival band claims —

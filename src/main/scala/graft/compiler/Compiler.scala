@@ -381,6 +381,78 @@ private[graft] final class Compiler(
       }
       graft.ops.RangeJoin.pointInInterval(
         df, rightDf, keys, tsC.name, startC.name, endC.name, bucketMicros = micros)
+
+    case AnnOp(kind, opts, queries, vec, id, span) =>
+      // `| ann [kind=..] [opts] (Queries) on Vec by Id` → graft.ops.Ann
+      // top-k of the piped corpus against the query sub-pipeline. The
+      // indexed kinds size their geometry from a plan-time corpus
+      // count (adaptive default, round 13) and the query side is
+      // always broadcast — both need bounded inputs, so streams are
+      // rejected here with a span, not as an AnalysisException later.
+      if (df.isStreaming)
+        fail("ann indexes a bounded corpus and is not available on a streaming input", span)
+      val qDf = compileTabular(queries)
+      if (qDf.isStreaming)
+        fail("ann query side must be a bounded input, got a stream", span)
+      Seq(vec, id).find(c => !df.columns.contains(c.name)).foreach(c =>
+        fail(s"ann column ${c.name} not found on the corpus side", c.span))
+      Seq(vec, id).find(c => !qDf.columns.contains(c.name)).foreach(c =>
+        fail(s"ann column ${c.name} not found on the query side", c.span))
+      if (vec.name == id.name)
+        fail("ann vector and id columns must differ", id.span)
+      // the operator's output (query_id, id, cos_sim, rank) and its
+      // internal projections reference these names unqualified — a
+      // user column shadowing one would be ambiguous at runtime
+      val annReserved = Set("query_id", "cos_sim", "rank",
+        "v", "nrm", "qv", "qn", "sig", "band_idx", "band_key", "c", "j", "x", "d", "r")
+      Seq(vec, id).find(c => annReserved.contains(c.name)).foreach(c =>
+        fail(s"ann column ${c.name} collides with the operator's internal/output " +
+          "columns — rename before indexing", c.span))
+      kind match {
+        case "brute" =>
+          val o = new OpOptions(opts, span, Set("k"), "ann kind=brute")
+          val out = graft.ops.Ann.bruteTopK(df, qDf, vec.name, id.name,
+            k = o.int("k", 5, min = 1))
+          o.finish()
+          out
+        case "lsh" =>
+          val o = new OpOptions(opts, span,
+            Set("k", "dim", "planes", "bits", "occupancy"), "ann kind=lsh")
+          val k = o.int("k", 5, min = 1)
+          val dim = o.requiredInt("dim", min = 1)
+          val out =
+            (o.intOpt("planes", min = 1), o.intOpt("bits", min = 1),
+              o.intOpt("occupancy", min = 1)) match {
+              case (Some(_), Some(_), Some(_)) =>
+                fail("ann kind=lsh takes planes=/bits= or occupancy=, not both", span)
+              case (Some(p), Some(b), None) =>
+                if (b > 62) fail(s"option bits must be in [1, 62], got $b", span)
+                if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", span)
+                graft.ops.Ann.lshTopK(df, qDf, vec.name, id.name, dim, k,
+                  planes = p, bandBits = b)
+              case (None, None, t) =>
+                graft.ops.Ann.lshTopKAuto(df, qDf, vec.name, id.name, dim, k,
+                  targetOccupancy = t.getOrElse(64))
+              case _ =>
+                fail("ann kind=lsh needs planes= and bits= together", span)
+            }
+          o.finish()
+          out
+        case "ivf" =>
+          // the SEEDED centroid family (hash-sampled from the corpus —
+          // the data-dependent policy ivfTopKSeeded's doc argues for at
+          // scale); cells=0 (unset) resolves √n cells at plan time
+          val o = new OpOptions(opts, span, Set("k", "dim", "cells", "probes"), "ann kind=ivf")
+          val out = graft.ops.Ann.ivfTopKSeeded(df, qDf, vec.name, id.name,
+            dim = o.requiredInt("dim", min = 1),
+            k = o.int("k", 5, min = 1),
+            nCells = o.intOpt("cells", min = 1).getOrElse(0),
+            nProbe = o.int("probes", 2, min = 1))
+          o.finish()
+          out
+        case other =>
+          fail(s"unknown ann kind $other", span)
+      }
   }
 
   /** Option names valid for each dedup kind: an option the op would

@@ -229,6 +229,7 @@ private[graft] final class SqlGen(
         case _: PackOp      => "pack"
         case _: AsofJoinOp  => "join kind=asof"
         case _: RangeJoinOp => "join kind=range"
+        case _: AnnOp       => "ann"
         case _              => "this"
       }
       fail(

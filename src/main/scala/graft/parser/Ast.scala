@@ -238,3 +238,27 @@ final case class RangeJoinOp(
     bucket: Option[OpOption],
     span: Span
 ) extends TabularOperator
+
+/** `| ann [kind=brute|lsh|ivf] [k=5] [dim=64] ... (Queries) on VecCol
+  * by IdCol` — graft EXTENSION (round 14): approximate-nearest-neighbor
+  * top-k of the piped corpus against a query sub-pipeline
+  * ([[graft.ops.Ann]]). The corpus is the left input; `Queries` is a
+  * tabular expression carrying the same vector/id columns (small by
+  * construction — it is always broadcast). Output is
+  * `(query_id, IdCol, cos_sim, rank)`, ≤ k rows per query.
+  *
+  * `kind=brute` (default) is the exact cosine top-k; `lsh`/`ivf` are
+  * the indexed paths whose geometry defaults to the adaptive plan-time
+  * sizing (round 13) — `planes=`/`bits=` (lsh) or `cells=` (ivf) pin a
+  * fixed index, `probes=` sets the IVF probe width, `dim=` is required
+  * for the indexed kinds (a plan parameter, not derivable from the
+  * array column type).
+  */
+final case class AnnOp(
+    kind: String,
+    opts: List[OpOption],
+    queries: TabularExpr,
+    vecCol: Ident,
+    idCol: Ident,
+    span: Span
+) extends TabularOperator

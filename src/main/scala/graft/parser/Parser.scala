@@ -25,6 +25,8 @@ object Parser {
   private[parser] val decontamOptions = Set("hits", "ngram")
   private[parser] val packOptions = Set("shards")
   private[parser] val sampleBudgetOptions = Set("budget", "bits")
+  private[parser] val annKinds = Set("brute", "lsh", "ivf")
+  private[parser] val annOptions = Set("k", "dim", "cells", "probes", "planes", "bits", "occupancy")
 }
 
 private final class Parser(source: String, tokens: Vector[Token]) {
@@ -216,6 +218,32 @@ private final class Parser(source: String, tokens: Vector[Token]) {
           val id = parseIdent("id column")
           SampleOp(rate.value, rate.span, id, spanTo(id.span))
         }
+      case "ann" =>
+        // `ann [kind=brute|lsh|ivf] [opts] (Queries) on VecCol by IdCol`
+        // — kind only taken when literally followed by '=' (same
+        // lookahead as dedup's), so a query named `kind` still parses.
+        var annKind = "brute"
+        if (atAssignedIdent("kind")) {
+          next()
+          expect(Assign, "'='")
+          val f = peek match {
+            case Some(t) if t.kind == Identifier => next()
+            case Some(t) => fail(s"expected ann kind, got ${describe(t)}", t.span)
+            case None    => fail("expected ann kind, got EOF", eofSpan)
+          }
+          if (!Parser.annKinds.contains(f.value))
+            fail(
+              s"expected ann kind (one of ${Parser.annKinds.toList.sorted.mkString(", ")}), got ${f.value}",
+              f.span
+            )
+          annKind = f.value
+        }
+        val aOpts = parseOpOptions(Parser.annOptions)
+        val aRight = parseJoinRight()
+        val aVec = parseIdent("vector column")
+        expectKeywordIdentOr(By, "'by'")
+        val aId = parseIdent("id column")
+        AnnOp(annKind, aOpts, aRight, aVec, aId, spanTo(aId.span))
       case "decontam" =>
         // `decontam against (EvalPipeline) [hits=n] [ngram=n] Text by Id`
         peek match {

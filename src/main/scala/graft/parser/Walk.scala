@@ -47,6 +47,7 @@ object Walk {
     case SampleBudgetOp(opts, text, id, strata, _) =>
       opts.map(_.name) ::: List(text, id, strata)
     case DecontamOp(ev, opts, text, id, _) => ev :: opts.map(_.name) ::: List(text, id)
+    case AnnOp(_, opts, qs, vec, id, _)  => qs :: opts.map(_.name) ::: List(vec, id)
     case ChunkOp(n, text, id, _)         => List(n, text, id)
     case PackOp(b, opts, tok, id, idx, _) => b :: opts.map(_.name) ::: List(tok, id, idx)
   }

@@ -310,6 +310,61 @@ class CompilerSpec extends SparkTestBase {
       .contains("duplicate range join column s"))
   }
 
+  // ---- graft extension: | ann ------------------------------------------
+
+  private lazy val annCorpus: DataFrame = {
+    val session = spark
+    import session.implicits._
+    // 12 unit-ish vectors in 2-D spread over the circle
+    (0 until 12).map { i =>
+      val a = i * math.Pi / 6
+      (i.toLong, Array(math.cos(a), math.sin(a)))
+    }.toDF("vid", "emb")
+  }
+  private def acat(name: String): DataFrame = name match {
+    case "C"   => annCorpus
+    case "Q"   => annCorpus.filter(col("vid") % 4 === 0)
+    case other => sys.error(s"no table $other")
+  }
+
+  test("| ann equals the library calls for every kind") {
+    def rows(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "vid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qs = annCorpus.filter(col("vid") % 4 === 0)
+    val viaBrute = Pql.query(spark, "C | ann k=3 (C | where vid % 4 == 0) on emb by vid", acat)
+    assert(rows(viaBrute) == rows(graft.ops.Ann.bruteTopK(annCorpus, qs, "emb", "vid", k = 3)))
+    assert(viaBrute.columns.toSeq == Seq("query_id", "vid", "cos_sim", "rank"))
+    val viaLsh = Pql.query(spark, "C | ann kind=lsh dim=2 k=3 (C | where vid % 4 == 0) on emb by vid", acat)
+    assert(rows(viaLsh) == rows(graft.ops.Ann.lshTopKAuto(annCorpus, qs, "emb", "vid", dim = 2, k = 3)))
+    val viaIvf = Pql.query(spark, "C | ann kind=ivf dim=2 k=3 probes=2 (C | where vid % 4 == 0) on emb by vid", acat)
+    assert(rows(viaIvf) == rows(graft.ops.Ann.ivfTopKSeeded(annCorpus, qs, "emb", "vid", dim = 2, k = 3)))
+  }
+
+  test("| ann misuse is a spanned compile error") {
+    import graft.compiler.PqlCompileException
+    def err(q: String): String =
+      intercept[PqlCompileException](Pql.query(spark, q, acat)).getMessage
+    // column existence, both sides; vec/id must differ
+    assert(err("C | ann (Q) on nope by vid").contains("nope not found on the corpus side"))
+    assert(err("C | extend extra = 1 | ann (Q) on extra by vid").contains("not found on the query side"))
+    assert(err("C | ann (Q) on emb by emb").contains("must differ"))
+    // reserved output/internal names
+    def rcat(name: String): DataFrame = acat(name).withColumnRenamed("vid", "rank")
+    val e = intercept[PqlCompileException](
+      Pql.query(spark, "C | ann (Q) on emb by rank", rcat)).getMessage
+    assert(e.contains("collides"), e)
+    // per-kind option sets: an option the kind ignores is an error
+    assert(err("C | ann cells=4 (Q) on emb by vid").contains("not valid for ann kind=brute"))
+    assert(err("C | ann kind=lsh dim=2 probes=3 (Q) on emb by vid").contains("not valid for ann kind=lsh"))
+    // lsh geometry: planes/bits together, bounded; dim required
+    assert(err("C | ann kind=lsh dim=2 planes=8 (Q) on emb by vid").contains("planes= and bits= together"))
+    assert(err("C | ann kind=lsh dim=2 planes=8 bits=63 (Q) on emb by vid").contains("bits must be in [1, 62]"))
+    assert(err("C | ann kind=lsh dim=2 planes=4 bits=8 (Q) on emb by vid").contains("one band minimum"))
+    assert(err("C | ann kind=lsh (Q) on emb by vid").contains("dim"))
+    assert(err("C | ann kind=ivf (Q) on emb by vid").contains("dim"))
+  }
+
   test("| sample applies the deterministic Bernoulli filter") {
     val a = Pql.query(spark, "D | sample 1.0 by doc_id", dcat).count()
     assert(a == 3L)

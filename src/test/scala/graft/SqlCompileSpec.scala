@@ -140,6 +140,9 @@ class SqlCompileSpec extends SparkTestBase {
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
     assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
+    val e3 = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("StormEvents | ann (StormEvents) on EventNarrative by EventId", catalog))
+    assert(e3.getMessage.contains("'ann'") && e3.getMessage.contains("Pql.query"), e3.getMessage)
   }
 
   test("Walk visits every node and supports pruning") {

@@ -279,6 +279,11 @@ class StreamingSpec extends SparkTestBase {
     val e3 = intercept[PqlCompileException](
       Pql.query(spark, "D | sample budget=100 text by doc_id, doc_id", cat))
     assert(e3.getMessage.contains("streaming"), e3.getMessage)
+    // ann indexes a bounded corpus (plan-time count, broadcast query
+    // side): rejected on a stream with a span
+    val e5 = intercept[PqlCompileException](
+      Pql.query(spark, "D | ann (D) on text by doc_id", cat))
+    assert(e5.getMessage.contains("streaming"), e5.getMessage)
 
     // a streaming input WITHOUT a watermark is a compile error with a
     // span, not an AnalysisException at query start

@@ -112,6 +112,25 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[PqlParseException](Parser.parse("L | join kind=asof (R) on $left.k == $right.k, ts"))
   }
 
+  test("| ann: kind lookahead, options, query sub-pipeline, on/by arity") {
+    val AnnOp(kind, opts, right, vec, id, _) =
+      tabular("C | ann kind=ivf k=10 dim=64 cells=32 probes=3 (Q | where x > 1) on emb by vid")
+        .operators.head: @unchecked
+    assert(kind == "ivf")
+    assert(opts.map(_.name.name) == List("k", "dim", "cells", "probes"))
+    assert(right.operators.length == 1)
+    assert(vec.name == "emb" && id.name == "vid")
+    // bare form defaults to the exact kind
+    val AnnOp(k2, o2, _, _, _, _) = tabular("C | ann (Q) on emb by vid").operators.head: @unchecked
+    assert(k2 == "brute" && o2.isEmpty)
+    // unknown kind / unknown option / missing structure are parse errors
+    assertThrows[PqlParseException](Parser.parse("C | ann kind=cosine (Q) on emb by vid"))
+    assertThrows[PqlParseException](Parser.parse("C | ann shards=2 (Q) on emb by vid"))
+    assertThrows[PqlParseException](Parser.parse("C | ann (Q) emb by vid"))
+    assertThrows[PqlParseException](Parser.parse("C | ann (Q) on emb vid"))
+    assertThrows[PqlParseException](Parser.parse("C | ann Q on emb by vid"))
+  }
+
   test("join kind=range: point/start/end tail, optional bucket, arity check") {
     val RangeJoinOp(right, cols, bucket, _) =
       tabular("""L | join kind=range bucket="30m" (R) on k, ts, s, e""").operators.head: @unchecked
