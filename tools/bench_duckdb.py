@@ -36,6 +36,16 @@ def main():
 
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # big-SF oracles (95M-row CTAS at sf30) exceed RAM without a spill
+    # path — the kernel OOM-kills the process (rc=137) otherwise
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='60GB'")
+    # the default memory_limit (80% of RAM) lets the process outgrow
+    # the machine before operators choose to spill — the kernel
+    # OOM-kills it; an explicit cap forces out-of-core execution
+    import os
+    if os.environ.get("DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.exists():
