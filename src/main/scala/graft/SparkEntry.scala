@@ -2860,6 +2860,39 @@ object SparkEntry {
            |SELECT DISTINCT CAST(bi AS INT) AS band_idx, bk AS band_key FROM bd""".stripMargin
       )
     ),
+    // The EMBED streaming kind as reached from query text (round 15,
+    // closing the last reachable-but-ungated streaming route): the
+    // same `| dedup kind=embed dim=64` text over a readStream catalog
+    // compiles to dedupEmbedBandsOn's fixed 32/8 geometry (the
+    // adaptive default needs a plan-time corpus count a stream can't
+    // provide), hash-matching stream_dedup_embed's oracle — the batch
+    // sign-LSH signature SQL recomputed from scratch.
+    "pql_stream_dedup_embed" -> Entry(
+      (s, dir) => {
+        val sink = "pqlsde_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/embeddings.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
+        val cat: String => DataFrame = {
+          case "embeddings" => graft.streaming.Streaming.withEventTime(stream, "ts", "1 hour")
+          case other       => sys.error(s"no streaming table $other")
+        }
+        val bands = Pql.query(s,
+          "embeddings | dedup kind=embed dim=64 embedding by vec_id | project band_idx, band_key", cat)
+        val q = graft.streaming.Streaming.runToMemory(bands, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |sg AS (SELECT vec_id, CAST(${sqlSignSig(64, planes = 32)} AS BIGINT) AS sig FROM e),
+           |bd AS (${(0 until 4)
+            .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
+            .mkString("\nUNION ALL ")})
+           |SELECT DISTINCT CAST(bi AS INT) AS band_idx, bk AS band_key FROM bd""".stripMargin
+      )
+    ),
     // The SQL-TEXT backend (Pql.compileToSql — the reference's
     // `Compile` analogue): a pipeline compiled to a Spark SQL string,
     // executed via spark.sql, hash-matched against DuckDB. Proves the

@@ -221,7 +221,10 @@ private[graft] final class Compiler(
           val pairs =
             (o.intOpt("planes", min = 1), o.intOpt("bits", min = 1),
               o.intOpt("occupancy", min = 1)) match {
-              case (Some(_), Some(_), Some(_)) =>
+              // occupancy with full OR partial fixed geometry: same
+              // conflict, same message (the ann kind=lsh rule)
+              case (Some(_), Some(_), Some(_)) | (Some(_), None, Some(_)) |
+                  (None, Some(_), Some(_)) =>
                 fail("dedup kind=embed takes planes=/bits= or occupancy=, not both", span)
               case (Some(p), Some(b), None) =>
                 graft.ops.NearDup.embedCosinePairs(
@@ -313,39 +316,14 @@ private[graft] final class Compiler(
       // the rest: one shuffle on the key, no range condition, hot keys
       // split across time buckets.
       val rightDf = compileTabular(right)
-      // a repeated on-column would compile into a degenerate plan
-      // partitioned and ordered by the same column — reject before
-      // splitting keys/timestamp
-      onCols.groupBy(_.name).collectFirst { case (_, cs) if cs.sizeIs > 1 => cs(1) }
-        .foreach(c => fail(s"duplicate asof join column ${c.name}", c.span))
-      val keys = onCols.init.map(_.name)
-      val ts = onCols.last.name
-      onCols.init.find(c => !df.columns.contains(c.name)).foreach(c =>
-        fail(s"asof join column ${c.name} not found on the left side", c.span))
-      if (!df.columns.contains(ts)) fail(s"asof join timestamp $ts not found on the left side", onCols.last.span)
-      (keys :+ ts).find(n => !rightDf.columns.contains(n)).foreach(n =>
-        fail(s"asof join column $n not found on the right side", span))
-      val valueCols = rightDf.columns.toSeq.filterNot(c => keys.contains(c) || c == ts)
-      if (valueCols.isEmpty)
-        fail("asof join right side carries no value columns beyond the key and timestamp", span)
-      // surface AsOf.joinAsOf's preconditions as spanned compile errors
-      // instead of raw IllegalArgumentExceptions at plan-build time
-      val collide = valueCols.intersect(df.columns.toSeq)
-      if (collide.nonEmpty)
-        fail(s"asof join right-side value column${if (collide.sizeIs > 1) "s" else ""} " +
-          s"${collide.mkString(", ")} already exist${if (collide.sizeIs > 1) "" else "s"} on the " +
-          "left side — project or rename on the right side", span)
-      val reserved = Seq("__vals", "__side", "__bucket", "__carry")
-      val badReserved = (df.columns.toSeq ++ valueCols).distinct.intersect(reserved)
-      if (badReserved.nonEmpty)
-        fail(s"asof join input column${if (badReserved.sizeIs > 1) "s" else ""} " +
-          s"${badReserved.mkString(", ")} collide${if (badReserved.sizeIs > 1) "" else "s"} " +
-          "with the operator's internal columns — rename before joining", span)
+      // validation (duplicate on-columns, existence, value/reserved
+      // collisions) is shared with the SQL-text backend — ExtJoins
+      val p = ExtJoins.asofParts(df.columns.toSeq, rightDf.columns.toSeq, onCols, span, fail)
       tol match {
-        case None => graft.ops.AsOf.joinAsOf(df, rightDf, keys, ts, valueCols)
+        case None => graft.ops.AsOf.joinAsOf(df, rightDf, p.keys, p.ts, p.valueCols)
         case Some(o) =>
           val ms = exprs.parseDurationMillis(o.value, o.valueSpan)
-          graft.ops.AsOf.joinAsOfTolerant(df, rightDf, keys, ts, valueCols, s"$ms milliseconds")
+          graft.ops.AsOf.joinAsOfTolerant(df, rightDf, p.keys, p.ts, p.valueCols, s"$ms milliseconds")
       }
 
     case RangeJoinOp(right, onCols, bucket, span) =>
@@ -354,27 +332,10 @@ private[graft] final class Compiler(
       // equi-join form (RangeJoin.pointInInterval) — never the
       // broadcast-nested-loop a raw BETWEEN join would plan to.
       val rightDf = compileTabular(right)
-      onCols.groupBy(_.name).collectFirst { case (_, cs) if cs.sizeIs > 1 => cs(1) }
-        .foreach(c => fail(s"duplicate range join column ${c.name}", c.span))
-      val keys = onCols.dropRight(3).map(_.name)
-      val Seq(tsC, startC, endC) = onCols.takeRight(3)
-      if (!df.columns.contains(tsC.name))
-        fail(s"range join point column ${tsC.name} not found on the left side", tsC.span)
-      Seq(startC, endC).find(c => !rightDf.columns.contains(c.name)).foreach(c =>
-        fail(s"range join interval column ${c.name} not found on the right side", c.span))
-      keys.find(n => !df.columns.contains(n) || !rightDf.columns.contains(n)).foreach(n =>
-        fail(s"range join key column $n must exist on both sides", span))
-      // the post-join interval filter references the point/start/end
-      // columns unqualified — a same-named column on the OTHER side
-      // would make them ambiguous at runtime; reject at compile time
-      if (rightDf.columns.contains(tsC.name))
-        fail(s"range join right side also carries the point column ${tsC.name} — " +
-          "project or rename it on the right side", tsC.span)
-      Seq(startC, endC).find(c => df.columns.contains(c.name)).foreach(c =>
-        fail(s"range join left side also carries the interval column ${c.name} — " +
-          "project or rename it on the left side", c.span))
-      if ((df.columns ++ rightDf.columns).contains("__bucket"))
-        fail("range join input column __bucket collides with the operator's internal column — rename before joining", span)
+      // shared validation — see ExtJoins (the SQL-text backend uses
+      // the same splitter, so rejections cannot drift between paths)
+      val rp = ExtJoins.rangeParts(df.columns.toSeq, rightDf.columns.toSeq, onCols, span, fail)
+      val (keys, tsC, startC, endC) = (rp.keys, rp.ts, rp.start, rp.end)
       val micros = bucket match {
         case Some(o) => exprs.parseDurationMillis(o.value, o.valueSpan) * 1000L
         case None    => 3600000000L // 1h — right for hour-scale intervals
@@ -400,21 +361,31 @@ private[graft] final class Compiler(
         fail(s"ann column ${c.name} not found on the query side", c.span))
       if (vec.name == id.name)
         fail("ann vector and id columns must differ", id.span)
-      // the operator's output (query_id, id, cos_sim, rank) and its
-      // internal projections reference these names unqualified — a
-      // user column shadowing one would be ambiguous at runtime
-      val annReserved = Set("query_id", "cos_sim", "rank",
-        "v", "nrm", "qv", "qn", "sig", "band_idx", "band_key", "c", "j", "x", "d", "r")
-      Seq(vec, id).find(c => annReserved.contains(c.name)).foreach(c =>
-        fail(s"ann column ${c.name} collides with the operator's internal/output " +
-          "columns — rename before indexing", c.span))
+      // Only the operator's OUTPUT columns (query_id, cos_sim, rank)
+      // are reserved: the id column rides through to the output under
+      // its own name, so naming it after an output column would be
+      // ambiguous. Internal projection names are NOT reserved —
+      // Ann.prep drops every corpus column except vec/id on entry, and
+      // both are aliased to `__graft_ann_*` below before any internal
+      // name exists, so real single-letter schemas (`c`, `d`, `r`, …)
+      // compile (round-15; was a 15-name reserved wall).
+      val annReserved = Set("query_id", "cos_sim", "rank")
+      if (annReserved.contains(id.name))
+        fail(s"ann column ${id.name} collides with the operator's output " +
+          "columns — rename before indexing", id.span)
+      val safeVec = "__graft_ann_vec"
+      val safeId = "__graft_ann_id"
+      val corpusSafe = df.select(col(vec.name).as(safeVec), col(id.name).as(safeId))
+      val qSafe = qDf.select(col(vec.name).as(safeVec), col(id.name).as(safeId))
+      def restoreId(out: DataFrame): DataFrame =
+        out.withColumnRenamed(safeId, id.name)
       kind match {
         case "brute" =>
           val o = new OpOptions(opts, span, Set("k"), "ann kind=brute")
-          val out = graft.ops.Ann.bruteTopK(df, qDf, vec.name, id.name,
+          val out = graft.ops.Ann.bruteTopK(corpusSafe, qSafe, safeVec, safeId,
             k = o.int("k", 5, min = 1))
           o.finish()
-          out
+          restoreId(out)
         case "lsh" =>
           val o = new OpOptions(opts, span,
             Set("k", "dim", "planes", "bits", "occupancy"), "ann kind=lsh")
@@ -423,33 +394,39 @@ private[graft] final class Compiler(
           val out =
             (o.intOpt("planes", min = 1), o.intOpt("bits", min = 1),
               o.intOpt("occupancy", min = 1)) match {
-              case (Some(_), Some(_), Some(_)) =>
+              // any mix of occupancy with fixed geometry (full OR
+              // partial) is the same conflict — naming it beats the
+              // catch-all "needs planes= and bits= together" (which is
+              // true but hides the real problem when occupancy= is
+              // present; advice, round 14)
+              case (Some(_), Some(_), Some(_)) | (Some(_), None, Some(_)) |
+                  (None, Some(_), Some(_)) =>
                 fail("ann kind=lsh takes planes=/bits= or occupancy=, not both", span)
               case (Some(p), Some(b), None) =>
                 if (b > 62) fail(s"option bits must be in [1, 62], got $b", span)
                 if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", span)
-                graft.ops.Ann.lshTopK(df, qDf, vec.name, id.name, dim, k,
+                graft.ops.Ann.lshTopK(corpusSafe, qSafe, safeVec, safeId, dim, k,
                   planes = p, bandBits = b)
               case (None, None, t) =>
-                graft.ops.Ann.lshTopKAuto(df, qDf, vec.name, id.name, dim, k,
+                graft.ops.Ann.lshTopKAuto(corpusSafe, qSafe, safeVec, safeId, dim, k,
                   targetOccupancy = t.getOrElse(64))
               case _ =>
                 fail("ann kind=lsh needs planes= and bits= together", span)
             }
           o.finish()
-          out
+          restoreId(out)
         case "ivf" =>
           // the SEEDED centroid family (hash-sampled from the corpus —
           // the data-dependent policy ivfTopKSeeded's doc argues for at
           // scale); cells=0 (unset) resolves √n cells at plan time
           val o = new OpOptions(opts, span, Set("k", "dim", "cells", "probes"), "ann kind=ivf")
-          val out = graft.ops.Ann.ivfTopKSeeded(df, qDf, vec.name, id.name,
+          val out = graft.ops.Ann.ivfTopKSeeded(corpusSafe, qSafe, safeVec, safeId,
             dim = o.requiredInt("dim", min = 1),
             k = o.int("k", 5, min = 1),
             nCells = o.intOpt("cells", min = 1).getOrElse(0),
             nProbe = o.int("probes", 2, min = 1))
           o.finish()
-          out
+          restoreId(out)
         case other =>
           fail(s"unknown ann kind $other", span)
       }

@@ -219,6 +219,9 @@ private[graft] final class SqlGen(
       }
       Stage(newStage(s"SELECT *, ${lits.mkString(", ")} FROM ${prev.cte}"), df)
 
+    case op: AsofJoinOp  => applyAsofJoin(prev, op)
+    case op: RangeJoinOp => applyRangeJoin(prev, op)
+
     case other =>
       val name = other match {
         case _: DedupOp     => "dedup"
@@ -227,8 +230,6 @@ private[graft] final class SqlGen(
         case _: DecontamOp  => "decontam"
         case _: ChunkOp     => "chunk"
         case _: PackOp      => "pack"
-        case _: AsofJoinOp  => "join kind=asof"
-        case _: RangeJoinOp => "join kind=range"
         case _: AnnOp       => "ann"
         case _              => "this"
       }
@@ -236,6 +237,107 @@ private[graft] final class SqlGen(
         s"operator '$name' compiles to a multi-stage library plan, not a single SQL query; " +
           "use Pql.query for pipelines with graft extension operators",
         other.span)
+  }
+
+  /** `| join kind=asof` as SQL text (round 15): the UNION + KEYED
+    * WINDOW form — the same lowering as [[graft.ops.AsOf.joinAsOf]]
+    * minus the hot-key time-bucket split (a PHYSICAL skew lever the
+    * SQL dialect cannot carry; results are bit-identical by
+    * construction — AsOf.scala's bucket passes reproduce the exact
+    * single-window order). Validation is shared with the DataFrame
+    * path via [[ExtJoins]].
+    */
+  private def applyAsofJoin(prev: Stage, op: AsofJoinOp): Stage = {
+    val right = foldOps(sourceStage(op.right.source), op.right.operators)
+    val p = ExtJoins.asofParts(
+      prev.df.columns.toSeq, right.df.columns.toSeq, op.onCols, op.span, fail)
+    val tolMs = op.tolerance.map(o => exprs.parseDurationMillis(o.value, o.valueSpan))
+    // tolerance rides the right timestamp inside the struct, exactly
+    // like AsOf.joinAsOfTolerant's __right_ts
+    val structCols = if (tolMs.isDefined) p.valueCols :+ "__right_ts" else p.valueCols
+    val valsType = org.apache.spark.sql.types.StructType(structCols.map { c =>
+      if (c == "__right_ts") right.df.schema(p.ts).copy(name = "__right_ts")
+      else right.df.schema(c)
+    })
+    val leftCols = prev.df.columns.toSeq
+    val namedStruct = structCols
+      .map(c => s"'${c.replace("'", "''")}', ${q(if (c == "__right_ts") p.ts else c)}")
+      .mkString("named_struct(", ", ", ")")
+    val rightSelect = leftCols.map { c =>
+      if (p.keys.contains(c) || c == p.ts) q(c)
+      else s"CAST(NULL AS ${prev.df.schema(c).dataType.sql}) AS ${q(c)}"
+    }
+    val u = newStage(
+      s"SELECT ${leftCols.map(q).mkString(", ")}, CAST(NULL AS ${valsType.sql}) AS __vals, 1 AS __side FROM ${prev.cte}" +
+        s"\n  UNION ALL SELECT ${rightSelect.mkString(", ")}, $namedStruct AS __vals, 0 AS __side" +
+        s" FROM ${right.cte} WHERE ${q(p.ts)} IS NOT NULL")
+    val win = s"PARTITION BY ${p.keys.map(q).mkString(", ")} ORDER BY ${q(p.ts)} ASC, __side ASC" +
+      " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val f = newStage(
+      s"SELECT ${leftCols.map(q).mkString(", ")}, last(__vals, true) OVER ($win) AS __vals, __side FROM $u")
+    // schema mirror: the library op on the (never-executed) schema
+    // frames — its column ORDER is the plan path's output order (the
+    // bucketed join puts keys first), and the final select follows it
+    val mirror = tolMs match {
+      case None     => graft.ops.AsOf.joinAsOf(prev.df, right.df, p.keys, p.ts, p.valueCols)
+      case Some(ms) => graft.ops.AsOf.joinAsOfTolerant(prev.df, right.df, p.keys, p.ts, p.valueCols, s"$ms milliseconds")
+    }
+    val items = mirror.columns.toSeq.map { c =>
+      if (!p.valueCols.contains(c)) q(c)
+      else {
+        val v = s"__vals.${q(c)}"
+        tolMs match {
+          case None => s"$v AS ${q(c)}"
+          case Some(ms) =>
+            // stale match (older than the tolerance) → NULL, fresh → value
+            s"CASE WHEN __vals.${q("__right_ts")} >= ${q(p.ts)} - INTERVAL $ms milliseconds THEN $v END AS ${q(c)}"
+        }
+      }
+    }
+    val out = newStage(s"SELECT ${items.mkString(", ")} FROM $f WHERE __side = 1")
+    Stage(out, mirror)
+  }
+
+  /** `| join kind=range` as SQL text (round 15): the BUCKETED
+    * EQUI-JOIN form — interval rows exploded to the buckets they
+    * overlap, points bucketed once, equi-join + exact filter — the
+    * same lowering as [[graft.ops.RangeJoin.pointInInterval]] (never
+    * a raw BETWEEN join, which Spark would plan as a
+    * broadcast-nested-loop).
+    */
+  private def applyRangeJoin(prev: Stage, op: RangeJoinOp): Stage = {
+    val right = foldOps(sourceStage(op.right.source), op.right.operators)
+    val rp = ExtJoins.rangeParts(
+      prev.df.columns.toSeq, right.df.columns.toSeq, op.onCols, op.span, fail)
+    val micros = op.bucket match {
+      case Some(o) => exprs.parseDurationMillis(o.value, o.valueSpan) * 1000L
+      case None    => 3600000000L
+    }
+    // SQL text cannot express a duplicate output name — the DataFrame
+    // path tolerates one (out-of-contract input), the text backend
+    // rejects it here
+    val dupOut = prev.df.columns.toSeq.filterNot(rp.keys.contains)
+      .intersect(right.df.columns.toSeq.filterNot(rp.keys.contains))
+    if (dupOut.nonEmpty)
+      fail(s"range join would output duplicate column${if (dupOut.sizeIs > 1) "s" else ""} " +
+        s"${dupOut.mkString(", ")} — project or rename one side", op.span)
+    // floorDiv: exact for negative epochs (see RangeJoin.floorDiv)
+    def fdiv(us: String) =
+      s"CAST((($us) - pmod($us, ${micros}L)) / ${micros}L AS BIGINT)"
+    val lb = newStage(
+      s"SELECT *, ${fdiv(s"unix_micros(${q(rp.ts.name)})")} AS __bucket FROM ${prev.cte}")
+    val rb = newStage(
+      s"SELECT *, explode(sequence(${fdiv(s"unix_micros(${q(rp.start.name)})")}, " +
+        s"${fdiv(s"unix_micros(${q(rp.end.name)}) - 1")})) AS __bucket" +
+        s" FROM ${right.cte} WHERE ${q(rp.end.name)} > ${q(rp.start.name)}")
+    val mirror = graft.ops.RangeJoin.pointInInterval(
+      prev.df, right.df, rp.keys, rp.ts.name, rp.start.name, rp.end.name, micros)
+    val items = mirror.columns.map(q).mkString(", ")
+    val usingCols = (rp.keys :+ "__bucket").map(q).mkString(", ")
+    val out = newStage(
+      s"SELECT $items FROM $lb JOIN $rb USING ($usingCols)" +
+        s" WHERE ${q(rp.ts.name)} >= ${q(rp.start.name)} AND ${q(rp.ts.name)} < ${q(rp.end.name)}")
+    Stage(out, mirror)
   }
 
   private def applyJoin(prev: Stage, j: JoinOp): Stage = {

@@ -50,12 +50,22 @@ object Decontam {
     * small-corpus regression the gate exists to avoid, so unknown
     * skips the bloom (callers with genuinely large unestimable corpora
     * pass `bloomPreFilter = Some(true)`).
+    *
+    * "Unknown" is not just exact equality with the sentinel: a
+    * filter/projection OVER an unestimable leaf reports a
+    * scaled-but-still-astronomical estimate (selectivity × the
+    * sentinel) that is `!=` it, so the root estimate counts as
+    * unknown when it reaches the sentinel OR when any LEAF of the
+    * optimized plan reports it (the derived-from-unknown case).
     */
   private[graft] def bloomDecision(corpus: DataFrame): Boolean = {
-    val statSize = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    val defaultSize =
-      org.apache.spark.sql.graftglue.Bridge.defaultSizeInBytes(corpus.sparkSession)
-    statSize != BigInt(defaultSize) && statSize >= BloomMinCorpusBytes
+    val plan = corpus.queryExecution.optimizedPlan
+    val statSize = plan.stats.sizeInBytes
+    val sentinel = BigInt(
+      org.apache.spark.sql.graftglue.Bridge.defaultSizeInBytes(corpus.sparkSession))
+    val unknown = statSize >= sentinel ||
+      plan.collectLeaves().exists(_.stats.sizeInBytes >= sentinel)
+    !unknown && statSize >= BloomMinCorpusBytes
   }
 
   /** Per-corpus-document overlap report against `evalDf`.

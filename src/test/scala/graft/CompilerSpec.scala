@@ -349,7 +349,7 @@ class CompilerSpec extends SparkTestBase {
     assert(err("C | ann (Q) on nope by vid").contains("nope not found on the corpus side"))
     assert(err("C | extend extra = 1 | ann (Q) on extra by vid").contains("not found on the query side"))
     assert(err("C | ann (Q) on emb by emb").contains("must differ"))
-    // reserved output/internal names
+    // reserved OUTPUT names (query_id/cos_sim/rank) on the id column
     def rcat(name: String): DataFrame = acat(name).withColumnRenamed("vid", "rank")
     val e = intercept[PqlCompileException](
       Pql.query(spark, "C | ann (Q) on emb by rank", rcat)).getMessage
@@ -359,10 +359,36 @@ class CompilerSpec extends SparkTestBase {
     assert(err("C | ann kind=lsh dim=2 probes=3 (Q) on emb by vid").contains("not valid for ann kind=lsh"))
     // lsh geometry: planes/bits together, bounded; dim required
     assert(err("C | ann kind=lsh dim=2 planes=8 (Q) on emb by vid").contains("planes= and bits= together"))
+    // occupancy mixed with PARTIAL fixed geometry names the real
+    // conflict, not the catch-all (advice, round 14)
+    assert(err("C | ann kind=lsh dim=2 planes=8 occupancy=32 (Q) on emb by vid").contains("not both"))
+    assert(err("C | ann kind=lsh dim=2 bits=4 occupancy=32 (Q) on emb by vid").contains("not both"))
+    assert(err("C | ann kind=lsh dim=2 planes=8 bits=4 occupancy=32 (Q) on emb by vid").contains("not both"))
     assert(err("C | ann kind=lsh dim=2 planes=8 bits=63 (Q) on emb by vid").contains("bits must be in [1, 62]"))
     assert(err("C | ann kind=lsh dim=2 planes=4 bits=8 (Q) on emb by vid").contains("one band minimum"))
     assert(err("C | ann kind=lsh (Q) on emb by vid").contains("dim"))
     assert(err("C | ann kind=ivf (Q) on emb by vid").contains("dim"))
+  }
+
+  test("| ann accepts single-letter user columns (internals are namespaced, round 15)") {
+    // `c`/`d` were on the 15-name reserved wall through round 14; the
+    // corpus/query columns are now aliased to `__graft_ann_*` at the
+    // compiler boundary, so only the OUTPUT names stay reserved
+    def scat(name: String): DataFrame =
+      acat(name).withColumnRenamed("vid", "c").withColumnRenamed("emb", "d")
+    val got = Pql.query(spark, "C | ann k=3 (Q) on d by c", scat)
+    assert(got.columns.toSeq == Seq("query_id", "c", "cos_sim", "rank"))
+    val qs = annCorpus.filter(col("vid") % 4 === 0)
+    val lib = graft.ops.Ann.bruteTopK(annCorpus, qs, "emb", "vid", k = 3)
+      .select("query_id", "vid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gotRows = got.select("query_id", "c", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotRows == lib)
+    // the indexed kinds take the same path
+    val lsh = Pql.query(spark, "C | ann kind=lsh dim=2 k=3 (Q) on d by c", scat)
+    assert(lsh.columns.toSeq == Seq("query_id", "c", "cos_sim", "rank"))
+    assert(lsh.count() > 0)
   }
 
   test("| sample applies the deterministic Bernoulli filter") {

@@ -133,6 +133,51 @@ class SqlCompileSpec extends SparkTestBase {
       Pql.query(spark, q2, catalog).collect().map(_.toString).toSeq)
   }
 
+  test("asof/range joins emit CTE SQL matching the plan path (round 15)") {
+    import org.apache.spark.sql.functions._
+    val session = spark
+    import session.implicits._
+    val trades = Seq((1, "A", 10L), (2, "A", 20L), (3, "B", 30L), (4, "B", 5L))
+      .toDF("trade_id", "sym", "tn")
+      .withColumn("t", expr("timestamp_micros(tn * 1000000 + 1700000000000000)")).drop("tn")
+    val quotes = Seq(("A", 8L, 1.5), ("A", 20L, 2.5), ("B", 25L, 3.5))
+      .toDF("sym", "tn", "px")
+      .withColumn("t", expr("timestamp_micros(tn * 1000000 + 1700000000000000)")).drop("tn")
+    val iv = quotes.select(col("sym"), col("t").as("s"),
+      expr("s + INTERVAL 10 seconds").as("e"), col("px"))
+    def cat(name: String): DataFrame = name match {
+      case "TR" => trades
+      case "QT" => quotes
+      case "IV" => iv
+      case other => sys.error(s"no fixture table $other")
+    }
+    trades.createOrReplaceTempView("TR")
+    quotes.createOrReplaceTempView("QT")
+    iv.createOrReplaceTempView("IV")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "TR | join kind=asof (QT) on sym, t | project trade_id, px",
+        // tolerance: stale matches nulled, struct carries __right_ts
+        """TR | join kind=asof tolerance="2s" (QT) on sym, t""",
+        // trailing ops still compose after the extension stage
+        """TR | join kind=range bucket="5s" (IV) on sym, t, s, e | project trade_id, px | sort by trade_id asc, px asc""",
+        "TR | join kind=range (IV) on sym, t, s, e | summarize n = count() by sym | sort by sym asc")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    // duplicate non-key output columns are inexpressible in SQL text —
+    // rejected here (the DataFrame path is the fallback)
+    val ivClash = iv.withColumn("trade_id", lit(9))
+    def ccat(name: String): DataFrame = if (name == "IV") ivClash else cat(name)
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("TR | join kind=range (IV) on sym, t, s, e", ccat))
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // the shared validator rejects the same misuse as the plan path
+    val e2 = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("TR | join kind=asof (QT) on t, t", cat))
+    assert(e2.getMessage.contains("duplicate asof join column t"), e2.getMessage)
+  }
+
   test("extension operators are rejected with a pointer to Pql.query") {
     val e = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | dedup EventNarrative by EventId", catalog))

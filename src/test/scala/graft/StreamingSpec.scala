@@ -292,6 +292,32 @@ class StreamingSpec extends SparkTestBase {
     assert(e4.getMessage.contains("watermark"), e4.getMessage)
   }
 
+  test("PQL | dedup kind=embed over a stream: band set equals the library/batch form (round 15)") {
+    implicit val ctx = spark.sqlContext
+    val dim = 8
+    val v1 = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val v3 = v1.map(-_)
+    val ms = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val wm = Streaming.withEventTime(
+      ms.toDF.toDF("ts", "vec_id", "embedding"), "ts", "5 minutes")
+    val cat = Map("E" -> wm)
+    val viaPql = Pql.query(spark,
+      s"E | dedup kind=embed dim=$dim embedding by vec_id | project band_idx, band_key", cat)
+    assert(viaPql.isStreaming)
+    val q = Streaming.runToMemory(viaPql, "pql_stream_embed_bands", "append")
+    try {
+      ms.addData(Seq((ts(0), 1L, v1.toSeq), (ts(1), 3L, v3.toSeq)))
+      q.processAllAvailable()
+      val got = spark.table("pql_stream_embed_bands")
+        .select("band_idx", "band_key").as[(Int, Long)].collect().toSet
+      val batch = graft.ops.NearDup.rowEmbedBandRows(
+        Seq((1L, v1.toSeq), (3L, v3.toSeq)).toDF("vec_id", "embedding"),
+        "embedding", dim, planes = 32, bandBits = 8)
+        .select("band_idx", "band_key").as[(Int, Long)].collect().toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   private implicit def mapAsCatalog(m: Map[String, org.apache.spark.sql.DataFrame]): String => org.apache.spark.sql.DataFrame =
     name => m.getOrElse(name, sys.error(s"unknown table $name"))
 }

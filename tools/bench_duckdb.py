@@ -43,7 +43,6 @@ def main():
     # the default memory_limit (80% of RAM) lets the process outgrow
     # the machine before operators choose to spill — the kernel
     # OOM-kills it; an explicit cap forces out-of-core execution
-    import os
     if os.environ.get("DUCKDB_MEM"):
         con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:

@@ -24,7 +24,11 @@ SPARK_GRAFT_CPUS=7 java -Xmx8g -cp "$CP" graft.Verify /root/testdata/sf0.01 /tmp
 python3 tools/dump_equal.py /tmp/verify_det4 /tmp/verify_det7 $NEW
 
 echo "== [4/4] sf10 budget-branch positive proof =="
-SPARK_GRAFT_CPUS=16 java -Xmx24g -cp "$CP" graft.Verify /tmp/graft_sf10 /tmp/verify_sf10_r14 sample_token_budget_hist
+# verify ALL THREE budget entries here so the phase is standalone —
+# the auto/exact dumps are not inherited from r14_sf10.sh (advice,
+# round 14: comparing dumps this script never produced)
+SPARK_GRAFT_CPUS=16 java -Xmx24g -cp "$CP" graft.Verify /tmp/graft_sf10 /tmp/verify_sf10_r14 \
+  sample_token_budget_hist sample_token_budget_auto sample_token_budget
 echo "-- auto vs hist at sf10 (must be identical: histogram branch taken) --"
 python3 - <<'EOF'
 import duckdb
