@@ -38,18 +38,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // sentinel expectation: 0.24 s is the recorded sf0.1 constant
-    // (BASELINE.md "Why the gap is a constant"); other scales pass
-    // their own constant via the env var.
-    // a malformed override must degrade to the default, not abort the
-    // whole bench run with a NumberFormatException before Spark starts
-    val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
-      .flatMap { s =>
-        val p = scala.util.Try(s.toDouble).toOption
-        if (p.isEmpty) System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_SENTINEL_SEC=$s")
-        p
-      }
-      .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+    // sentinel expectation: per-SF calibration table (round 15,
+    // graft.Sentinel / BASELINE.md "Sentinel calibration") so octave
+    // records at any ScaleData dir self-bracket; the env var overrides,
+    // and a malformed override degrades to the table, not a
+    // NumberFormatException before Spark starts.
+    val sentinelExpected = Sentinel.expectedFor(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -39,11 +39,10 @@ object MicroBench {
       // lineitem scan is timed before and after the entries, so a
       // one-off A/B measurement carries its own evidence of whether the
       // environment was degraded (this VM's memory-compaction stalls
-      // have faked 2-3× regressions). Expected constant: 0.24 s at
-      // sf0.1 (BASELINE.md), overridable via SPARK_GRAFT_SENTINEL_SEC.
-      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
-        .flatMap(s => scala.util.Try(s.toDouble).toOption)
-        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      // have faked 2-3× regressions). Expected constants come from the
+      // per-SF calibration table (graft.Sentinel, round 15);
+      // SPARK_GRAFT_SENTINEL_SEC overrides.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
       val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
       def sentinelOnce(): Double = {
         val t0 = System.nanoTime()
@@ -91,9 +90,7 @@ object MicroBench {
       // parquet first so the timed stage is exactly the candidate
       // generation + scoring, and the full pipelines are timed too.
       // Sentinel-bracketed like `entry` mode.
-      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
-        .flatMap(s => scala.util.Try(s.toDouble).toOption)
-        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
       val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
       def sentinelOnce(): Double = {
         val t0 = System.nanoTime()
@@ -136,9 +133,7 @@ object MicroBench {
       // Classifier inference A/B: broadcast-model join vs plan-time
       // baked literal array (round-12 verdict item 3). Sentinel-
       // bracketed like `entry` mode.
-      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
-        .flatMap(s => scala.util.Try(s.toDouble).toOption)
-        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
       val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
       def sentinelOnce(): Double = {
         val t0 = System.nanoTime()
@@ -163,9 +158,7 @@ object MicroBench {
       // per-partition bottom-k cut (round-12 verdict item 4). Both
       // estimate-only (the exact countDistinct the sketch replaces is
       // excluded from both sides). Sentinel-bracketed.
-      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
-        .flatMap(s => scala.util.Try(s.toDouble).toOption)
-        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
       val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
       def sentinelOnce(): Double = {
         val t0 = System.nanoTime()
@@ -204,9 +197,7 @@ object MicroBench {
       import org.apache.spark.sql.graftglue.Bridge
       import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
       import org.apache.spark.sql.types.BinaryType
-      val sentinelExpected = sys.env.get("SPARK_GRAFT_SENTINEL_SEC")
-        .flatMap(s => scala.util.Try(s.toDouble).toOption)
-        .getOrElse(if (sfDir.contains("sf0.1")) 0.24 else 0.0)
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
       val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
       def sentinelOnce(): Double = {
         val t0 = System.nanoTime()
@@ -487,6 +478,30 @@ object MicroBench {
         ev10.select("event_id", "user_id", "event_type").dropDuplicates()
           .join(dim, col("event_type") === col("et"))
           .select("event_id", "user_id", "type_total")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("iuwide")) {
+      // Wide-row innerunique probe (round 15): BASELINE's sf0.1
+      // adjudication of `join` default-flavor cost — "full-row
+      // dropDuplicates costs nothing at this row width" — was measured
+      // on NARROW events rows. This re-measures on the text-heavy
+      // documents table at the given SF: the full-row form shuffles
+      // the text payload in the distinct exchange, the key-projected
+      // variant (NOT semantically equivalent — collapses rows that
+      // differ only in dropped columns) bounds what a narrower
+      // shuffle would buy.
+      val dim = docs.groupBy(col("source").as("src")).agg(count(lit(1)).as("src_total"))
+      time("iu wide full-row") {
+        docs.dropDuplicates().join(dim, col("source") === col("src"))
+          .select("doc_id", "src_total")
+      }
+      time("iu wide key-projected") {
+        docs.select("doc_id", "source").dropDuplicates()
+          .join(dim, col("source") === col("src"))
+          .select("doc_id", "src_total")
       }
       spark.stop()
       return

@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Usage: sbt "runMain graft.streaming.Soak <sfDir> [nFiles] [workloads]"
   * where [workloads] is an optional comma-list restricting the run
-  * (e.g. `stream_dedup_embed`); default runs all five.
+  * (e.g. `stream_dedup_embed`); default runs all seven (the five
+  * library workloads plus the two grammar-compiled `pql_*` twins).
   */
 object Soak {
 
@@ -53,7 +54,8 @@ object Soak {
     // Spark-written (micros), so the streams read them raw.
     val t = graft.sources.Tables.parquetDir(spark, sfDir)
     val needsEvents = wants("events_windowed_fsink") || wants("sessions_capped")
-    val needsDocs = wants("stream_dedup_exact") || wants("stream_dedup_minhash")
+    val needsDocs = wants("stream_dedup_exact") || wants("stream_dedup_minhash") ||
+      wants("pql_stream_dedup")
     if (needsEvents) {
       t("events").repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(s"$scratch/events")
@@ -66,7 +68,7 @@ object Soak {
         .write.mode("overwrite").parquet(s"$scratch/docs")
       forceMtimeOrder(s"$scratch/docs")
     }
-    if (wants("stream_dedup_embed")) {
+    if (wants("stream_dedup_embed") || wants("pql_stream_dedup_embed")) {
       val embs = t("embeddings")
         .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
       embs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
@@ -135,6 +137,34 @@ object Soak {
         .dedupEmbedBands(fileStream(s"$scratch/embs"), "embedding", "ts", "1 hour", dim = 64)
         .select(col("band_idx"), col("band_key"))
       Streaming.runToParquet(bands, s"$scratch/sdemb_out", s"$scratch/sdemb_ckpt")
+    }
+
+    // 3c. the GRAMMAR-COMPILED minhash band dedup (round 15): the
+    // same `| dedup` text the pql_stream_dedup gate entry compiles,
+    // replayed multi-batch — the compiled plan must hold the same
+    // watermark-bounded state contract as the library form it routes
+    // to (workload 3), not just match it in a single batch.
+    if (wants("pql_stream_dedup"))
+    soak("pql_stream_dedup", s"$scratch/pqlsd_out") { () =>
+      val cat: String => DataFrame = {
+        case "documents" => Streaming.withEventTime(fileStream(s"$scratch/docs"), "ts", "1 hour")
+        case other       => sys.error(s"no streaming table $other")
+      }
+      val bands = graft.Pql.query(spark,
+        "documents | dedup kind=minhash text by doc_id | project band_idx, band_key", cat)
+      Streaming.runToParquet(bands, s"$scratch/pqlsd_out", s"$scratch/pqlsd_ckpt")
+    }
+
+    // 3d. the grammar-compiled EMBED band dedup (round 15 twin of 3b).
+    if (wants("pql_stream_dedup_embed"))
+    soak("pql_stream_dedup_embed", s"$scratch/pqlsde_out") { () =>
+      val cat: String => DataFrame = {
+        case "embeddings" => Streaming.withEventTime(fileStream(s"$scratch/embs"), "ts", "1 hour")
+        case other        => sys.error(s"no streaming table $other")
+      }
+      val bands = graft.Pql.query(spark,
+        "embeddings | dedup kind=embed dim=64 embedding by vec_id | project band_idx, band_key", cat)
+      Streaming.runToParquet(bands, s"$scratch/pqlsde_out", s"$scratch/pqlsde_ckpt")
     }
 
     // 4. capped sessions (sessions_capped shape): the one CUSTOM-state
