@@ -355,24 +355,15 @@ private[graft] final class Compiler(
       val qDf = compileTabular(queries)
       if (qDf.isStreaming)
         fail("ann query side must be a bounded input, got a stream", span)
-      Seq(vec, id).find(c => !df.columns.contains(c.name)).foreach(c =>
-        fail(s"ann column ${c.name} not found on the corpus side", c.span))
-      Seq(vec, id).find(c => !qDf.columns.contains(c.name)).foreach(c =>
-        fail(s"ann column ${c.name} not found on the query side", c.span))
-      if (vec.name == id.name)
-        fail("ann vector and id columns must differ", id.span)
       // Only the operator's OUTPUT columns (query_id, cos_sim, rank)
       // are reserved: the id column rides through to the output under
-      // its own name, so naming it after an output column would be
-      // ambiguous. Internal projection names are NOT reserved —
+      // its own name. Internal projection names are NOT reserved —
       // Ann.prep drops every corpus column except vec/id on entry, and
       // both are aliased to `__graft_ann_*` below before any internal
       // name exists, so real single-letter schemas (`c`, `d`, `r`, …)
-      // compile (round-15; was a 15-name reserved wall).
-      val annReserved = Set("query_id", "cos_sim", "rank")
-      if (annReserved.contains(id.name))
-        fail(s"ann column ${id.name} collides with the operator's output " +
-          "columns — rename before indexing", id.span)
+      // compile (round-15; was a 15-name reserved wall). Checks shared
+      // with the SQL-text backend (ExtJoins.annCheck).
+      ExtJoins.annCheck(df.columns.toSeq, qDf.columns.toSeq, vec, id, fail)
       val safeVec = "__graft_ann_vec"
       val safeId = "__graft_ann_id"
       val corpusSafe = df.select(col(vec.name).as(safeVec), col(id.name).as(safeId))
@@ -445,62 +436,13 @@ private[graft] final class Compiler(
     * `name=<number>` options: rejects unknown/duplicate names at
     * construction, parses per accessor.
     */
+  /** [[OpOptionsBase]] bound to this compiler's spanned `fail`. */
   private final class OpOptions(
       opts: List[OpOption],
       opSpan: Span,
       allowed: Set[String],
       opName: String
-  ) {
-    opts.groupBy(_.name.name).collectFirst { case (n, os) if os.sizeIs > 1 => os(1) }
-      .foreach(o => fail(s"duplicate option ${o.name.name}", o.name.span))
-    opts.find(o => !allowed.contains(o.name.name)).foreach { o =>
-      val hint = if (allowed.isEmpty) "takes no options" else s"allows ${allowed.toList.sorted.mkString(", ")}"
-      fail(s"option ${o.name.name} not valid for $opName ($opName $hint)", o.name.span)
-    }
-    private val byName = opts.map(o => o.name.name -> o).toMap
-
-    def int(name: String, default: Int, min: Int): Int = byName.get(name) match {
-      case None => default
-      case Some(o) =>
-        val v = try o.value.toInt
-          catch { case _: NumberFormatException => fail(s"option $name must be an integer, got ${o.value}", o.valueSpan) }
-        if (v < min) fail(s"option $name must be >= $min, got $v", o.valueSpan)
-        v
-    }
-
-    def intOpt(name: String, min: Int): Option[Int] =
-      if (byName.contains(name)) Some(int(name, default = min, min = min)) else None
-
-    def requiredInt(name: String, min: Int): Int = {
-      if (!byName.contains(name)) fail(s"$opName requires option $name=<n>", opSpan)
-      int(name, default = min, min = min)
-    }
-
-    def requiredLong(name: String, min: Long): Long = byName.get(name) match {
-      case None => fail(s"$opName requires option $name=<n>", opSpan)
-      case Some(o) =>
-        val v = try o.value.toLong
-          catch { case _: NumberFormatException => fail(s"option $name must be an integer, got ${o.value}", o.valueSpan) }
-        if (v < min) fail(s"option $name must be >= $min, got $v", o.valueSpan)
-        v
-    }
-
-    def double(name: String, default: Double, min: Double = Double.NegativeInfinity,
-               max: Double = Double.PositiveInfinity): Double = byName.get(name) match {
-      case None => default
-      case Some(o) =>
-        val v = try o.value.toDouble
-          catch { case _: NumberFormatException => fail(s"option $name must be a number, got ${o.value}", o.valueSpan) }
-        if (v < min || v > max)
-          fail(s"option $name must be in [$min, $max], got $v", o.valueSpan)
-        v
-    }
-
-    /** Construction-time checks are the whole contract; kept as an
-      * explicit terminator so call sites read as a validation scope.
-      */
-    def finish(): Unit = ()
-  }
+  ) extends OpOptionsBase(opts, opSpan, allowed, opName, fail)
 
   /** Render property values are presentation instructions: literals
     * stringify to their text, identifiers to their name.

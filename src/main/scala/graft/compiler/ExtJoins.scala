@@ -54,6 +54,31 @@ private[compiler] object ExtJoins {
     AsofParts(keys, ts, valueCols)
   }
 
+  /** Validate `| ann … (Q) on Vec by Id` column preconditions —
+    * existence on both sides, vec ≠ id, and the OUTPUT-column
+    * reserved set (the id rides through to the output under its own
+    * name; internals are `__graft_ann_*`-aliased and never reserved).
+    * Shared by the DataFrame compiler and the SQL-text backend.
+    */
+  def annCheck(
+      corpusCols: Seq[String],
+      queryCols: Seq[String],
+      vec: Ident,
+      id: Ident,
+      fail: (String, Span) => Nothing
+  ): Unit = {
+    Seq(vec, id).find(c => !corpusCols.contains(c.name)).foreach(c =>
+      fail(s"ann column ${c.name} not found on the corpus side", c.span))
+    Seq(vec, id).find(c => !queryCols.contains(c.name)).foreach(c =>
+      fail(s"ann column ${c.name} not found on the query side", c.span))
+    if (vec.name == id.name)
+      fail("ann vector and id columns must differ", id.span)
+    val annReserved = Set("query_id", "cos_sim", "rank")
+    if (annReserved.contains(id.name))
+      fail(s"ann column ${id.name} collides with the operator's output " +
+        "columns — rename before indexing", id.span)
+  }
+
   /** Split + validate `| join kind=range … on k1, …, ts, start, end`:
     * last three on-columns are the left point and the right half-open
     * interval; the rest the equi-key.

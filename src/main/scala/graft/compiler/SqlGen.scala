@@ -221,6 +221,7 @@ private[graft] final class SqlGen(
 
     case op: AsofJoinOp  => applyAsofJoin(prev, op)
     case op: RangeJoinOp => applyRangeJoin(prev, op)
+    case op: AnnOp if op.kind == "brute" => applyAnnBrute(prev, op)
 
     case other =>
       val name = other match {
@@ -230,7 +231,9 @@ private[graft] final class SqlGen(
         case _: DecontamOp  => "decontam"
         case _: ChunkOp     => "chunk"
         case _: PackOp      => "pack"
-        case _: AnnOp       => "ann"
+        // brute is emitted above; the indexed kinds size their
+        // geometry from a plan-time corpus count — not a single query
+        case a: AnnOp       => s"ann kind=${a.kind}"
         case _              => "this"
       }
       fail(
@@ -296,6 +299,54 @@ private[graft] final class SqlGen(
     }
     val out = newStage(s"SELECT ${items.mkString(", ")} FROM $f WHERE __side = 1")
     Stage(out, mirror)
+  }
+
+  /** `| ann kind=brute` as SQL text (round 15): exact cosine top-k —
+    * normalize both sides, broadcast-join the (small by construction)
+    * query set against the corpus, `row_number() <= k`. The dot
+    * product is `graft_dot`, graft's native left-fold expression, so
+    * the emitted text is bit-identical to the plan path — the HOST
+    * SESSION must therefore carry graft's functions
+    * (`spark.sql.extensions=graft.functions.GraftExtensions`, or
+    * `GraftExtensions.register(spark)`), the same way the reference's
+    * emitted SQL assumes its engine's function library. The indexed
+    * kinds (lsh/ivf) stay plan-path-only: their adaptive geometry is
+    * resolved from a plan-time corpus count that a SQL string cannot
+    * carry.
+    */
+  private def applyAnnBrute(prev: Stage, op: AnnOp): Stage = {
+    val right = foldOps(sourceStage(op.queries.source), op.queries.operators)
+    ExtJoins.annCheck(prev.df.columns.toSeq, right.df.columns.toSeq, op.vecCol, op.idCol, fail)
+    val o = new OpOptionsBase(op.opts, op.span, Set("k"), "ann kind=brute", fail)
+    val k = o.int("k", 5, min = 1)
+    o.finish()
+    val (vecQ, idQ) = (q(op.vecCol.name), q(op.idCol.name))
+    val c = newStage(
+      s"SELECT $idQ AS __graft_ann_id, transform($vecQ, x -> CAST(x AS DOUBLE)) AS __v FROM ${prev.cte}")
+    val cn = newStage(
+      s"SELECT __graft_ann_id, __v, sqrt(graft_dot(__v, __v)) AS __nrm FROM $c")
+    val qv = newStage(
+      s"SELECT $idQ AS query_id, transform($vecQ, x -> CAST(x AS DOUBLE)) AS __qv FROM ${right.cte}")
+    val qn = newStage(
+      s"SELECT query_id, __qv, sqrt(graft_dot(__qv, __qv)) AS __qn FROM $qv")
+    val scored = newStage(
+      s"SELECT /*+ BROADCAST(q) */ q.query_id, c.__graft_ann_id, " +
+        s"graft_dot(c.__v, q.__qv) / (c.__nrm * q.__qn) AS cos_sim " +
+        s"FROM $cn c JOIN $qn q ON c.__graft_ann_id != q.query_id")
+    val ranked = newStage(
+      s"SELECT query_id, __graft_ann_id AS $idQ, cos_sim, rank FROM (" +
+        s"SELECT query_id, __graft_ann_id, cos_sim, row_number() OVER (" +
+        s"PARTITION BY query_id ORDER BY cos_sim DESC, __graft_ann_id ASC) AS rank FROM $scored" +
+        s") WHERE rank <= $k")
+    // schema mirror: exactly the DataFrame compiler's construction
+    val safeVec = "__graft_ann_vec"
+    val safeId = "__graft_ann_id"
+    val mirror = graft.ops.Ann.bruteTopK(
+      prev.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
+      right.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
+      safeVec, safeId, k = k
+    ).withColumnRenamed(safeId, op.idCol.name)
+    Stage(ranked, mirror)
   }
 
   /** `| join kind=range` as SQL text (round 15): the BUCKETED

@@ -185,9 +185,30 @@ class SqlCompileSpec extends SparkTestBase {
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
     assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
+    // the INDEXED ann kinds stay rejected (plan-time corpus counts);
+    // kind=brute is emitted — see the parity test below
     val e3 = intercept[graft.compiler.PqlCompileException](
-      Pql.compileToSql("StormEvents | ann (StormEvents) on EventNarrative by EventId", catalog))
-    assert(e3.getMessage.contains("'ann'") && e3.getMessage.contains("Pql.query"), e3.getMessage)
+      Pql.compileToSql("StormEvents | ann kind=lsh dim=2 (StormEvents) on EventNarrative by EventId", catalog))
+    assert(e3.getMessage.contains("'ann kind=lsh'") && e3.getMessage.contains("Pql.query"), e3.getMessage)
+  }
+
+  test("ann kind=brute emits SQL matching the plan path (round 15)") {
+    graft.functions.GraftExtensions.register(spark) // graft_dot in SQL
+    val session = spark
+    import session.implicits._
+    val corpus = (0 until 12).map { i =>
+      val a = i * math.Pi / 6
+      (i.toLong, Array(math.cos(a), math.sin(a)))
+    }.toDF("vid", "emb")
+    corpus.createOrReplaceTempView("C")
+    def cat(name: String): org.apache.spark.sql.DataFrame =
+      if (name == "C") corpus else sys.error(s"no fixture table $name")
+    val q = "C | ann k=3 (C | where vid % 4 == 0) on emb by vid"
+    val sql = Pql.compileToSql(q, cat)
+    val a = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val b = Pql.query(spark, q, cat).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"sql:\n$sql")
+    assert(spark.sql(sql).columns.toSeq == Seq("query_id", "vid", "cos_sim", "rank"))
   }
 
   test("Walk visits every node and supports pruning") {

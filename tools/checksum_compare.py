@@ -25,6 +25,7 @@ on every entry) before being trusted at sf100.
 Usage: python3 tools/checksum_compare.py <verify_out> <sf_dir> [keys...]
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -44,7 +45,11 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET max_temp_directory_size='40GB'")
+    con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_SPILL', '40GB')}'")
+    # an explicit cap forces operators to elect out-of-core execution
+    # instead of outgrowing the machine (the sf30 lesson — the kernel
+    # OOM-kills the process at the default 80%-of-RAM limit)
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '64GB')}'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():
