@@ -222,6 +222,7 @@ private[graft] final class SqlGen(
     case op: AsofJoinOp  => applyAsofJoin(prev, op)
     case op: RangeJoinOp => applyRangeJoin(prev, op)
     case op: AnnOp if op.kind == "brute" => applyAnnBrute(prev, op)
+    case op: AnnOp if op.kind == "lsh"   => applyAnnLsh(prev, op)
 
     case other =>
       val name = other match {
@@ -231,8 +232,11 @@ private[graft] final class SqlGen(
         case _: DecontamOp  => "decontam"
         case _: ChunkOp     => "chunk"
         case _: PackOp      => "pack"
-        // brute is emitted above; the indexed kinds size their
-        // geometry from a plan-time corpus count — not a single query
+        // brute and fixed-geometry lsh are emitted above; ivf stays
+        // plan-path-only — its corpus assignment is a baked argmax
+        // against a DATA-DEPENDENT seed matrix (collected at plan
+        // time), whose skip-null / ±0.0 Double.compare tie semantics
+        // a SQL window cannot carry bit-identically
         case a: AnnOp       => s"ann kind=${a.kind}"
         case _              => "this"
       }
@@ -345,6 +349,99 @@ private[graft] final class SqlGen(
       prev.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
       right.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
       safeVec, safeId, k = k
+    ).withColumnRenamed(safeId, op.idCol.name)
+    Stage(ranked, mirror)
+  }
+
+  /** `| ann kind=lsh` as SQL text (round 15): the banded sign-LSH
+    * top-k, FIXED geometry only (`planes=`/`bits=` both given). The
+    * signature is `graft_sign_sig(vec, dim, planes)` — the SAME
+    * native [[graft.functions.PackedSignSig]] expression the plan
+    * path evaluates (the registered builder derives the identical
+    * plane matrix from the two literals), band keys are the same
+    * integer `shiftrightunsigned % 2^bits` arithmetic, and the
+    * rescore is `graft_dot` — so the emitted text is bit-identical to
+    * [[graft.ops.Ann.lshTopK]] on EVERY input, ragged vectors
+    * included. The adaptive default (no geometry, or `occupancy=`)
+    * sizes its bands from a plan-time corpus count that a single SQL
+    * string cannot carry, and is rejected with a pointer to the fixed
+    * spelling. Like the brute emission, the host session must carry
+    * graft's function registry (GraftExtensions).
+    */
+  private def applyAnnLsh(prev: Stage, op: AnnOp): Stage = {
+    val right = foldOps(sourceStage(op.queries.source), op.queries.operators)
+    ExtJoins.annCheck(prev.df.columns.toSeq, right.df.columns.toSeq, op.vecCol, op.idCol, fail)
+    val o = new OpOptionsBase(op.opts, op.span,
+      Set("k", "dim", "planes", "bits", "occupancy"), "ann kind=lsh", fail)
+    val k = o.int("k", 5, min = 1)
+    val dim = o.requiredInt("dim", min = 1)
+    val (planes, bits) =
+      (o.intOpt("planes", min = 1), o.intOpt("bits", min = 1),
+        o.intOpt("occupancy", min = 1)) match {
+        case (Some(_), Some(_), Some(_)) | (Some(_), None, Some(_)) |
+            (None, Some(_), Some(_)) =>
+          fail("ann kind=lsh takes planes=/bits= or occupancy=, not both", op.span)
+        case (Some(p), Some(b), None) =>
+          if (b > 62) fail(s"option bits must be in [1, 62], got $b", op.span)
+          if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", op.span)
+          (p, b)
+        case (None, None, _) =>
+          fail("ann kind=lsh compiles to SQL text only with a fixed geometry — " +
+            "pass planes= and bits= together; the adaptive default sizes its bands " +
+            "from a plan-time corpus count a single SQL query cannot carry " +
+            "(use Pql.query for the adaptive form)", op.span)
+        case _ =>
+          fail("ann kind=lsh needs planes= and bits= together", op.span)
+      }
+    o.finish()
+    val (vecQ, idQ) = (q(op.vecCol.name), q(op.idCol.name))
+    val nBands = planes / bits
+    // same cast as NearDup.signSigs (array-level cast, not transform)
+    val c = newStage(
+      s"SELECT $idQ AS __graft_ann_id, CAST($vecQ AS ARRAY<DOUBLE>) AS __v FROM ${prev.cte}")
+    val cn = newStage(
+      s"SELECT __graft_ann_id, __v, sqrt(graft_dot(__v, __v)) AS __nrm, " +
+        s"graft_sign_sig(__v, $dim, $planes) AS __sig FROM $c")
+    val qv = newStage(
+      s"SELECT $idQ AS query_id, CAST($vecQ AS ARRAY<DOUBLE>) AS __qv FROM ${right.cte}")
+    val qn = newStage(
+      s"SELECT query_id, __qv, sqrt(graft_dot(__qv, __qv)) AS __qn, " +
+        s"graft_sign_sig(__qv, $dim, $planes) AS __sig FROM $qv")
+    // element j = bits [j·bits, (j+1)·bits) of the signature — the
+    // exact integer form of NearDup.signBandKeys (leftover bits that
+    // don't fill a band are dropped, same as the library)
+    def bandArr(sig: String) = (0 until nBands)
+      .map(j => s"shiftrightunsigned($sig, ${j * bits}) % ${1L << bits}L")
+      .mkString("array(", ", ", ")")
+    val cb = newStage(
+      s"SELECT __graft_ann_id, band_idx, band_key FROM $cn " +
+        s"LATERAL VIEW posexplode(${bandArr("__sig")}) __b AS band_idx, band_key")
+    val qb = newStage(
+      s"SELECT query_id, band_idx, band_key FROM $qn " +
+        s"LATERAL VIEW posexplode(${bandArr("__sig")}) __b AS band_idx, band_key")
+    // band rows carry only (id, band): the candidate shuffle moves two
+    // longs per row (lshTopK's shape); DISTINCT = its dropDuplicates
+    val cand = newStage(
+      s"SELECT /*+ BROADCAST(q) */ DISTINCT q.query_id, c.__graft_ann_id " +
+        s"FROM $cb c JOIN $qb q ON c.band_idx = q.band_idx AND c.band_key = q.band_key " +
+        s"AND c.__graft_ann_id != q.query_id")
+    val scored = newStage(
+      s"SELECT /*+ BROADCAST(q) */ cand.query_id, cand.__graft_ann_id, " +
+        s"graft_dot(c.__v, q.__qv) / (c.__nrm * q.__qn) AS cos_sim " +
+        s"FROM $cand cand JOIN $cn c ON cand.__graft_ann_id = c.__graft_ann_id " +
+        s"JOIN $qn q ON cand.query_id = q.query_id")
+    val ranked = newStage(
+      s"SELECT query_id, __graft_ann_id AS $idQ, cos_sim, rank FROM (" +
+        s"SELECT query_id, __graft_ann_id, cos_sim, row_number() OVER (" +
+        s"PARTITION BY query_id ORDER BY cos_sim DESC, __graft_ann_id ASC) AS rank FROM $scored" +
+        s") WHERE rank <= $k")
+    // schema mirror: exactly the DataFrame compiler's construction
+    val safeVec = "__graft_ann_vec"
+    val safeId = "__graft_ann_id"
+    val mirror = graft.ops.Ann.lshTopK(
+      prev.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
+      right.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
+      safeVec, safeId, dim, k, planes = planes, bandBits = bits
     ).withColumnRenamed(safeId, op.idCol.name)
     Stage(ranked, mirror)
   }

@@ -83,6 +83,24 @@ object GraftExtensions {
       }
     ),
     (
+      FunctionIdentifier("graft_sign_sig"),
+      new ExpressionInfo(classOf[PackedSignSig].getName, "graft_sign_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_sign_sig expects (vec, dim, planes), got ${args.length} arguments")
+        val dim = litOf(args(1), "graft_sign_sig dim").asInstanceOf[Number].intValue()
+        val planes = litOf(args(2), "graft_sign_sig planes").asInstanceOf[Number].intValue()
+        require(dim >= 1, s"graft_sign_sig dim must be >= 1, got $dim")
+        require(planes >= 1 && planes <= 62,
+          s"graft_sign_sig planes must be in [1, 62], got $planes")
+        // the SAME deterministic plane stream as NearDup.signSigs —
+        // matrix index p*dim+j = planeValue(p*dim+j) — so the SQL
+        // spelling is the identical expression, not a lookalike
+        val mat = Array.tabulate(planes * dim)(i => graft.ops.Project.planeValue(i.toLong))
+        PackedSignSig(args(0), mat, dim)
+      }
+    ),
+    (
       FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
       (args: Seq[Expression]) => {

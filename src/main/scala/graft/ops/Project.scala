@@ -34,7 +34,7 @@ object Project {
   /** Scala-side mirror of [[NearDup.planeComponent]] — exact integer
     * arithmetic, identical values (asserted in ProjectSpec).
     */
-  private[ops] def planeValue(idx: Long): Double =
+  private[graft] def planeValue(idx: Long): Double =
     ((1103515245L * idx + 12345L) % 2147483648L) / 2147483648.0 - 0.5
 
   private def planeLit(dim: Int, p: Int): Column =

@@ -185,11 +185,12 @@ class SqlCompileSpec extends SparkTestBase {
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
     assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
-    // the INDEXED ann kinds stay rejected (plan-time corpus counts);
-    // kind=brute is emitted — see the parity test below
+    // ivf stays rejected (baked data-dependent assignment matrix);
+    // kind=brute and fixed-geometry kind=lsh are emitted — see the
+    // parity tests below
     val e3 = intercept[graft.compiler.PqlCompileException](
-      Pql.compileToSql("StormEvents | ann kind=lsh dim=2 (StormEvents) on EventNarrative by EventId", catalog))
-    assert(e3.getMessage.contains("'ann kind=lsh'") && e3.getMessage.contains("Pql.query"), e3.getMessage)
+      Pql.compileToSql("StormEvents | ann kind=ivf dim=2 (StormEvents) on EventNarrative by EventId", catalog))
+    assert(e3.getMessage.contains("'ann kind=ivf'") && e3.getMessage.contains("Pql.query"), e3.getMessage)
   }
 
   test("ann kind=brute emits SQL matching the plan path (round 15)") {
@@ -209,6 +210,42 @@ class SqlCompileSpec extends SparkTestBase {
     val b = Pql.query(spark, q, cat).collect().map(_.toString).sorted.toSeq
     assert(a == b, s"sql:\n$sql")
     assert(spark.sql(sql).columns.toSeq == Seq("query_id", "vid", "cos_sim", "rank"))
+  }
+
+  test("ann kind=lsh with fixed geometry emits SQL matching the plan path (round 15)") {
+    graft.functions.GraftExtensions.register(spark) // graft_dot + graft_sign_sig
+    val session = spark
+    import session.implicits._
+    // 40 unit vectors around the circle, plus one ragged row (3 comps)
+    // and one with a null component — PackedSignSig's degenerate-vector
+    // semantics must survive the text round-trip, not just clean data
+    val clean = (0 until 40).map { i =>
+      val a = i * math.Pi / 20
+      (i.toLong, Array[java.lang.Double](math.cos(a), math.sin(a)))
+    }
+    val ragged = Seq(
+      (100L, Array[java.lang.Double](0.3, 0.4, 0.5)),
+      (101L, Array[java.lang.Double](0.3, null)))
+    val corpus = (clean ++ ragged).toDF("vid", "emb")
+    corpus.createOrReplaceTempView("CL")
+    def cat(name: String): org.apache.spark.sql.DataFrame =
+      if (name == "CL") corpus else sys.error(s"no fixture table $name")
+    val q = "CL | ann kind=lsh k=3 dim=2 planes=8 bits=4 (CL | where vid % 10 == 0) on emb by vid"
+    val sql = Pql.compileToSql(q, cat)
+    val a = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val b = Pql.query(spark, q, cat).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"sql:\n$sql")
+    assert(a.nonEmpty)
+    assert(spark.sql(sql).columns.toSeq == Seq("query_id", "vid", "cos_sim", "rank"))
+    // mixing occupancy with partial geometry names the real conflict
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("CL | ann kind=lsh dim=2 planes=8 occupancy=4 (CL) on emb by vid", cat))
+    assert(e.getMessage.contains("not both"), e.getMessage)
+    // ADAPTIVE lsh (no planes=/bits=) needs a plan-time corpus count —
+    // rejected with a pointer to the fixed spelling
+    val e2 = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("CL | ann kind=lsh dim=2 (CL) on emb by vid", cat))
+    assert(e2.getMessage.contains("fixed geometry") && e2.getMessage.contains("Pql.query"), e2.getMessage)
   }
 
   test("Walk visits every node and supports pruning") {
