@@ -224,9 +224,41 @@ private[graft] final class SqlGen(
     case op: AnnOp if op.kind == "brute" => applyAnnBrute(prev, op)
     case op: AnnOp if op.kind == "lsh"   => applyAnnLsh(prev, op)
 
+    // `| sample 0.25 by id` (round 15): the deterministic Bernoulli
+    // keep is ONE codegen filter (md5-derived [0,1) hash of the id),
+    // so it IS a single SQL predicate — rendered from the library's
+    // own Column (Sampling.keepPredicate), not a lookalike
+    case SampleOp(rate, rateSpan, id, _) =>
+      val r =
+        try rate.toDouble
+        catch { case _: NumberFormatException => fail(s"invalid sample rate $rate", rateSpan) }
+      if (r < 0.0 || r > 1.0) fail(s"sample rate must be in [0, 1], got $rate", rateSpan)
+      Stage(
+        newStage(s"SELECT * FROM ${prev.cte} " +
+          s"WHERE ${sqlOf(graft.ops.Sampling.keepPredicate(col(id.name), r))}"),
+        graft.ops.Sampling.bernoulli(prev.df, id.name, r))
+
+    // `| dedup kind=exact text by id` (round 15): corpus-wide
+    // keep-first-id per normalized-text digest — one window, so it IS
+    // a single SQL query (the digest expression is rendered from the
+    // library's own Column). The other batch kinds stay rejected:
+    // multi-stage banded plans / plan-time corpus counts.
+    case DedupOp("exact", opts, text, id, span) =>
+      new OpOptionsBase(opts, span, Set.empty, "dedup kind=exact", fail).finish()
+      val missing = Seq(text.name, id.name).filterNot(prev.df.columns.contains)
+      if (missing.nonEmpty)
+        fail(s"dedup column ${missing.head} not found", span)
+      val digest = sqlOf(md5(graft.ops.TextOps.normalize(col(text.name)).cast("binary")))
+      val cols = prev.df.columns.toSeq.map(q).mkString(", ")
+      val out = newStage(
+        s"SELECT $cols FROM (SELECT *, row_number() OVER (" +
+          s"PARTITION BY $digest ORDER BY ${q(id.name)}) AS __graft_rn FROM ${prev.cte}" +
+          s") WHERE __graft_rn = 1")
+      Stage(out, graft.ops.Dedup.exact(prev.df, text.name, id.name))
+
     case other =>
       val name = other match {
-        case _: DedupOp     => "dedup"
+        case d: DedupOp     => s"dedup kind=${d.kind}"
         case _: SampleOp       => "sample"
         case _: SampleBudgetOp => "sample budget="
         case _: DecontamOp  => "decontam"

@@ -26,7 +26,13 @@ object Sampling {
     * `hash(id, salt) < rate`. Same rows survive on every engine/run.
     */
   def bernoulli(df: DataFrame, idCol: String, rate: Double, salt: String = "graft"): DataFrame =
-    df.filter(hashUnit(col(idCol), salt) < rate)
+    df.filter(keepPredicate(col(idCol), rate, salt))
+
+  /** The keep predicate of [[bernoulli]] as a Column — the SQL-text
+    * backend renders THIS expression, so the two paths cannot drift.
+    */
+  private[graft] def keepPredicate(id: Column, rate: Double, salt: String = "graft"): Column =
+    hashUnit(id, salt) < rate
 
   /** Stratified deterministic sample: per-stratum keep rates (e.g.
     * `lang -> rate` quotas for a training mix); strata not listed keep

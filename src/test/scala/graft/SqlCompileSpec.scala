@@ -179,9 +179,11 @@ class SqlCompileSpec extends SparkTestBase {
   }
 
   test("extension operators are rejected with a pointer to Pql.query") {
+    // default kind=exact is EMITTED since round 15 — the banded kinds
+    // stay rejected
     val e = intercept[graft.compiler.PqlCompileException](
-      Pql.compileToSql("StormEvents | dedup EventNarrative by EventId", catalog))
-    assert(e.getMessage.contains("Pql.query"), e.getMessage)
+      Pql.compileToSql("StormEvents | dedup kind=minhash EventNarrative by EventId", catalog))
+    assert(e.getMessage.contains("Pql.query") && e.getMessage.contains("kind=minhash"), e.getMessage)
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
     assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
@@ -246,6 +248,38 @@ class SqlCompileSpec extends SparkTestBase {
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("CL | ann kind=lsh dim=2 (CL) on emb by vid", cat))
     assert(e2.getMessage.contains("fixed geometry") && e2.getMessage.contains("Pql.query"), e2.getMessage)
+  }
+
+  test("sample and dedup kind=exact emit SQL matching the plan path (round 15)") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "The cat sat on the mat"),
+      (2L, "the cat  SAT on the mat "), // normalizes equal to doc 1
+      (3L, "a different document"),
+      (4L, "A DIFFERENT document"),     // normalizes equal to doc 3
+      (5L, "unique text")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("D")
+    def cat(name: String): DataFrame =
+      if (name == "D") docs else sys.error(s"no fixture table $name")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "D | sample 0.5 by doc_id",
+        "D | dedup text by doc_id",                       // default kind=exact
+        "D | dedup kind=exact text by doc_id | where doc_id > 1 | project doc_id",
+        "D | sample 0.9 by doc_id | dedup text by doc_id | summarize n = count()")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    // dedup exact keeps the SMALLEST id of each normalized-text group
+    val kept = spark.sql(Pql.compileToSql("D | dedup text by doc_id | project doc_id", cat))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), kept)
+    // unknown dedup option is still a compile error on the text path
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("D | dedup kind=exact dim=4 text by doc_id", cat))
+    assert(e.getMessage.contains("dim"), e.getMessage)
   }
 
   test("Walk visits every node and supports pruning") {
