@@ -2915,6 +2915,40 @@ object SparkEntry {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
       )
     ),
+    // SQL-text backend over the EXTENSION surface (round 15): the
+    // same fixed-geometry lsh pipeline as ann_lsh, but compiled to a
+    // SQL string and executed via spark.sql (graft_sign_sig/graft_dot
+    // resolve from the registered function library) — the emitted
+    // text itself is hash-matched against the DuckDB oracle, the
+    // spec-level ≡-plan-path proof is SqlCompileSpec.
+    "pql_sql_ann_lsh" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("embeddings").createOrReplaceTempView("embeddings")
+        s.sql(Pql.compileToSql(
+          "embeddings | ann kind=lsh k=5 dim=64 planes=56 bits=8 " +
+            "(embeddings | where vec_id % 50 == 0) on embedding by vec_id",
+          cat))
+      },
+      Some(sqlAnnLshOracle)
+    ),
+    // sample → dedup kind=exact through the text backend — the
+    // single-query extension forms composed in one emitted string
+    "pql_sql_dedup_sample" -> Entry(
+      (s, dir) => {
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql(
+          "documents | sample 0.25 by doc_id | dedup text by doc_id", cat))
+      },
+      Some(
+        s"""SELECT doc_id, text, lang, source, n_chars FROM (
+           |  SELECT * FROM documents
+           |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT / 4294967296.0 < 0.25)
+           |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+      )
+    ),
     // The end-to-end corpus build written entirely IN THE LANGUAGE —
     // dedup, quality filter (extension scalar fn), chunk, pack — one
     // composed Catalyst plan, hash-matched against the same oracle as
