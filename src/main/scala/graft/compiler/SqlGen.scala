@@ -256,13 +256,26 @@ private[graft] final class SqlGen(
           s") WHERE __graft_rn = 1")
       Stage(out, graft.ops.Dedup.exact(prev.df, text.name, id.name))
 
+    // `| chunk 64 text by id` (round 15): one projection + posexplode
+    // — a single LATERAL VIEW query (the split expression is rendered
+    // from the library's own Column)
+    case ChunkOp(n, text, id, span) =>
+      val missing = Seq(text.name, id.name).filterNot(prev.df.columns.contains)
+      if (missing.nonEmpty)
+        fail(s"chunk column ${missing.head} not found", span)
+      val chunkTokens = rowCount(n)
+      val arr = sqlOf(graft.ops.TextOps.chunkArray(col(text.name), chunkTokens))
+      val nTok = sqlOf(graft.ops.TextOps.chunkTokenCount(col("chunk_text")))
+      val out = newStage(
+        s"SELECT ${q(id.name)}, chunk_idx, chunk_text, $nTok AS n_tokens FROM ${prev.cte} " +
+          s"LATERAL VIEW posexplode($arr) __c AS chunk_idx, chunk_text")
+      Stage(out, graft.ops.TextOps.chunk(prev.df, text.name, id.name, chunkTokens))
+
     case other =>
       val name = other match {
         case d: DedupOp     => s"dedup kind=${d.kind}"
-        case _: SampleOp       => "sample"
         case _: SampleBudgetOp => "sample budget="
         case _: DecontamOp  => "decontam"
-        case _: ChunkOp     => "chunk"
         case _: PackOp      => "pack"
         // brute and fixed-geometry lsh are emitted above; ivf stays
         // plan-path-only — its corpus assignment is a baked argmax

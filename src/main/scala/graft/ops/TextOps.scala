@@ -295,16 +295,23 @@ object TextOps {
     */
   def chunk(df: DataFrame, textCol: String, idCol: String, chunkTokens: Int = 128): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val collapsed = regexp_replace(trim(col(textCol)), WsClass + "+", " ")
-    val cut = "\\G((?:[^ ]*+ ){" + (chunkTokens - 1) + "}[^ ]*+) "
-    val chunks = split(regexp_replace(collapsed, cut, "$1\n"), "\n", -1)
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
-      .withColumn(
-        "n_tokens",
-        when(length(col("chunk_text")) === 0, lit(0L))
-          .otherwise(size(split(col("chunk_text"), " ")).cast("long"))
-      )
+    df.select(col(idCol), posexplode(chunkArray(col(textCol), chunkTokens)).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", chunkTokenCount(col("chunk_text")))
   }
+
+  /** The chunk-split array of [[chunk]] as a Column — the SQL-text
+    * backend renders THIS expression, so the two paths cannot drift.
+    */
+  private[graft] def chunkArray(text: Column, chunkTokens: Int): Column = {
+    val collapsed = regexp_replace(trim(text), WsClass + "+", " ")
+    val cut = "\\G((?:[^ ]*+ ){" + (chunkTokens - 1) + "}[^ ]*+) "
+    split(regexp_replace(collapsed, cut, "$1\n"), "\n", -1)
+  }
+
+  /** Token count of one chunk (empty chunk = 0, not 1). */
+  private[graft] def chunkTokenCount(chunkText: Column): Column =
+    when(length(chunkText) === 0, lit(0L))
+      .otherwise(size(split(chunkText, " ")).cast("long"))
 
   /** Document fingerprinting over normalized text: full 128-bit md5 hex
     * plus a 64-bit prefix form — identical in any engine with md5().

@@ -268,7 +268,9 @@ class SqlCompileSpec extends SparkTestBase {
         "D | sample 0.5 by doc_id",
         "D | dedup text by doc_id",                       // default kind=exact
         "D | dedup kind=exact text by doc_id | where doc_id > 1 | project doc_id",
-        "D | sample 0.9 by doc_id | dedup text by doc_id | summarize n = count()")) {
+        "D | sample 0.9 by doc_id | dedup text by doc_id | summarize n = count()",
+        "D | chunk 3 text by doc_id",
+        "D | chunk 2 text by doc_id | summarize total = sum(n_tokens) by doc_id | sort by doc_id asc")) {
       val sql = Pql.compileToSql(q, cat)
       assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
     }

@@ -32,7 +32,7 @@ df -h / | tail -1
 
 echo "== [3/4] DuckDB oracles: checksum_compare per entry (fresh process) =="
 for e in dedup_pipeline ann_ivf_auto dedup_semantic_auto dedup_embed_auto; do
-  /usr/bin/time -v timeout 10800 python3 tools/checksum_compare.py "$OUT" "$SF" "$e" 2>/tmp/cc_${e}_time.log \
+  timeout 10800 python3 tools/checksum_compare.py "$OUT" "$SF" "$e" 2>/tmp/cc_${e}_time.log \
     || echo "[compare-rc=$?] $e"
   grep -E "Maximum resident|Elapsed" /tmp/cc_${e}_time.log | head -2
   rm -rf /tmp/duckdb_spill/* 2>/dev/null
