@@ -2949,6 +2949,73 @@ object SparkEntry {
            |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
       )
     ),
+    // THE workhorse dedup through the text backend (round 16): the
+    // full exact→minhash pipeline (NearDup.deduplicateCorpus) as one
+    // emitted CTE chain — graft_shingle_hashes resolves from the
+    // registered function library, signatures/estimator rendered from
+    // the library's own Columns, ≡-plan-path proof in SqlCompileSpec —
+    // executed via spark.sql and hash-matched against the SAME oracle
+    // as dedup_pipeline/pql_dedup (the three spellings can't drift).
+    "pql_sql_dedup_minhash" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql(
+          "documents | dedup kind=minhash text by doc_id", cat))
+      },
+      Some(sqlDedupPipelineOracle)
+    ),
+    // The scalable ANN through the text backend (round 16): seeded IVF
+    // with a fixed 32-cell index — the seed set re-derived in the
+    // emitted text (ORDER BY hash32 LIMIT), corpus assignment via
+    // graft_argmax_cell (the SAME Double.compare argmax loop as the
+    // plan path's baked ArgmaxDot, matrix via scalar subquery), query
+    // probes in cellRanks' window form — hash-matched against
+    // ann_ivf_seeded's oracle.
+    "pql_sql_ann_ivf" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("embeddings").createOrReplaceTempView("embeddings")
+        s.sql(Pql.compileToSql(
+          "embeddings | ann kind=ivf k=5 dim=64 cells=32 " +
+            "(embeddings | where vec_id % 50 == 0) on embedding by vec_id",
+          cat))
+      },
+      Some(sqlAnnIvfSeededOracle)
+    ),
+    // The EXACT streaming kind as reached from query text (round 16,
+    // the last reachable-but-ungated streaming dedup route): `| dedup
+    // kind=exact` over a readStream catalog compiles to
+    // dropDuplicatesWithinWatermark on the normalized-text digest
+    // (Streaming.dedupExactOn). First arrival per digest is not total
+    // across partitions, so the gated projection is the DIGEST itself
+    // — computed OUTSIDE the query text (the op drops its internal
+    // digest column; the band kinds project their emitted band
+    // columns in-language instead) — same determinism rule as
+    // stream_dedup_exact, same oracle.
+    "pql_stream_dedup_exact" -> Entry(
+      (s, dir) => {
+        val sink = "pqlsdx_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+        val cat: String => DataFrame = {
+          case "documents" => graft.streaming.Streaming.withEventTime(stream, "ts", "1 hour")
+          case other       => sys.error(s"no streaming table $other")
+        }
+        val deduped = Pql.query(s, "documents | dedup kind=exact text by doc_id", cat)
+          .select(
+            org.apache.spark.sql.functions
+              .md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
+        val q = graft.streaming.Streaming.runToMemory(deduped, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
+    ),
     // The end-to-end corpus build written entirely IN THE LANGUAGE —
     // dedup, quality filter (extension scalar fn), chunk, pack — one
     // composed Catalyst plan, hash-matched against the same oracle as

@@ -395,6 +395,10 @@ private[graft] final class Compiler(
                 fail("ann kind=lsh takes planes=/bits= or occupancy=, not both", span)
               case (Some(p), Some(b), None) =>
                 if (b > 62) fail(s"option bits must be in [1, 62], got $b", span)
+                // the 62-bit signature cap (PackedSignSig) as a spanned
+                // compile error, not a raw require from the op (advice,
+                // round 15: planes=63 escaped unspanned)
+                if (p > 62) fail(s"option planes must be in [1, 62], got $p", span)
                 if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", span)
                 graft.ops.Ann.lshTopK(corpusSafe, qSafe, safeVec, safeId, dim, k,
                   planes = p, bandBits = b)

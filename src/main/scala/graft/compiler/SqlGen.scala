@@ -56,6 +56,18 @@ private[graft] final class SqlGen(
 
   private def q(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  /** Column existence the way the ANALYZER resolves it — respecting
+    * `spark.sql.caseSensitive` (default false), so the text backend
+    * accepts exactly the pipelines the plan path accepts (advice,
+    * round 15: a case-sensitive contains() here rejected `dedup Text
+    * by doc_id` that Pql.query ran fine).
+    */
+  private def hasColumn(df: DataFrame, name: String): Boolean = {
+    val caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    if (caseSensitive) df.columns.contains(name)
+    else df.columns.exists(_.equalsIgnoreCase(name))
+  }
+
   private def sqlOf(c: Column): String =
     org.apache.spark.sql.graftglue.Bridge.resolvedExpression(c).sql
 
@@ -223,6 +235,7 @@ private[graft] final class SqlGen(
     case op: RangeJoinOp => applyRangeJoin(prev, op)
     case op: AnnOp if op.kind == "brute" => applyAnnBrute(prev, op)
     case op: AnnOp if op.kind == "lsh"   => applyAnnLsh(prev, op)
+    case op: AnnOp if op.kind == "ivf"   => applyAnnIvf(prev, op)
 
     // `| sample 0.25 by id` (round 15): the deterministic Bernoulli
     // keep is ONE codegen filter (md5-derived [0,1) hash of the id),
@@ -245,22 +258,20 @@ private[graft] final class SqlGen(
     // multi-stage banded plans / plan-time corpus counts.
     case DedupOp("exact", opts, text, id, span) =>
       new OpOptionsBase(opts, span, Set.empty, "dedup kind=exact", fail).finish()
-      val missing = Seq(text.name, id.name).filterNot(prev.df.columns.contains)
-      if (missing.nonEmpty)
-        fail(s"dedup column ${missing.head} not found", span)
-      val digest = sqlOf(md5(graft.ops.TextOps.normalize(col(text.name)).cast("binary")))
-      val cols = prev.df.columns.toSeq.map(q).mkString(", ")
-      val out = newStage(
-        s"SELECT $cols FROM (SELECT *, row_number() OVER (" +
-          s"PARTITION BY $digest ORDER BY ${q(id.name)}) AS __graft_rn FROM ${prev.cte}" +
-          s") WHERE __graft_rn = 1")
-      Stage(out, graft.ops.Dedup.exact(prev.df, text.name, id.name))
+      exactDedupStage(prev, text.name, id.name, span)
+
+    // `| dedup kind=minhash text by id` (round 16): the production
+    // pipeline (exact dedup → MinHash-LSH near-dup drop,
+    // NearDup.deduplicateCorpus) as CTE text — see [[applyDedupMinhash]]
+    case DedupOp("minhash", opts, text, id, span) =>
+      new OpOptionsBase(opts, span, Set.empty, "dedup kind=minhash", fail).finish()
+      applyDedupMinhash(prev, text.name, id.name, span)
 
     // `| chunk 64 text by id` (round 15): one projection + posexplode
     // — a single LATERAL VIEW query (the split expression is rendered
     // from the library's own Column)
     case ChunkOp(n, text, id, span) =>
-      val missing = Seq(text.name, id.name).filterNot(prev.df.columns.contains)
+      val missing = Seq(text.name, id.name).filterNot(hasColumn(prev.df, _))
       if (missing.nonEmpty)
         fail(s"chunk column ${missing.head} not found", span)
       val chunkTokens = rowCount(n)
@@ -277,11 +288,8 @@ private[graft] final class SqlGen(
         case _: SampleBudgetOp => "sample budget="
         case _: DecontamOp  => "decontam"
         case _: PackOp      => "pack"
-        // brute and fixed-geometry lsh are emitted above; ivf stays
-        // plan-path-only — its corpus assignment is a baked argmax
-        // against a DATA-DEPENDENT seed matrix (collected at plan
-        // time), whose skip-null / ±0.0 Double.compare tie semantics
-        // a SQL window cannot carry bit-identically
+        // brute, fixed-geometry lsh, and fixed-cells ivf are emitted
+        // above; remaining kinds are unreachable here
         case a: AnnOp       => s"ann kind=${a.kind}"
         case _              => "this"
       }
@@ -289,6 +297,91 @@ private[graft] final class SqlGen(
         s"operator '$name' compiles to a multi-stage library plan, not a single SQL query; " +
           "use Pql.query for pipelines with graft extension operators",
         other.span)
+  }
+
+  /** The `dedup kind=exact` emission (round 15): corpus-wide
+    * keep-first-id per normalized-text digest — one window, the digest
+    * expression rendered from the library's own Column. Shared by the
+    * `exact` case and [[applyDedupMinhash]]'s first stage (the library
+    * pipeline composes the same way: `NearDup.deduplicateCorpus` =
+    * `Dedup.exact` → near-dup drop).
+    */
+  private def exactDedupStage(prev: Stage, text: String, id: String, span: Span): Stage = {
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"dedup column ${missing.head} not found", span)
+    val digest = sqlOf(md5(graft.ops.TextOps.normalize(col(text)).cast("binary")))
+    val cols = prev.df.columns.toSeq.map(q).mkString(", ")
+    val out = newStage(
+      s"SELECT $cols FROM (SELECT *, row_number() OVER (" +
+        s"PARTITION BY $digest ORDER BY ${q(id)}) AS __graft_rn FROM ${prev.cte}" +
+        s") WHERE __graft_rn = 1")
+    Stage(out, graft.ops.Dedup.exact(prev.df, text, id))
+  }
+
+  /** `| dedup kind=minhash` as SQL text (round 16): the production
+    * corpus pipeline — exact dedup first, then MinHash-LSH near-dup
+    * removal over the survivors ([[graft.ops.NearDup.deduplicateCorpus]]
+    * at its k=32 / bandRows=2 / est≥0.25 defaults) — as one CTE chain:
+    * hashed 3-gram shingles (`graft_shingle_hashes`, the SAME native
+    * [[graft.functions.ShingleHashes]] expression the plan path
+    * explodes, so the host session must carry graft's function
+    * registry like the ann emissions), 32 permutation-min aggregates
+    * and the match-fraction estimator rendered from the library's own
+    * Columns ([[graft.ops.NearDup.minhashAggColumns]] /
+    * `minhashEstSim` — one definition, two spellings), the banded
+    * self-join in `bandKeysOfSig`'s exact string-key form, and the
+    * drop as a LEFT ANTI JOIN on the greater pair member. Internals
+    * are `__graft_mh_*`-namespaced so user schemas with single-letter
+    * or colliding names compile (the ann rule).
+    */
+  private def applyDedupMinhash(prev: Stage, text: String, id: String, span: Span): Stage = {
+    val e = exactDedupStage(prev, text, id, span)
+    val (k, bandRows, minEstSim) = (32, 2, 0.25) // deduplicateCorpus → minhashPairs defaults
+    val shingleArr = s"graft_shingle_hashes(${sqlOf(graft.ops.NearDup.tokens(col(text)))}, 3)"
+    val hs = newStage(
+      s"SELECT ${q(id)} AS __graft_mh_id, __graft_mh_h FROM ${e.cte} " +
+        s"LATERAL VIEW explode($shingleArr) __g AS __graft_mh_h")
+    // the aggregates run over a column literally named `h` in the
+    // library ([[NearDup.minhashAggColumns]]); alias it back for the
+    // rendered text so the expressions match verbatim
+    val aggs = graft.ops.NearDup.minhashAggColumns(k).zipWithIndex
+      .map { case (c, j) => s"${sqlOf(c)} AS __g$j" }
+    val sig = (0 until k).map(j => s"__g$j").mkString("array(", ", ", ")")
+    val sg = newStage(
+      s"SELECT __graft_mh_id, $sig AS __graft_mh_sig FROM (" +
+        s"SELECT __graft_mh_id, ${aggs.mkString(", ")} " +
+        s"FROM (SELECT __graft_mh_id, __graft_mh_h AS h FROM $hs) GROUP BY __graft_mh_id)")
+    // hand-authored band keys (a rendered Column lambda prints a
+    // non-parseable `lambdafunction(...)` — same constraint as the
+    // brute/lsh emissions' transform calls): element j = components
+    // [j·bandRows, (j+1)·bandRows) cast to string, pipe-joined —
+    // exactly NearDup.bandKeysOfSig's construction
+    val bandArr = (0 until k / bandRows)
+      .map(j => s"array_join(transform(slice(__graft_mh_sig, ${j * bandRows + 1}, $bandRows), " +
+        s"x -> CAST(x AS STRING)), '|')")
+      .mkString("array(", ", ", ")")
+    val bd = newStage(
+      s"SELECT __graft_mh_id, __graft_mh_bi, __graft_mh_bk FROM $sg " +
+        s"LATERAL VIEW posexplode($bandArr) __b AS __graft_mh_bi, __graft_mh_bk")
+    // join-back candidate form (minhashPairs' k=32 stance: narrow band
+    // rows + DISTINCT, signatures joined back only for the estimator)
+    val cand = newStage(
+      s"SELECT DISTINCT a.__graft_mh_id AS __graft_mh_ida, b.__graft_mh_id AS __graft_mh_idb " +
+        s"FROM $bd a JOIN $bd b ON a.__graft_mh_bi = b.__graft_mh_bi " +
+        s"AND a.__graft_mh_bk = b.__graft_mh_bk AND a.__graft_mh_id < b.__graft_mh_id")
+    val est = sqlOf(graft.ops.NearDup.minhashEstSim(col("__graft_mh_siga"), col("__graft_mh_sigb"), k))
+    val drops = newStage(
+      s"SELECT DISTINCT __graft_mh_idb FROM (" +
+        s"SELECT c.__graft_mh_idb, $est AS __graft_mh_est FROM $cand c " +
+        s"JOIN (SELECT __graft_mh_id, __graft_mh_sig AS __graft_mh_siga FROM $sg) sa " +
+        s"ON c.__graft_mh_ida = sa.__graft_mh_id " +
+        s"JOIN (SELECT __graft_mh_id, __graft_mh_sig AS __graft_mh_sigb FROM $sg) sb " +
+        s"ON c.__graft_mh_idb = sb.__graft_mh_id" +
+        s") WHERE __graft_mh_est >= $minEstSim")
+    val out = newStage(
+      s"SELECT e.* FROM ${e.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_mh_idb")
+    Stage(out, graft.ops.NearDup.deduplicateCorpus(prev.df, text, id))
   }
 
   /** `| join kind=asof` as SQL text (round 15): the UNION + KEYED
@@ -428,6 +521,10 @@ private[graft] final class SqlGen(
           fail("ann kind=lsh takes planes=/bits= or occupancy=, not both", op.span)
         case (Some(p), Some(b), None) =>
           if (b > 62) fail(s"option bits must be in [1, 62], got $b", op.span)
+          // 62-bit signature cap as a spanned error (advice, round 15:
+          // planes=63 escaped to a raw require in NearDup.signSigs) —
+          // same check as the plan path's ann kind=lsh case
+          if (p > 62) fail(s"option planes must be in [1, 62], got $p", op.span)
           if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", op.span)
           (p, b)
         case (None, None, _) =>
@@ -487,6 +584,103 @@ private[graft] final class SqlGen(
       prev.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
       right.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
       safeVec, safeId, dim, k, planes = planes, bandBits = bits
+    ).withColumnRenamed(safeId, op.idCol.name)
+    Stage(ranked, mirror)
+  }
+
+  /** `| ann kind=ivf` as SQL text (round 16): the hash-seeded IVF
+    * ([[graft.ops.Ann.ivfTopKSeeded]]), FIXED cell count only
+    * (`cells=` required — the adaptive default resolves √n cells from
+    * a plan-time corpus count a SQL string cannot carry, same stance
+    * as lsh's adaptive geometry).
+    *
+    * What the plan path bakes, the text re-derives in place:
+    *   - the seed set is `ORDER BY hash32(id), id LIMIT cells` (the
+    *     hash rendered from [[graft.ops.NearDup.hash32]]'s own Column);
+    *   - the corpus assignment is `graft_argmax_cell(vec, matrix,
+    *     dim)` — [[graft.functions.ArgmaxDotDyn]], the SAME
+    *     Double.compare argmax loop as the plan path's baked
+    *     [[graft.functions.ArgmaxDot]], with the flat row-major matrix
+    *     arriving as a scalar subquery (`flatten` over the cell-sorted
+    *     seed vectors) instead of a plan-time constant;
+    *   - query probes mirror `Ann.cellRanks` stage for stage (explode
+    *     ⋈ seed components → per-(query, cell) sum → rank ≤ probes);
+    *     the grouped double sum is left-fold exact here for the same
+    *     reason it is in the plan path — each query row's exploded
+    *     components live in one partition, and query ids are unique;
+    *   - rescore + top-k are the brute emission's tail (`graft_dot`).
+    * Like the other ann emissions the host session must carry graft's
+    * function registry. NOTE: building the schema mirror calls the
+    * library op, which collects the (bounded, ≤cells·dim) seed matrix —
+    * compileToSql on an ivf pipeline therefore runs one small Spark
+    * job, exactly as Pql.query on the same text does.
+    */
+  private def applyAnnIvf(prev: Stage, op: AnnOp): Stage = {
+    val right = foldOps(sourceStage(op.queries.source), op.queries.operators)
+    ExtJoins.annCheck(prev.df.columns.toSeq, right.df.columns.toSeq, op.vecCol, op.idCol, fail)
+    val o = new OpOptionsBase(op.opts, op.span,
+      Set("k", "dim", "cells", "probes"), "ann kind=ivf", fail)
+    val k = o.int("k", 5, min = 1)
+    val dim = o.requiredInt("dim", min = 1)
+    val nProbe = o.int("probes", 2, min = 1)
+    val nCells = o.intOpt("cells", min = 1).getOrElse(
+      fail("ann kind=ivf compiles to SQL text only with a fixed index — pass cells=; " +
+        "the adaptive default sizes its cell count from a plan-time corpus count " +
+        "a single SQL query cannot carry (use Pql.query for the adaptive form)", op.span))
+    o.finish()
+    val (vecQ, idQ) = (q(op.vecCol.name), q(op.idCol.name))
+    // prep mirror: transform-cast vectors + fold norms (Ann.prep)
+    val c = newStage(
+      s"SELECT $idQ AS __graft_ann_id, transform($vecQ, x -> CAST(x AS DOUBLE)) AS __v FROM ${prev.cte}")
+    val cn = newStage(
+      s"SELECT __graft_ann_id, __v, sqrt(graft_dot(__v, __v)) AS __nrm FROM $c")
+    val h32 = sqlOf(graft.ops.NearDup.hash32(col("__graft_ann_id").cast("string")))
+    val sd = newStage(
+      s"SELECT __graft_ann_id, __v, $h32 AS __h FROM $c ORDER BY __h, __graft_ann_id LIMIT $nCells")
+    val ct = newStage(
+      s"SELECT CAST(row_number() OVER (ORDER BY __h, __graft_ann_id) - 1 AS INT) AS __c, __v AS __sv FROM $sd")
+    // flat row-major matrix in cell order: array_sort on (c, v) structs
+    // orders by the unique int c, flatten concatenates the vectors
+    val mat = s"(SELECT flatten(transform(array_sort(collect_list(struct(__c, __sv))), s -> s.__sv)) FROM $ct)"
+    val cc = newStage(
+      s"SELECT __graft_ann_id, __cell FROM (SELECT $idQ AS __graft_ann_id, " +
+        s"graft_argmax_cell(CAST($vecQ AS ARRAY<DOUBLE>), $mat, $dim) AS __cell FROM ${prev.cte}" +
+        s") WHERE __cell IS NOT NULL")
+    val qv = newStage(
+      s"SELECT $idQ AS query_id, transform($vecQ, x -> CAST(x AS DOUBLE)) AS __qv FROM ${right.cte}")
+    val qn = newStage(
+      s"SELECT query_id, __qv, sqrt(graft_dot(__qv, __qv)) AS __qn FROM $qv")
+    // cellRanks mirror: component explode ⋈ seed components → sum → rank
+    val qx = newStage(
+      s"SELECT query_id, __j, __x FROM $qv LATERAL VIEW posexplode(__qv) __p AS __j, __x")
+    val ctc = newStage(
+      s"SELECT __c, __j, __w FROM $ct LATERAL VIEW posexplode(__sv) __p AS __j, __w")
+    val qd = newStage(
+      s"SELECT query_id, __c, sum(__x * __w) AS __d FROM $qx JOIN $ctc ON $qx.__j = $ctc.__j " +
+        s"GROUP BY query_id, __c")
+    val qc = newStage(
+      s"SELECT query_id, __c FROM (SELECT query_id, __c, row_number() OVER (" +
+        s"PARTITION BY query_id ORDER BY __d DESC, __c) AS __r FROM $qd) WHERE __r <= $nProbe")
+    val cand = newStage(
+      s"SELECT /*+ BROADCAST(q) */ q.query_id, c.__graft_ann_id " +
+        s"FROM $cc c JOIN $qc q ON c.__cell = q.__c AND c.__graft_ann_id != q.query_id")
+    val scored = newStage(
+      s"SELECT /*+ BROADCAST(q) */ cand.query_id, cand.__graft_ann_id, " +
+        s"graft_dot(c.__v, q.__qv) / (c.__nrm * q.__qn) AS cos_sim " +
+        s"FROM $cand cand JOIN $cn c ON cand.__graft_ann_id = c.__graft_ann_id " +
+        s"JOIN $qn q ON cand.query_id = q.query_id")
+    val ranked = newStage(
+      s"SELECT query_id, __graft_ann_id AS $idQ, cos_sim, rank FROM (" +
+        s"SELECT query_id, __graft_ann_id, cos_sim, row_number() OVER (" +
+        s"PARTITION BY query_id ORDER BY cos_sim DESC, __graft_ann_id ASC) AS rank FROM $scored" +
+        s") WHERE rank <= $k")
+    // schema mirror: exactly the DataFrame compiler's construction
+    val safeVec = "__graft_ann_vec"
+    val safeId = "__graft_ann_id"
+    val mirror = graft.ops.Ann.ivfTopKSeeded(
+      prev.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
+      right.df.select(col(op.vecCol.name).as(safeVec), col(op.idCol.name).as(safeId)),
+      safeVec, safeId, dim, k, nCells = nCells, nProbe = nProbe
     ).withColumnRenamed(safeId, op.idCol.name)
     Stage(ranked, mirror)
   }

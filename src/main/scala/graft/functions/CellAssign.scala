@@ -152,6 +152,63 @@ object PackedSignSig {
     Bridge.column(PackedSignSig(Bridge.expression(v), matrix, dim))
 }
 
+/** [[ArgmaxDot]] with the centroid matrix as a RUNTIME argument (a
+  * flat row-major `array<double>` value) instead of a plan-time
+  * constant — the SQL-text backend's spelling: a plan-time matrix
+  * cannot ride a SQL string, but a scalar subquery producing the
+  * SAME flat matrix can (`flatten(transform(array_sort(
+  * collect_list(struct(c, v))), s -> s.v))` over the seed CTE).
+  * Registered as `graft_argmax_cell(vec, matrix, dim)`.
+  *
+  * The comparison loop mirrors [[ArgmaxDot.compute]] statement for
+  * statement (same strict `Double.compare(d, best) > 0` replacement
+  * rule, same `min(len, dim)` bound, same skip-null vector rule), and
+  * `CellAssignSpec` asserts the two spellings agree on ties, NaN,
+  * ragged and null-element vectors so they cannot drift.
+  * Null matrix COMPONENTS throw (the plan path rejects them at
+  * compile time in `Ann.seededCentroidMatrix`; this spelling meets
+  * them at eval time). A null matrix, like a null vector, is null.
+  */
+case class ArgmaxDotDyn(left: Expression, right: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  // null on empty vector / empty matrix even with non-null children —
+  // same janino constant-isNull hazard as ArgmaxDot
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_cell"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val c = ArgmaxDot.computeDyn(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim)
+    if (c < 0) null else c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val c = ctx.freshName("cell")
+      s"""
+         |final int $c = graft.functions.ArgmaxDot.computeDyn($v, $m, $dim);
+         |if ($c < 0) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArgmaxDotDyn {
+  /** Column-side entry point. */
+  def apply(v: Column, m: Column, dim: Int): Column =
+    Bridge.column(ArgmaxDotDyn(Bridge.expression(v), Bridge.expression(m), dim))
+}
+
 object ArgmaxDot {
 
   /** Winning cell index, or -1 for "no assignment" (empty vector or
@@ -177,6 +234,39 @@ object ArgmaxDot {
     var j = 0
     while (j < n) {
       if (!v.isNullAt(j)) s += v.getDouble(j) * m(off + j)
+      j += 1
+    }
+    s
+  }
+
+  /** [[compute]] with the matrix as ArrayData (see [[ArgmaxDotDyn]]).
+    * Called from generated code.
+    */
+  def computeDyn(v: ArrayData, m: ArrayData, dim: Int): Int = {
+    require(m.numElements() % dim == 0,
+      s"ragged seed matrix: ${m.numElements()} elements is not a multiple of dim=$dim")
+    val nCells = m.numElements() / dim
+    val n = math.min(v.numElements(), dim)
+    if (v.numElements() == 0 || nCells == 0) return -1
+    var bestC = 0
+    var best = cellDotDyn(v, m, 0, n)
+    var c = 1
+    while (c < nCells) {
+      val d = cellDotDyn(v, m, c * dim, n)
+      if (java.lang.Double.compare(d, best) > 0) { best = d; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  private def cellDotDyn(v: ArrayData, m: ArrayData, off: Int, n: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      if (m.isNullAt(off + j))
+        throw new IllegalArgumentException(
+          "seed vector has null components — clean the corpus vectors before indexing")
+      if (!v.isNullAt(j)) s += v.getDouble(j) * m.getDouble(off + j)
       j += 1
     }
     s

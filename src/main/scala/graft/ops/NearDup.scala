@@ -126,7 +126,7 @@ object NearDup {
     * arithmetic. Portable: DuckDB spells it
     * `('0x' || substr(md5(x), 1, 8))::BIGINT`.
     */
-  private[ops] def hash32(c: Column): Column =
+  private[graft] def hash32(c: Column): Column =
     conv(substring(md5hex(c), 1, 8), 16, 10).cast("long")
 
   /** Permutation-hash parameters of component j (universal-hash
@@ -161,13 +161,31 @@ object NearDup {
     * frame.
     */
   private[ops] def minhashSigsFromHashed(hashed: DataFrame, idCol: String, k: Int): DataFrame = {
-    val comps = (0 until k).map { j =>
-      val (a, b) = perm(j)
-      min((lit(a) * col("h") + lit(b)) % P).as(s"g$j")
-    }
+    val comps = minhashAggColumns(k).zipWithIndex.map { case (c, j) => c.as(s"g$j") }
     hashed.groupBy(col(idCol)).agg(comps.head, comps.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"g$j")): _*).as("sig"))
   }
+
+  /** The k permutation-min aggregate Columns over a hashed-shingle
+    * column `h` (unaliased, component order) — the signature
+    * construction itself, exposed so the SQL-text backend renders the
+    * SAME expressions the plan path aggregates (the r15 keepPredicate
+    * pattern: one definition, two spellings).
+    */
+  private[graft] def minhashAggColumns(k: Int): Seq[Column] =
+    (0 until k).map { j =>
+      val (a, b) = perm(j)
+      min((lit(a) * col("h") + lit(b)) % P)
+    }
+
+  /** Matching-component fraction of two k-element signature Columns —
+    * [[minhashPairs]]'s estimator, shared with the SQL-text backend.
+    */
+  private[graft] def minhashEstSim(a: Column, b: Column, k: Int): Column =
+    (0 until k)
+      .map(i => when(element_at(a, i + 1) === element_at(b, i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("double") / k
 
   /** Pipe-joined string band keys of a k-component signature array:
     * element j covers components [j·bandRows, (j+1)·bandRows).
@@ -296,10 +314,7 @@ object NearDup {
     // matching-component count as a codegen'd indicator sum (not a
     // higher-order filter(sequence(...)), which evaluates interpreted
     // with one closure call per component per pair)
-    val est = (0 until k)
-      .map(i => when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _)
-      .cast("double") / k
+    val est = minhashEstSim(col("sig_a"), col("sig_b"), k)
     cand
       .select(col("id_a"), col("id_b"), est.as("est_sim"))
       .filter(col("est_sim") >= minEstSim)

@@ -21,8 +21,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Usage: sbt "runMain graft.streaming.Soak <sfDir> [nFiles] [workloads]"
   * where [workloads] is an optional comma-list restricting the run
-  * (e.g. `stream_dedup_embed`); default runs all seven (the five
-  * library workloads plus the two grammar-compiled `pql_*` twins).
+  * (e.g. `stream_dedup_embed`); default runs all eight (the five
+  * library workloads plus the three grammar-compiled `pql_*` twins).
   */
 object Soak {
 
@@ -55,7 +55,7 @@ object Soak {
     val t = graft.sources.Tables.parquetDir(spark, sfDir)
     val needsEvents = wants("events_windowed_fsink") || wants("sessions_capped")
     val needsDocs = wants("stream_dedup_exact") || wants("stream_dedup_minhash") ||
-      wants("pql_stream_dedup")
+      wants("pql_stream_dedup") || wants("pql_stream_dedup_exact")
     if (needsEvents) {
       t("events").repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(s"$scratch/events")
@@ -116,6 +116,23 @@ object Soak {
       val deduped = Streaming.dedupExact(fileStream(s"$scratch/docs"), "text", "ts", "1 hour")
         .select(md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
       Streaming.runToParquet(deduped, s"$scratch/sde_out", s"$scratch/sde_ckpt")
+    }
+
+    // 2b. the GRAMMAR-COMPILED exact dedup (round 16): the same
+    // `| dedup kind=exact` text the pql_stream_dedup_exact gate entry
+    // compiles, replayed multi-batch — it must hold workload 2's
+    // watermark-bounded digest-state contract, not just match it in
+    // the single-batch gate. Digest projected outside the query text
+    // (the op drops its internal digest column), same as the gate.
+    if (wants("pql_stream_dedup_exact"))
+    soak("pql_stream_dedup_exact", s"$scratch/pqlsdx_out") { () =>
+      val cat: String => DataFrame = {
+        case "documents" => Streaming.withEventTime(fileStream(s"$scratch/docs"), "ts", "1 hour")
+        case other       => sys.error(s"no streaming table $other")
+      }
+      val deduped = graft.Pql.query(spark, "documents | dedup kind=exact text by doc_id", cat)
+        .select(md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
+      Streaming.runToParquet(deduped, s"$scratch/pqlsdx_out", s"$scratch/pqlsdx_ckpt")
     }
 
     // 3. streaming MinHash band dedup (stream_dedup_minhash shape)

@@ -992,6 +992,42 @@ class OpsSpec extends SparkTestBase {
     assert(viaRdd.sameElements(viaDf))
   }
 
+  test("decontam adaptive bloom: a FILTERED parquet scan keeps the bloom (round 16)") {
+    // the common pipeline shape is `where`-then-decontam. r15 broadened
+    // the unknown rule to "any LEAF at the sentinel skips the bloom" —
+    // this pins that a parquet leaf carries REAL file-size stats, so a
+    // filter/projection over it stays estimable (selectivity × a real
+    // leaf size) and the 20-29% bloom win is NOT silently disabled.
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomscan").toString
+    // ~8 MB parquet (above the 4 MiB floor even after a mild filter):
+    // random-ish hex strings defeat parquet's dictionary compression
+    spark.range(0, 200000L)
+      .select($"id".as("doc_id"),
+        concat(lit("doc "), md5($"id".cast("string")), lit(" "), md5(($"id" + 7).cast("string"))).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(Decontam.bloomDecision(scan), "raw parquet scan above the floor must build the bloom")
+    val filtered = scan.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val stat = filtered.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stat < BigInt(Long.MaxValue) && stat >= Decontam.BloomMinCorpusBytes,
+      s"filtered-scan estimate not healthy: $stat")
+    assert(Decontam.bloomDecision(filtered),
+      "where-then-decontam over a parquet scan must keep the bloom")
+    // even a HIGHLY selective filter keeps the bloom: Spark's
+    // size-only stats visitor does not scale a Filter's sizeInBytes
+    // without CBO column stats, so the estimate stays the scan's
+    // (documented here so a future CBO enablement that starts scaling
+    // it — and then correctly skips the bloom on a 1-row survivor —
+    // reads as the floor working, not a regression)
+    val tiny = scan.filter($"doc_id" === 7L)
+    val tinyStat = tiny.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(Decontam.bloomDecision(tiny) ==
+      (tinyStat >= Decontam.BloomMinCorpusBytes && tinyStat < BigInt(Long.MaxValue)),
+      s"decision must follow the estimate, got $tinyStat")
+  }
+
   // ---- plan shape (the 100-TB contract) --------------------------------
 
   test("decontam matches corpus shingles against a broadcast eval set") {

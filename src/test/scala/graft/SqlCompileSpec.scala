@@ -179,20 +179,86 @@ class SqlCompileSpec extends SparkTestBase {
   }
 
   test("extension operators are rejected with a pointer to Pql.query") {
-    // default kind=exact is EMITTED since round 15 — the banded kinds
-    // stay rejected
+    // exact (r15) and minhash (r16) are EMITTED — the remaining banded
+    // kinds stay rejected
     val e = intercept[graft.compiler.PqlCompileException](
-      Pql.compileToSql("StormEvents | dedup kind=minhash EventNarrative by EventId", catalog))
-    assert(e.getMessage.contains("Pql.query") && e.getMessage.contains("kind=minhash"), e.getMessage)
+      Pql.compileToSql("StormEvents | dedup kind=simhash EventNarrative by EventId", catalog))
+    assert(e.getMessage.contains("Pql.query") && e.getMessage.contains("kind=simhash"), e.getMessage)
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
     assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
-    // ivf stays rejected (baked data-dependent assignment matrix);
-    // kind=brute and fixed-geometry kind=lsh are emitted — see the
-    // parity tests below
-    val e3 = intercept[graft.compiler.PqlCompileException](
-      Pql.compileToSql("StormEvents | ann kind=ivf dim=2 (StormEvents) on EventNarrative by EventId", catalog))
-    assert(e3.getMessage.contains("'ann kind=ivf'") && e3.getMessage.contains("Pql.query"), e3.getMessage)
+  }
+
+  test("adaptive ann kind=ivf (no cells=) is rejected with a pointer to the fixed spelling") {
+    val session = spark
+    import session.implicits._
+    val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("vid", "emb")
+    def cat(name: String): DataFrame =
+      if (name == "IVR") corpus else sys.error(s"no fixture table $name")
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("IVR | ann kind=ivf dim=2 (IVR) on emb by vid", cat))
+    assert(e.getMessage.contains("cells=") && e.getMessage.contains("Pql.query"), e.getMessage)
+  }
+
+  test("dedup kind=minhash emits SQL matching the plan path (round 16)") {
+    graft.functions.GraftExtensions.register(spark) // graft_shingle_hashes in SQL
+    val session = spark
+    import session.implicits._
+    // near-dup groups: 1/2 exact-equal after normalization, 3/4 one
+    // word apart (minhash est-sim above 0.25), 5 unique, 6/7 a
+    // SHORT-doc pair (whole-text shingle path)
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      (1L, base),
+      (2L, "  THE quick   brown fox jumps over the lazy dog and runs far away today"),
+      (3L, base + " extra"),
+      (4L, base + " bonus"),
+      (5L, "completely different text about spark catalyst plans and shuffles here"),
+      (6L, "tiny doc"),
+      (7L, "tiny  DOC")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("MD")
+    def cat(name: String): DataFrame =
+      if (name == "MD") docs else sys.error(s"no fixture table $name")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "MD | dedup kind=minhash text by doc_id",
+        // composes with down-pipeline stages like any other CTE
+        "MD | dedup kind=minhash text by doc_id | summarize n = count()")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    // the near-dup drop actually dropped something beyond exact dedup
+    // (exact survivors are 1,3,4,5,6; 3 and 4 are near-dups of 1) and
+    // kept the smallest id of each cluster
+    val kept = spark.sql(Pql.compileToSql("MD | dedup kind=minhash text by doc_id | project doc_id", cat))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.size < 5 && kept.startsWith(Seq(1L)) && kept.contains(5L) && kept.contains(6L), kept)
+    // column checks resolve case-insensitively like the analyzer
+    // (advice, round 15)
+    val sqlCi = Pql.compileToSql("MD | dedup kind=minhash Text by DOC_ID", cat)
+    assert(rows(spark.sql(sqlCi)) ==
+      rows(Pql.query(spark, "MD | dedup kind=minhash Text by DOC_ID", cat)))
+  }
+
+  test("ann kind=ivf with fixed cells emits SQL matching the plan path (round 16)") {
+    graft.functions.GraftExtensions.register(spark) // graft_dot + graft_argmax_cell
+    val session = spark
+    import session.implicits._
+    val corpus = (0 until 40).map { i =>
+      val a = i * math.Pi / 20
+      (i.toLong, Array(math.cos(a), math.sin(a)))
+    }.toDF("vid", "emb")
+    corpus.createOrReplaceTempView("IVC")
+    def cat(name: String): DataFrame =
+      if (name == "IVC") corpus else sys.error(s"no fixture table $name")
+    val q = "IVC | ann kind=ivf k=3 dim=2 cells=4 probes=2 (IVC | where vid % 10 == 0) on emb by vid"
+    val sql = Pql.compileToSql(q, cat)
+    val a = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val b = Pql.query(spark, q, cat).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"sql:\n$sql")
+    assert(a.nonEmpty)
+    assert(spark.sql(sql).columns.toSeq == Seq("query_id", "vid", "cos_sim", "rank"))
   }
 
   test("ann kind=brute emits SQL matching the plan path (round 15)") {

@@ -66,6 +66,35 @@ class CellAssignSpec extends SparkTestBase {
       ArrayData.toArrayData(Array[java.lang.Double](1.0, null)), m, 2) == 0L)    // null component
   }
 
+  test("ArgmaxDotDyn (runtime matrix, the SQL-text spelling) == ArgmaxDot on every edge") {
+    import graft.functions.ArgmaxDot.{compute, computeDyn}
+    def ad(m: Array[Double]) = ArrayData.toArrayData(m)
+    val cases = Seq(
+      // (vector, matrix, dim)
+      (Array[java.lang.Double](1.0, 0.0), Array(2.0, 0.0, 2.0, 0.0), 2),        // exact tie
+      (Array[java.lang.Double](1.0, 0.0), Array(1.0, 0.0, Double.NaN, 0.0), 2), // NaN largest
+      (Array[java.lang.Double](1.0, 0.0, 9.0), Array(0.5, 0.0, 1.0, 0.0), 2),   // ragged long
+      (Array[java.lang.Double](1.0), Array(0.5, 3.0, 1.0, -3.0), 2),            // ragged short
+      (Array[java.lang.Double](1.0, null), Array(0.5, 3.0, 1.0, -3.0), 2),      // null element skipped
+      (Array.empty[java.lang.Double], Array(1.0), 1),                           // empty vector
+      (Array[java.lang.Double](1.0, 0.0), Array.empty[Double], 2),              // empty matrix
+      // zero-dot tie across signed weights (both fold to +0.0 — IEEE
+      // `0.0 + -0.0`; the tie must break to the smaller c in both)
+      (Array[java.lang.Double](0.0, 1.0), Array(-0.5, 0.0, 0.5, 0.0), 2)
+    )
+    for ((v, m, dim) <- cases) {
+      val vd = ArrayData.toArrayData(v)
+      assert(computeDyn(vd, ad(m), dim) == compute(vd, m, dim),
+        s"v=${v.mkString(",")} m=${m.mkString(",")} dim=$dim")
+    }
+    // null matrix component: the plan path rejects at compile time,
+    // the dynamic spelling at eval time — same message
+    val e = intercept[IllegalArgumentException](computeDyn(
+      ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayData.toArrayData(Array[java.lang.Double](1.0, null)), 2))
+    assert(e.getMessage.contains("null components"), e.getMessage)
+  }
+
   test("tie goes to the smallest c; NaN ranks largest; empty vector/matrix -> no assignment") {
     val v = ArrayData.toArrayData(Array(1.0, 0.0))
     assert(ArgmaxDot.compute(v, Array(2.0, 0.0, 2.0, 0.0), 2) == 0)

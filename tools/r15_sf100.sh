@@ -32,9 +32,10 @@ df -h / | tail -1
 
 echo "== [3/4] DuckDB oracles: checksum_compare per entry (fresh process) =="
 for e in dedup_pipeline ann_ivf_auto dedup_semantic_auto dedup_embed_auto; do
+  # stderr to a log for post-mortems; no GNU time on this box (r15:
+  # the /usr/bin/time -v wrapper rc=127'd), python reports its own rc
   timeout 10800 python3 tools/checksum_compare.py "$OUT" "$SF" "$e" 2>/tmp/cc_${e}_time.log \
     || echo "[compare-rc=$?] $e"
-  grep -E "Maximum resident|Elapsed" /tmp/cc_${e}_time.log | head -2
   rm -rf /tmp/duckdb_spill/* 2>/dev/null
 done
 
