@@ -3016,6 +3016,47 @@ object SparkEntry {
       },
       Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
     ),
+    // Round-16 second batch of text-backend emissions — the remaining
+    // emitted dedup kinds, each running the SAME query text and
+    // hash-matching the SAME oracle as its plan-path pql twin (three
+    // spellings per operator now: library call, grammar plan, grammar
+    // SQL text — none can drift).
+    "pql_sql_dedup_lines" -> Entry(
+      (s, dir) => {
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql("documents | dedup kind=lines text by doc_id", cat))
+      },
+      Some(sqlDedupLinesOracle)
+    ),
+    "pql_sql_dedup_embed" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("embeddings").createOrReplaceTempView("embeddings")
+        s.sql(Pql.compileToSql(
+          "embeddings | dedup kind=embed dim=64 planes=32 bits=8 embedding by vec_id" +
+            " | project vec_id, label", cat))
+      },
+      Some(
+        s"""SELECT vec_id, label FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id_b FROM ($sqlEmbedOracle))""".stripMargin
+      )
+    ),
+    "pql_sql_dedup_semantic" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("embeddings").createOrReplaceTempView("embeddings")
+        s.sql(Pql.compileToSql(
+          "embeddings | dedup kind=semantic cos=0.4 cells=32 embedding by vec_id" +
+            " | project vec_id, label", cat))
+      },
+      Some(
+        s"""SELECT vec_id, label FROM embeddings
+           |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
+      )
+    ),
     // The end-to-end corpus build written entirely IN THE LANGUAGE —
     // dedup, quality filter (extension scalar fn), chunk, pack — one
     // composed Catalyst plan, hash-matched against the same oracle as

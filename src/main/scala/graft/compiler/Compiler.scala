@@ -227,6 +227,12 @@ private[graft] final class Compiler(
                   (None, Some(_), Some(_)) =>
                 fail("dedup kind=embed takes planes=/bits= or occupancy=, not both", span)
               case (Some(p), Some(b), None) =>
+                // spanned range errors, not raw requires from the op
+                // (the r16 ann kind=lsh advice fix, mirrored here);
+                // p < b would silently make zero bands — name it
+                if (b > 62) fail(s"option bits must be in [1, 62], got $b", span)
+                if (p > 62) fail(s"option planes must be in [1, 62], got $p", span)
+                if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", span)
                 graft.ops.NearDup.embedCosinePairs(
                   df, text.name, id.name, dim, planes = p, bandBits = b, minCos = cos)
               case (None, None, t) =>

@@ -267,6 +267,13 @@ private[graft] final class SqlGen(
       new OpOptionsBase(opts, span, Set.empty, "dedup kind=minhash", fail).finish()
       applyDedupMinhash(prev, text.name, id.name, span)
 
+    case DedupOp("lines", opts, text, id, span) =>
+      new OpOptionsBase(opts, span, Set.empty, "dedup kind=lines", fail).finish()
+      applyDedupLines(prev, text.name, id.name, span)
+
+    case op @ DedupOp("embed", _, _, _, _)    => applyDedupEmbed(prev, op)
+    case op @ DedupOp("semantic", _, _, _, _) => applyDedupSemantic(prev, op)
+
     // `| chunk 64 text by id` (round 15): one projection + posexplode
     // — a single LATERAL VIEW query (the split expression is rendered
     // from the library's own Column)
@@ -382,6 +389,173 @@ private[graft] final class SqlGen(
     val out = newStage(
       s"SELECT e.* FROM ${e.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_mh_idb")
     Stage(out, graft.ops.NearDup.deduplicateCorpus(prev.df, text, id))
+  }
+
+  /** `| dedup kind=lines` as SQL text (round 16): RefinedWeb-style
+    * fragment dedup ([[graft.ops.Dedup.dedupLines]]) — split on
+    * `". "`, keep each fragment's first corpus-wide occurrence
+    * (smallest (id, pos) via one digest-keyed window), reassemble in
+    * document order. The split/normalize expressions render from the
+    * library's own Columns; the reassembly lambda is hand-authored
+    * (`array_sort(collect_list(struct(pos, frag)))` — pos is unique
+    * per document, so the struct sort IS position order).
+    * Output: `(id, text)`, row-preserving (empty string for a fully
+    * deduplicated document), exactly the plan path's.
+    */
+  private def applyDedupLines(prev: Stage, text: String, id: String, span: Span): Stage = {
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"dedup column ${missing.head} not found", span)
+    val fragArr = sqlOf(split(graft.ops.TextOps.normalize(col(text)), "\\. "))
+    val frags = newStage(
+      s"SELECT __graft_ln_id, __graft_ln_pos, __graft_ln_frag FROM (" +
+        s"SELECT ${q(id)} AS __graft_ln_id, __graft_ln_pos, __graft_ln_frag FROM ${prev.cte} " +
+        s"LATERAL VIEW posexplode($fragArr) __f AS __graft_ln_pos, __graft_ln_frag" +
+        s") WHERE length(__graft_ln_frag) > 0")
+    val kept = newStage(
+      s"SELECT __graft_ln_id, __graft_ln_pos, __graft_ln_frag FROM (" +
+        s"SELECT *, row_number() OVER (PARTITION BY md5(CAST(__graft_ln_frag AS BINARY)) " +
+        s"ORDER BY __graft_ln_id, __graft_ln_pos) AS __graft_ln_rn FROM $frags" +
+        s") WHERE __graft_ln_rn = 1")
+    val re = newStage(
+      s"SELECT __graft_ln_id, array_join(transform(array_sort(" +
+        s"collect_list(struct(__graft_ln_pos, __graft_ln_frag))), s -> s.__graft_ln_frag), '. ') " +
+        s"AS __graft_ln_text FROM $kept GROUP BY __graft_ln_id")
+    val out = newStage(
+      s"SELECT p.${q(id)}, coalesce(r.__graft_ln_text, '') AS text " +
+        s"FROM (SELECT ${q(id)} FROM ${prev.cte}) p " +
+        s"LEFT JOIN $re r ON p.${q(id)} = r.__graft_ln_id")
+    Stage(out, graft.ops.Dedup.dedupLines(prev.df, text, id))
+  }
+
+  /** `| dedup kind=embed` as SQL text (round 16): sign-LSH
+    * near-duplicate removal over embeddings
+    * ([[graft.ops.NearDup.embedCosinePairs]] → drop the greater pair
+    * member), FIXED geometry only (`planes=`/`bits=` together — the
+    * adaptive default sizes bands from a plan-time corpus count, same
+    * stance as ann kind=lsh). The signature is `graft_sign_sig` (the
+    * identical native expression), band keys and the first-collision
+    * XOR predicate are the exact integer forms of `signBandKeys` /
+    * `embedCosinePairs`, the rescore is `graft_dot`, and the cosine
+    * threshold sits in the join condition exactly where the plan path
+    * puts it — so the emitted text is bit-identical on every input,
+    * degenerate vectors included (signature 0, NULL norm → no pairs).
+    */
+  private def applyDedupEmbed(prev: Stage, op: DedupOp): Stage = {
+    val (text, id) = (op.textCol.name, op.idCol.name)
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"dedup column ${missing.head} not found", op.span)
+    val o = new OpOptionsBase(op.opts, op.span,
+      Set("dim", "cos", "occupancy", "planes", "bits"), "dedup kind=embed", fail)
+    val dim = o.requiredInt("dim", min = 1)
+    val minCos = o.double("cos", 0.4, min = -1.0, max = 1.0)
+    val (planes, bits) =
+      (o.intOpt("planes", min = 1), o.intOpt("bits", min = 1),
+        o.intOpt("occupancy", min = 1)) match {
+        case (Some(_), Some(_), Some(_)) | (Some(_), None, Some(_)) |
+            (None, Some(_), Some(_)) =>
+          fail("dedup kind=embed takes planes=/bits= or occupancy=, not both", op.span)
+        case (Some(p), Some(b), None) =>
+          if (b > 62) fail(s"option bits must be in [1, 62], got $b", op.span)
+          if (p > 62) fail(s"option planes must be in [1, 62], got $p", op.span)
+          if (p < b) fail(s"planes ($p) must be at least bits ($b) — one band minimum", op.span)
+          (p, b)
+        case (None, None, _) =>
+          fail("dedup kind=embed compiles to SQL text only with a fixed geometry — " +
+            "pass planes= and bits= together; the adaptive default sizes its bands " +
+            "from a plan-time corpus count a single SQL query cannot carry " +
+            "(use Pql.query for the adaptive form)", op.span)
+        case _ =>
+          fail("dedup kind=embed needs planes= and bits= together", op.span)
+      }
+    o.finish()
+    val nBands = planes / bits
+    val sg = newStage(
+      s"SELECT ${q(id)} AS __graft_eb_id, CAST(${q(text)} AS ARRAY<DOUBLE>) AS __v FROM ${prev.cte}")
+    val sn = newStage(
+      s"SELECT __graft_eb_id, __v, sqrt(graft_dot(__v, __v)) AS __nrm, " +
+        s"graft_sign_sig(__v, $dim, $planes) AS __sig FROM $sg")
+    val bandArr = (0 until nBands)
+      .map(j => s"shiftrightunsigned(__sig, ${j * bits}) % ${1L << bits}L")
+      .mkString("array(", ", ", ")")
+    val br = newStage(
+      s"SELECT __graft_eb_id, __v, __nrm, __sig, __bi, __bk FROM $sn " +
+        s"LATERAL VIEW posexplode($bandArr) __b AS __bi, __bk")
+    // first-collision index over sig_a XOR sig_b — the codegen'd
+    // integer predicate that emits each pair once, in its first
+    // colliding band (embedCosinePairs' exact form)
+    val fc = (0 until nBands)
+      .map(i => s"WHEN shiftrightunsigned(a.__sig ^ b.__sig, ${i * bits}) % ${1L << bits}L = 0 THEN $i")
+      .mkString("CASE ", " ", s" ELSE $nBands END")
+    val cos = "graft_dot(a.__v, b.__v) / (a.__nrm * b.__nrm)"
+    val drops = newStage(
+      s"SELECT DISTINCT b.__graft_eb_id AS __graft_eb_drop FROM $br a JOIN $br b " +
+        s"ON a.__bi = b.__bi AND a.__bk = b.__bk AND a.__graft_eb_id < b.__graft_eb_id " +
+        s"AND ($fc) = a.__bi AND $cos >= $minCos")
+    val out = newStage(
+      s"SELECT e.* FROM ${prev.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_eb_drop")
+    val mirror = graft.ops.NearDup.dropNearDuplicates(
+      prev.df,
+      graft.ops.NearDup.embedCosinePairs(prev.df, text, id, dim,
+        planes = planes, bandBits = bits, minCos = minCos),
+      id)
+    Stage(out, mirror)
+  }
+
+  /** `| dedup kind=semantic` as SQL text (round 16): SemDeDup's
+    * cluster-then-prune ([[graft.ops.SemDedup.deduplicate]]), FIXED
+    * cell count only (`cells=` — the adaptive default and `occupancy=`
+    * resolve the count from a plan-time corpus count, same stance as
+    * ann kind=ivf). The hash-seeded Voronoi machinery is the ivf
+    * emission's: seed set re-derived in the text (ORDER BY hash32
+    * LIMIT), corpus assignment via `graft_argmax_cell`, then the
+    * within-cell exact-cosine self-join with the threshold beside the
+    * cell equality, and the greater pair member dropped.
+    */
+  private def applyDedupSemantic(prev: Stage, op: DedupOp): Stage = {
+    val (text, id) = (op.textCol.name, op.idCol.name)
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"dedup column ${missing.head} not found", op.span)
+    val o = new OpOptionsBase(op.opts, op.span,
+      Set("cells", "cos", "occupancy"), "dedup kind=semantic", fail)
+    val minCos = o.double("cos", 0.9, min = -1.0, max = 1.0)
+    val nCells = (o.intOpt("occupancy", min = 1), o.intOpt("cells", min = 1)) match {
+      case (Some(_), Some(_)) =>
+        fail("dedup kind=semantic takes cells= or occupancy=, not both", op.span)
+      case (None, Some(c)) => c
+      case _ =>
+        fail("dedup kind=semantic compiles to SQL text only with a fixed index — " +
+          "pass cells=; the adaptive default (and occupancy=) sizes its cell count " +
+          "from a plan-time corpus count a single SQL query cannot carry " +
+          "(use Pql.query for the adaptive form)", op.span)
+    }
+    o.finish()
+    val c0 = newStage(
+      s"SELECT ${q(id)} AS __graft_sd_id, transform(${q(text)}, x -> CAST(x AS DOUBLE)) AS __v " +
+        s"FROM ${prev.cte}")
+    val h32 = sqlOf(graft.ops.NearDup.hash32(col("__graft_sd_id").cast("string")))
+    val sd = newStage(
+      s"SELECT __graft_sd_id, __v, $h32 AS __h FROM $c0 ORDER BY __h, __graft_sd_id LIMIT $nCells")
+    val ct = newStage(
+      s"SELECT CAST(row_number() OVER (ORDER BY __h, __graft_sd_id) - 1 AS INT) AS __c, __v AS __sv FROM $sd")
+    val mat = s"(SELECT transform(array_sort(collect_list(struct(__c, __sv))), s -> s.__sv) FROM $ct)"
+    val cells = newStage(
+      s"SELECT __graft_sd_id, __cell FROM (SELECT ${q(id)} AS __graft_sd_id, " +
+        s"graft_argmax_cell(CAST(${q(text)} AS ARRAY<DOUBLE>), $mat) AS __cell FROM ${prev.cte}" +
+        s") WHERE __cell IS NOT NULL")
+    val base = newStage(
+      s"SELECT c.__graft_sd_id, c.__v, sqrt(graft_dot(c.__v, c.__v)) AS __nrm, k.__cell " +
+        s"FROM $c0 c JOIN $cells k ON c.__graft_sd_id = k.__graft_sd_id")
+    val drops = newStage(
+      s"SELECT DISTINCT b.__graft_sd_id AS __graft_sd_drop FROM $base a JOIN $base b " +
+        s"ON a.__cell = b.__cell AND a.__graft_sd_id < b.__graft_sd_id " +
+        s"AND graft_dot(a.__v, b.__v) / (a.__nrm * b.__nrm) >= $minCos")
+    val out = newStage(
+      s"SELECT e.* FROM ${prev.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_sd_drop")
+    val mirror = graft.ops.SemDedup.deduplicate(prev.df, text, id, nCells = nCells, minCos = minCos)
+    Stage(out, mirror)
   }
 
   /** `| join kind=asof` as SQL text (round 15): the UNION + KEYED
@@ -597,12 +771,12 @@ private[graft] final class SqlGen(
     * What the plan path bakes, the text re-derives in place:
     *   - the seed set is `ORDER BY hash32(id), id LIMIT cells` (the
     *     hash rendered from [[graft.ops.NearDup.hash32]]'s own Column);
-    *   - the corpus assignment is `graft_argmax_cell(vec, matrix,
-    *     dim)` — [[graft.functions.ArgmaxDotDyn]], the SAME
-    *     Double.compare argmax loop as the plan path's baked
-    *     [[graft.functions.ArgmaxDot]], with the flat row-major matrix
-    *     arriving as a scalar subquery (`flatten` over the cell-sorted
-    *     seed vectors) instead of a plan-time constant;
+    *   - the corpus assignment is `graft_argmax_cell(vec, seeds)` —
+    *     [[graft.functions.ArgmaxDotDyn]], the SAME Double.compare
+    *     argmax loop as the plan path's baked
+    *     [[graft.functions.ArgmaxDot]], with the cell-ordered seed set
+    *     arriving as a scalar subquery instead of a plan-time constant
+    *     (stride derived from the seed vectors, like the plan path);
     *   - query probes mirror `Ann.cellRanks` stage for stage (explode
     *     ⋈ seed components → per-(query, cell) sum → rank ≤ probes);
     *     the grouped double sum is left-fold exact here for the same
@@ -639,12 +813,15 @@ private[graft] final class SqlGen(
       s"SELECT __graft_ann_id, __v, $h32 AS __h FROM $c ORDER BY __h, __graft_ann_id LIMIT $nCells")
     val ct = newStage(
       s"SELECT CAST(row_number() OVER (ORDER BY __h, __graft_ann_id) - 1 AS INT) AS __c, __v AS __sv FROM $sd")
-    // flat row-major matrix in cell order: array_sort on (c, v) structs
-    // orders by the unique int c, flatten concatenates the vectors
-    val mat = s"(SELECT flatten(transform(array_sort(collect_list(struct(__c, __sv))), s -> s.__sv)) FROM $ct)"
+    // seed set in cell order as ONE array value: array_sort on (c, v)
+    // structs orders by the unique int c; the argmax stride comes from
+    // the seed vectors themselves, exactly like the plan path's
+    // seededCentroidMatrix (a dim= that disagrees with the actual
+    // vector width cannot skew the assignment)
+    val mat = s"(SELECT transform(array_sort(collect_list(struct(__c, __sv))), s -> s.__sv) FROM $ct)"
     val cc = newStage(
       s"SELECT __graft_ann_id, __cell FROM (SELECT $idQ AS __graft_ann_id, " +
-        s"graft_argmax_cell(CAST($vecQ AS ARRAY<DOUBLE>), $mat, $dim) AS __cell FROM ${prev.cte}" +
+        s"graft_argmax_cell(CAST($vecQ AS ARRAY<DOUBLE>), $mat) AS __cell FROM ${prev.cte}" +
         s") WHERE __cell IS NOT NULL")
     val qv = newStage(
       s"SELECT $idQ AS query_id, transform($vecQ, x -> CAST(x AS DOUBLE)) AS __qv FROM ${right.cte}")

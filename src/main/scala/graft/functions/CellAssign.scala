@@ -152,40 +152,43 @@ object PackedSignSig {
     Bridge.column(PackedSignSig(Bridge.expression(v), matrix, dim))
 }
 
-/** [[ArgmaxDot]] with the centroid matrix as a RUNTIME argument (a
-  * flat row-major `array<double>` value) instead of a plan-time
-  * constant — the SQL-text backend's spelling: a plan-time matrix
-  * cannot ride a SQL string, but a scalar subquery producing the
-  * SAME flat matrix can (`flatten(transform(array_sort(
-  * collect_list(struct(c, v))), s -> s.v))` over the seed CTE).
-  * Registered as `graft_argmax_cell(vec, matrix, dim)`.
+/** [[ArgmaxDot]] with the centroid set as a RUNTIME argument (an
+  * `array<array<double>>` value, one element per cell in cell order)
+  * instead of a plan-time flat matrix — the SQL-text backend's
+  * spelling: a plan-time matrix cannot ride a SQL string, but a
+  * scalar subquery producing the SAME cell-ordered seed set can
+  * (`transform(array_sort(collect_list(struct(c, v))), s -> s.v)`
+  * over the seed CTE). Registered as `graft_argmax_cell(vec, seeds)`.
   *
-  * The comparison loop mirrors [[ArgmaxDot.compute]] statement for
-  * statement (same strict `Double.compare(d, best) > 0` replacement
-  * rule, same `min(len, dim)` bound, same skip-null vector rule), and
+  * The stride (`dim`) is derived from the seed vectors exactly like
+  * the plan path (`Ann.seededCentroidMatrix` takes the first seed's
+  * length) — NOT from a user option, so a `dim=` that disagrees with
+  * the actual vector width cannot skew the assignment. The comparison
+  * loop mirrors [[ArgmaxDot.compute]] statement for statement (same
+  * strict `Double.compare(d, best) > 0` replacement rule, same
+  * `min(len, dim)` bound, same skip-null vector rule), and
   * `CellAssignSpec` asserts the two spellings agree on ties, NaN,
-  * ragged and null-element vectors so they cannot drift.
-  * Null matrix COMPONENTS throw (the plan path rejects them at
+  * ragged and null-element vectors so they cannot drift. Ragged or
+  * null-component seed vectors throw (the plan path rejects them at
   * compile time in `Ann.seededCentroidMatrix`; this spelling meets
-  * them at eval time). A null matrix, like a null vector, is null.
+  * them at eval time, same messages). A null seed set, like a null
+  * vector, is null.
   */
-case class ArgmaxDotDyn(left: Expression, right: Expression, dim: Int)
+case class ArgmaxDotDyn(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ExpectsInputTypes {
 
-  require(dim >= 1, s"dim must be >= 1, got $dim")
-
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
-  // null on empty vector / empty matrix even with non-null children —
+  // null on empty vector / empty seed set even with non-null children —
   // same janino constant-isNull hazard as ArgmaxDot
   override def nullable: Boolean = true
   override def prettyName: String = "graft_argmax_cell"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val c = ArgmaxDot.computeDyn(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim)
+    val c = ArgmaxDot.computeDyn(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (c < 0) null else c
   }
 
@@ -193,7 +196,7 @@ case class ArgmaxDotDyn(left: Expression, right: Expression, dim: Int)
     nullSafeCodeGen(ctx, ev, (v, m) => {
       val c = ctx.freshName("cell")
       s"""
-         |final int $c = graft.functions.ArgmaxDot.computeDyn($v, $m, $dim);
+         |final int $c = graft.functions.ArgmaxDot.computeDyn($v, $m);
          |if ($c < 0) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
        """.stripMargin
     })
@@ -205,8 +208,8 @@ case class ArgmaxDotDyn(left: Expression, right: Expression, dim: Int)
 
 object ArgmaxDotDyn {
   /** Column-side entry point. */
-  def apply(v: Column, m: Column, dim: Int): Column =
-    Bridge.column(ArgmaxDotDyn(Bridge.expression(v), Bridge.expression(m), dim))
+  def apply(v: Column, m: Column): Column =
+    Bridge.column(ArgmaxDotDyn(Bridge.expression(v), Bridge.expression(m)))
 }
 
 object ArgmaxDot {
@@ -239,34 +242,46 @@ object ArgmaxDot {
     s
   }
 
-  /** [[compute]] with the matrix as ArrayData (see [[ArgmaxDotDyn]]).
+  /** [[compute]] with the seed set as nested ArrayData (see
+    * [[ArgmaxDotDyn]]): stride = first seed's length, ragged or
+    * null-component seeds throw with the plan path's messages.
     * Called from generated code.
     */
-  def computeDyn(v: ArrayData, m: ArrayData, dim: Int): Int = {
-    require(m.numElements() % dim == 0,
-      s"ragged seed matrix: ${m.numElements()} elements is not a multiple of dim=$dim")
-    val nCells = m.numElements() / dim
-    val n = math.min(v.numElements(), dim)
+  def computeDyn(v: ArrayData, m: ArrayData): Int = {
+    val nCells = m.numElements()
     if (v.numElements() == 0 || nCells == 0) return -1
+    val first = seedRow(m, 0)
+    val dim = first.numElements()
+    require(dim >= 1, s"seed vectors must be non-empty, got dim=$dim")
+    val n = math.min(v.numElements(), dim)
     var bestC = 0
-    var best = cellDotDyn(v, m, 0, n)
+    var best = cellDotDyn(v, first, dim, n)
     var c = 1
     while (c < nCells) {
-      val d = cellDotDyn(v, m, c * dim, n)
+      val row = seedRow(m, c)
+      require(row.numElements() == dim, s"ragged seed vectors: ${row.numElements()} vs $dim")
+      val d = cellDotDyn(v, row, dim, n)
       if (java.lang.Double.compare(d, best) > 0) { best = d; bestC = c }
       c += 1
     }
     bestC
   }
 
-  private def cellDotDyn(v: ArrayData, m: ArrayData, off: Int, n: Int): Double = {
+  private def seedRow(m: ArrayData, c: Int): ArrayData = {
+    if (m.isNullAt(c))
+      throw new IllegalArgumentException(
+        s"seed vector $c is null — clean the corpus vectors before indexing")
+    m.getArray(c)
+  }
+
+  private def cellDotDyn(v: ArrayData, row: ArrayData, dim: Int, n: Int): Double = {
     var s = 0.0
     var j = 0
     while (j < n) {
-      if (m.isNullAt(off + j))
+      if (row.isNullAt(j))
         throw new IllegalArgumentException(
           "seed vector has null components — clean the corpus vectors before indexing")
-      if (!v.isNullAt(j)) s += v.getDouble(j) * m.getDouble(off + j)
+      if (!v.isNullAt(j)) s += v.getDouble(j) * row.getDouble(j)
       j += 1
     }
     s

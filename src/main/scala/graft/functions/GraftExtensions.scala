@@ -104,11 +104,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_argmax_cell"),
       new ExpressionInfo(classOf[ArgmaxDotDyn].getName, "graft_argmax_cell"),
       (args: Seq[Expression]) => {
-        require(args.length == 3,
-          s"graft_argmax_cell expects (vec, matrix, dim), got ${args.length} arguments")
-        val dim = litOf(args(2), "graft_argmax_cell dim").asInstanceOf[Number].intValue()
-        require(dim >= 1, s"graft_argmax_cell dim must be >= 1, got $dim")
-        ArgmaxDotDyn(args(0), args(1), dim)
+        require(args.length == 2,
+          s"graft_argmax_cell expects (vec, seeds), got ${args.length} arguments")
+        ArgmaxDotDyn(args(0), args(1))
       }
     ),
     (

@@ -350,6 +350,92 @@ class SqlCompileSpec extends SparkTestBase {
     assert(e.getMessage.contains("dim"), e.getMessage)
   }
 
+  test("dedup kind=lines emits SQL matching the plan path (round 16)") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "Cookie banner. Real content one. Footer"),
+      (2L, "Cookie banner. Real content two. Footer"),   // shares 1st+3rd fragments with doc 1
+      (3L, "cookie BANNER"),                              // fully deduplicated -> empty string
+      (4L, "Entirely unique prose here")
+    ).toDF("doc_id", "text")
+    def cat(name: String): DataFrame =
+      if (name == "LN") docs else sys.error(s"no fixture table $name")
+    docs.createOrReplaceTempView("LN")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "LN | dedup kind=lines text by doc_id",
+        "LN | dedup kind=lines text by doc_id | where doc_id > 1 | project text")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    val out = spark.sql(Pql.compileToSql("LN | dedup kind=lines text by doc_id", cat))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L).nonEmpty && out(3L) == "" && out.size == 4, out)
+    assert(spark.sql(Pql.compileToSql("LN | dedup kind=lines text by doc_id", cat))
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("dedup kind=embed with fixed geometry emits SQL matching the plan path (round 16)") {
+    graft.functions.GraftExtensions.register(spark) // graft_dot + graft_sign_sig
+    val session = spark
+    import session.implicits._
+    // near-identical vector pairs around the circle, plus a ragged row
+    // and a null-component row — PackedSignSig's degenerate-vector
+    // semantics (sig 0, NULL norm -> no pairs) must survive the text
+    val clean = (0 until 30).flatMap { i =>
+      val a = i * math.Pi / 15
+      Seq(
+        (i.toLong * 2, Array[java.lang.Double](math.cos(a), math.sin(a))),
+        (i.toLong * 2 + 1, Array[java.lang.Double](math.cos(a + 0.001), math.sin(a + 0.001))))
+    }
+    val ragged = Seq(
+      (200L, Array[java.lang.Double](0.3, 0.4, 0.5)),
+      (201L, Array[java.lang.Double](0.3, null)))
+    val corpus = (clean ++ ragged).toDF("vid", "emb")
+    def cat(name: String): DataFrame =
+      if (name == "EB") corpus else sys.error(s"no fixture table $name")
+    corpus.createOrReplaceTempView("EB")
+    val q = "EB | dedup kind=embed dim=2 planes=8 bits=4 cos=0.9 emb by vid"
+    val sql = Pql.compileToSql(q, cat)
+    val a = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val b = Pql.query(spark, q, cat).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"sql:\n$sql")
+    // something was actually dropped (the +0.001 twins) and the ragged
+    // rows survived (no pairs from degenerate vectors)
+    assert(a.size < 62 && a.exists(_.contains("200")) && a.exists(_.contains("201")), a.size)
+    // adaptive geometry stays a spanned rejection
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("EB | dedup kind=embed dim=2 emb by vid", cat))
+    assert(e.getMessage.contains("fixed geometry") && e.getMessage.contains("Pql.query"), e.getMessage)
+  }
+
+  test("dedup kind=semantic with fixed cells emits SQL matching the plan path (round 16)") {
+    graft.functions.GraftExtensions.register(spark) // graft_dot + graft_argmax_cell
+    val session = spark
+    import session.implicits._
+    val corpus = (0 until 40).map { i =>
+      val a = i * math.Pi / 20
+      (i.toLong, Array(math.cos(a), math.sin(a), math.cos(2 * a)))
+    }.toDF("vid", "emb")
+    def cat(name: String): DataFrame =
+      if (name == "SD") corpus else sys.error(s"no fixture table $name")
+    corpus.createOrReplaceTempView("SD")
+    val q = "SD | dedup kind=semantic cells=4 cos=0.8 emb by vid"
+    val sql = Pql.compileToSql(q, cat)
+    val a = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    val b = Pql.query(spark, q, cat).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"sql:\n$sql")
+    assert(a.nonEmpty && a.size < 40, a.size) // pruned something, kept something
+    // adaptive cell count stays a spanned rejection
+    val e = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("SD | dedup kind=semantic emb by vid", cat))
+    assert(e.getMessage.contains("cells=") && e.getMessage.contains("Pql.query"), e.getMessage)
+    val e2 = intercept[graft.compiler.PqlCompileException](
+      Pql.compileToSql("SD | dedup kind=semantic cells=4 occupancy=8 emb by vid", cat))
+    assert(e2.getMessage.contains("not both"), e2.getMessage)
+  }
+
   test("Walk visits every node and supports pruning") {
     import graft.parser._
     val stmts = Pql.parse(

@@ -68,7 +68,10 @@ class CellAssignSpec extends SparkTestBase {
 
   test("ArgmaxDotDyn (runtime matrix, the SQL-text spelling) == ArgmaxDot on every edge") {
     import graft.functions.ArgmaxDot.{compute, computeDyn}
-    def ad(m: Array[Double]) = ArrayData.toArrayData(m)
+    // the dyn spelling takes the seed SET (array of vectors); chop the
+    // flat row-major fixture matrices into dim-sized rows
+    def ad(m: Array[Double], dim: Int): ArrayData =
+      ArrayData.toArrayData(m.grouped(dim).map(ArrayData.toArrayData(_)).toArray[Any])
     val cases = Seq(
       // (vector, matrix, dim)
       (Array[java.lang.Double](1.0, 0.0), Array(2.0, 0.0, 2.0, 0.0), 2),        // exact tie
@@ -84,15 +87,21 @@ class CellAssignSpec extends SparkTestBase {
     )
     for ((v, m, dim) <- cases) {
       val vd = ArrayData.toArrayData(v)
-      assert(computeDyn(vd, ad(m), dim) == compute(vd, m, dim),
+      assert(computeDyn(vd, ad(m, dim)) == compute(vd, m, dim),
         s"v=${v.mkString(",")} m=${m.mkString(",")} dim=$dim")
     }
-    // null matrix component: the plan path rejects at compile time,
-    // the dynamic spelling at eval time — same message
+    // null seed component: the plan path rejects at compile time, the
+    // dynamic spelling at eval time — same message; ragged seeds too
     val e = intercept[IllegalArgumentException](computeDyn(
       ArrayData.toArrayData(Array(1.0, 2.0)),
-      ArrayData.toArrayData(Array[java.lang.Double](1.0, null)), 2))
+      ArrayData.toArrayData(Array[Any](
+        ArrayData.toArrayData(Array[java.lang.Double](1.0, null))))))
     assert(e.getMessage.contains("null components"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](computeDyn(
+      ArrayData.toArrayData(Array(1.0, 2.0)),
+      ArrayData.toArrayData(Array[Any](
+        ArrayData.toArrayData(Array(1.0, 2.0)), ArrayData.toArrayData(Array(1.0))))))
+    assert(e2.getMessage.contains("ragged seed vectors"), e2.getMessage)
   }
 
   test("tie goes to the smallest c; NaN ranks largest; empty vector/matrix -> no assignment") {
