@@ -3057,6 +3057,32 @@ object SparkEntry {
            |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4)}))""".stripMargin
       )
     ),
+    // pack and decontam through the text backend (round 16): same
+    // query texts and oracles as pql_pack / pql_decontam (the decontam
+    // emission is the EXACT-join form — the adaptive bloom is a
+    // physical plan-time lever with identical output by construction)
+    "pql_sql_pack" -> Entry(
+      (s, dir) => {
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql(
+          "documents | chunk 64 text by doc_id | pack 256 shards=8 n_tokens by doc_id, chunk_idx",
+          cat))
+      },
+      Some(sqlPackSequencesOracle)
+    ),
+    "pql_sql_decontam" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql(
+          """documents | where doc_id % 20 != 0
+            || decontam against (documents | where doc_id % 20 == 0) text by doc_id""".stripMargin,
+          cat))
+      },
+      Some(sqlDecontamDrop)
+    ),
     // The end-to-end corpus build written entirely IN THE LANGUAGE —
     // dedup, quality filter (extension scalar fn), chunk, pack — one
     // composed Catalyst plan, hash-matched against the same oracle as

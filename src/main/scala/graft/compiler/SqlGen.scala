@@ -31,9 +31,16 @@ import graft.parser._
   * whose order — exactly as in SQL generally — is not guaranteed to
   * survive later stages.
   *
-  * The graft EXTENSION operators (`dedup`, `sample`, `decontam`,
-  * `chunk`, `pack`) compile to multi-stage library plans, not single
-  * SQL queries, and are rejected here with a pointer to `Pql.query`.
+  * The graft EXTENSION operators emit as CTE chains wherever a single
+  * SQL string can carry their semantics: sample, chunk, pack, decontam,
+  * the asof/range joins, dedup kinds exact/minhash/lines and the
+  * fixed-geometry embed/semantic, and ann kinds brute/lsh/ivf with
+  * fixed indexes (native expressions ride the registered `graft_*`
+  * function library). Forms whose PLAN depends on data read at compile
+  * time (adaptive geometry/cells from a corpus count, `sample
+  * budget=`'s crossover) or on genuinely multi-stage machinery
+  * (simhash/substrings dedup) are rejected with a spanned pointer to
+  * `Pql.query`.
   */
 private[graft] final class SqlGen(
     sourceText0: String,
@@ -273,6 +280,8 @@ private[graft] final class SqlGen(
 
     case op @ DedupOp("embed", _, _, _, _)    => applyDedupEmbed(prev, op)
     case op @ DedupOp("semantic", _, _, _, _) => applyDedupSemantic(prev, op)
+    case op: PackOp                           => applyPack(prev, op)
+    case op: DecontamOp                       => applyDecontam(prev, op)
 
     // `| chunk 64 text by id` (round 15): one projection + posexplode
     // — a single LATERAL VIEW query (the split expression is rendered
@@ -291,13 +300,9 @@ private[graft] final class SqlGen(
 
     case other =>
       val name = other match {
-        case d: DedupOp     => s"dedup kind=${d.kind}"
+        case d: DedupOp     => s"dedup kind=${d.kind}" // simhash / substrings
         case _: SampleBudgetOp => "sample budget="
-        case _: DecontamOp  => "decontam"
-        case _: PackOp      => "pack"
-        // brute, fixed-geometry lsh, and fixed-cells ivf are emitted
-        // above; remaining kinds are unreachable here
-        case a: AnnOp       => s"ann kind=${a.kind}"
+        case a: AnnOp       => s"ann kind=${a.kind}" // unreachable: all kinds emit
         case _              => "this"
       }
       fail(
@@ -555,6 +560,81 @@ private[graft] final class SqlGen(
     val out = newStage(
       s"SELECT e.* FROM ${prev.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_sd_drop")
     val mirror = graft.ops.SemDedup.deduplicate(prev.df, text, id, nCells = nCells, minCos = minCos)
+    Stage(out, mirror)
+  }
+
+  /** `| pack <budget> tokens by id, idx` as SQL text (round 16):
+    * shard-parallel next-fit packing ([[graft.ops.Packing.packSequences]])
+    * — ONE windowed running sum per shard, every expression (shard
+    * hash, running start, seq label) rendered from the library's own
+    * Columns (`Packing.shardOf/packStart/seqIdOf` — one definition,
+    * two spellings).
+    */
+  private def applyPack(prev: Stage, op: PackOp): Stage = {
+    val o = new OpOptionsBase(op.opts, op.span, Set("shards"), "pack", fail)
+    val nShards = o.int("shards", 64, min = 1)
+    o.finish()
+    val budget = rowCount(op.budget)
+    if (budget <= 0) fail(s"pack budget must be positive, got $budget", op.budget.span)
+    val (tk, id, idx) = (op.tokensCol.name, op.idCol.name, op.idxCol.name)
+    val missing = Seq(tk, id, idx).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"pack column ${missing.head} not found", op.span)
+    val shardSql = sqlOf(graft.ops.Packing.shardOf(col(id), nShards))
+    val startSql = sqlOf(graft.ops.Packing.packStart(
+      col(tk), col("__graft_pk_shard"), col(id), col(idx)))
+    val seqSql = sqlOf(graft.ops.Packing.seqIdOf(
+      col("__graft_pk_shard"), col("__graft_pk_start"), budget))
+    val s1 = newStage(s"SELECT *, $shardSql AS __graft_pk_shard FROM ${prev.cte}")
+    val s2 = newStage(s"SELECT *, $startSql AS __graft_pk_start FROM $s1")
+    val cols = prev.df.columns.toSeq.map(q).mkString(", ")
+    val out = newStage(s"SELECT $cols, $seqSql AS seq_id FROM $s2")
+    Stage(out, graft.ops.Packing.packSequences(prev.df, id, idx, tk, budget, nShards))
+  }
+
+  /** `| decontam against (Evals) text by id` as SQL text (round 16):
+    * the EXACT-join form of [[graft.ops.Decontam.decontaminate]] —
+    * distinct eval shingles broadcast against the corpus shingle
+    * stream, per-document distinct-hit count, drop at `hits=` — with
+    * the eval sub-pipeline compiled into its own CTE chain like any
+    * join right side. The adaptive Bloom pre-filter is a PHYSICAL
+    * plan-time lever (two eager driver jobs + a byte-array literal no
+    * SQL string can carry) whose output is IDENTICAL by construction
+    * (false positives die in the exact join — OpsSpec asserts it), so
+    * the emitted text is the exact form — the same stance as the asof
+    * emission's skew-bucket split.
+    */
+  private def applyDecontam(prev: Stage, op: DecontamOp): Stage = {
+    val o = new OpOptionsBase(op.opts, op.span, Set("hits", "ngram"), "decontam", fail)
+    val minHits = o.int("hits", 2, min = 1)
+    val n = o.int("ngram", 3, min = 1)
+    o.finish()
+    val (text, id) = (op.textCol.name, op.idCol.name)
+    val evalStage = foldOps(sourceStage(op.eval.source), op.eval.operators)
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"decontam column ${missing.head} not found", op.span)
+    val missingEval = Seq(text, id).filterNot(hasColumn(evalStage.df, _))
+    if (missingEval.nonEmpty)
+      fail(s"decontam column ${missingEval.head} not found on the eval side", op.span)
+    val shingleArr = s"graft_shingle_hashes(${sqlOf(graft.ops.NearDup.tokens(col(text)))}, $n)"
+    val ev = newStage(
+      s"SELECT DISTINCT __graft_dc_h, __graft_dc_eid FROM (" +
+        s"SELECT ${q(id)} AS __graft_dc_eid, __graft_dc_h FROM ${evalStage.cte} " +
+        s"LATERAL VIEW explode($shingleArr) __g AS __graft_dc_h)")
+    val cs = newStage(
+      s"SELECT ${q(id)} AS __graft_dc_id, __graft_dc_h FROM ${prev.cte} " +
+        s"LATERAL VIEW explode($shingleArr) __g AS __graft_dc_h")
+    val bad = newStage(
+      s"SELECT __graft_dc_id FROM (" +
+        s"SELECT /*+ BROADCAST(e) */ c.__graft_dc_id, " +
+        s"count(DISTINCT c.__graft_dc_h) AS __graft_dc_nh " +
+        s"FROM $cs c JOIN $ev e ON c.__graft_dc_h = e.__graft_dc_h " +
+        s"GROUP BY c.__graft_dc_id) WHERE __graft_dc_nh >= $minHits")
+    val out = newStage(
+      s"SELECT c.* FROM ${prev.cte} c LEFT ANTI JOIN $bad b ON c.${q(id)} = b.__graft_dc_id")
+    val mirror = graft.ops.Decontam.decontaminate(
+      prev.df, evalStage.df, text, id, minHits = minHits, shingleN = n)
     Stage(out, mirror)
   }
 

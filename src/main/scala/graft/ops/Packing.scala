@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,25 +43,37 @@ object Packing {
   ): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(nShards > 0, "nShards must be positive")
-    val shard = pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10).cast("long"),
-      lit(nShards.toLong)
-    )
-    // Explicit ROWS frame: the window-default RANGE frame includes all
-    // ORDER BY peers, so a non-unique (idCol, idxCol) would lump tied
-    // rows' tokens into one running sum and silently diverge from the
-    // sequential next-fit the oracle computes.
-    val w = Window.partitionBy("__shard").orderBy(col(idCol), col(idxCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
-      .withColumn("__shard", shard)
-      .withColumn("__start", coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))
-      .withColumn(
-        "seq_id",
-        concat(col("__shard"), lit("-"), (col("__start") / budgetTokens).cast("long"))
-      )
+      .withColumn("__shard", shardOf(col(idCol), nShards))
+      .withColumn("__start", packStart(col(tokensCol), col("__shard"), col(idCol), col(idxCol)))
+      .withColumn("seq_id", seqIdOf(col("__shard"), col("__start"), budgetTokens))
       .drop("__shard", "__start")
   }
+
+  /** Deterministic shard of an id (md5-derived, any engine reproduces
+    * it) — the packing hash, exposed so the SQL-text backend renders
+    * the same expression (one definition, two spellings).
+    */
+  private[graft] def shardOf(id: Column, nShards: Int): Column = pmod(
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10).cast("long"),
+    lit(nShards.toLong)
+  )
+
+  /** Per-shard running token total BEFORE the current chunk.
+    * Explicit ROWS frame: the window-default RANGE frame includes all
+    * ORDER BY peers, so a non-unique (idCol, idxCol) would lump tied
+    * rows' tokens into one running sum and silently diverge from the
+    * sequential next-fit the oracle computes.
+    */
+  private[graft] def packStart(tokens: Column, shard: Column, id: Column, idx: Column): Column = {
+    val w = Window.partitionBy(shard).orderBy(id, idx)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    coalesce(sum(tokens).over(w) - tokens, lit(0L))
+  }
+
+  /** `<shard>-<start div budget>` sequence label. */
+  private[graft] def seqIdOf(shard: Column, start: Column, budgetTokens: Int): Column =
+    concat(shard, lit("-"), (start / budgetTokens).cast("long"))
 
   /** Materialize the packed training rows: one row per sequence with
     * the member text concatenated in pack order, plus the token

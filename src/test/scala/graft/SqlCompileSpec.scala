@@ -436,6 +436,49 @@ class SqlCompileSpec extends SparkTestBase {
     assert(e2.getMessage.contains("not both"), e2.getMessage)
   }
 
+  test("pack and decontam emit SQL matching the plan path (round 16)") {
+    graft.functions.GraftExtensions.register(spark) // graft_shingle_hashes
+    val session = spark
+    import session.implicits._
+    val chunks = (0 until 30).map(i => (i.toLong / 3, i % 3, 10L + i % 4))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different document about spark plans"),
+      (3L, "the quick brown fox jumps again today"),  // shares shingles with eval doc 10
+      (4L, "nothing in common with anything else here")
+    ).toDF("doc_id", "text")
+    val evals = Seq((10L, "the quick brown fox jumps over everything")).toDF("doc_id", "text")
+    def cat(name: String): DataFrame = name match {
+      case "CH" => chunks
+      case "DC" => docs
+      case "EV" => evals
+      case other => sys.error(s"no fixture table $other")
+    }
+    chunks.createOrReplaceTempView("CH")
+    docs.createOrReplaceTempView("DC")
+    evals.createOrReplaceTempView("EV")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "CH | pack 32 shards=4 n_tokens by doc_id, chunk_idx",
+        "CH | pack 32 n_tokens by doc_id, chunk_idx | summarize n = count() by seq_id | sort by seq_id asc",
+        "DC | decontam against (EV) text by doc_id",
+        "DC | decontam against (EV) hits=1 ngram=2 text by doc_id | project doc_id")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    // decontam actually dropped the overlapping docs (1 and 3 share
+    // >= 2 trigrams with the eval doc), kept the clean ones
+    val kept = spark.sql(Pql.compileToSql(
+      "DC | decontam against (EV) text by doc_id | project doc_id", cat))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L), kept)
+    // pack emits every input row exactly once with a seq_id appended
+    val packed = spark.sql(Pql.compileToSql("CH | pack 32 shards=4 n_tokens by doc_id, chunk_idx", cat))
+    assert(packed.count() == 30 && packed.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "n_tokens", "seq_id"))
+  }
+
   test("Walk visits every node and supports pruning") {
     import graft.parser._
     val stmts = Pql.parse(
