@@ -3043,6 +3043,26 @@ object SparkEntry {
            |WHERE vec_id NOT IN (SELECT id_b FROM ($sqlEmbedOracle))""".stripMargin
       )
     ),
+    "pql_sql_dedup_simhash" -> Entry(
+      (s, dir) => {
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql("documents | dedup kind=simhash text by doc_id", cat))
+      },
+      Some(
+        s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT id_b FROM ($sqlSimhashOracle))""".stripMargin
+      )
+    ),
+    "pql_sql_dedup_substrings" -> Entry(
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val cat = Tables.parquetDir(s, dir)
+        cat("documents").createOrReplaceTempView("documents")
+        s.sql(Pql.compileToSql("documents | dedup kind=substrings text by doc_id", cat))
+      },
+      Some(sqlDedupSubstringsOracle)
+    ),
     "pql_sql_dedup_semantic" -> Entry(
       (s, dir) => {
         graft.functions.GraftExtensions.register(s)

@@ -278,6 +278,14 @@ private[graft] final class SqlGen(
       new OpOptionsBase(opts, span, Set.empty, "dedup kind=lines", fail).finish()
       applyDedupLines(prev, text.name, id.name, span)
 
+    case DedupOp("simhash", opts, text, id, span) =>
+      new OpOptionsBase(opts, span, Set.empty, "dedup kind=simhash", fail).finish()
+      applyDedupSimhash(prev, text.name, id.name, span)
+
+    case DedupOp("substrings", opts, text, id, span) =>
+      new OpOptionsBase(opts, span, Set.empty, "dedup kind=substrings", fail).finish()
+      applyDedupSubstrings(prev, text.name, id.name, span)
+
     case op @ DedupOp("embed", _, _, _, _)    => applyDedupEmbed(prev, op)
     case op @ DedupOp("semantic", _, _, _, _) => applyDedupSemantic(prev, op)
     case op: PackOp                           => applyPack(prev, op)
@@ -394,6 +402,105 @@ private[graft] final class SqlGen(
     val out = newStage(
       s"SELECT e.* FROM ${e.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_mh_idb")
     Stage(out, graft.ops.NearDup.deduplicateCorpus(prev.df, text, id))
+  }
+
+  /** `| dedup kind=simhash` as SQL text (round 16):
+    * [[graft.ops.NearDup.simhashPairs]] (60-bit TF-weighted SimHash,
+    * four 15-bit bands, hamming ≤ 3) → drop the greater pair member.
+    * The 60 per-bit ±1 sums and the sign-bit packing render from the
+    * library's own Columns ([[graft.ops.NearDup.simhashBitSums]] /
+    * `simhashPacked`), bands are the exact `shiftrightunsigned`
+    * integer form, and the hamming test is `bit_count(a ^ b)` — all
+    * builtin SQL, so unlike the other near-dup emissions this one
+    * needs no registered graft functions.
+    */
+  private def applyDedupSimhash(prev: Stage, text: String, id: String, span: Span): Stage = {
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"dedup column ${missing.head} not found", span)
+    val simBits = graft.ops.NearDup.SimBits
+    val bandBits = graft.ops.NearDup.SimBandBits
+    val tokensSql = sqlOf(graft.ops.NearDup.tokens(col(text)))
+    val h60 = sqlOf(graft.ops.NearDup.hash60(col("__graft_sh_t")))
+    val h0 = newStage(
+      s"SELECT ${q(id)} AS __graft_sh_id, $h60 AS __graft_sh_h FROM ${prev.cte} " +
+        s"LATERAL VIEW explode($tokensSql) __t AS __graft_sh_t")
+    val aggs = graft.ops.NearDup.simhashBitSums.zipWithIndex
+      .map { case (c, i) => s"${sqlOf(c)} AS __g$i" }
+    val packed = sqlOf(graft.ops.NearDup.simhashPacked(i => col(s"__g$i")))
+    val sim = newStage(
+      s"SELECT __graft_sh_id, $packed AS __graft_sh_sim FROM (" +
+        s"SELECT __graft_sh_id, ${aggs.mkString(", ")} " +
+        s"FROM (SELECT __graft_sh_id, __graft_sh_h AS h FROM $h0) GROUP BY __graft_sh_id)")
+    val bandArr = (0 until simBits / bandBits)
+      .map(j => s"shiftrightunsigned(__graft_sh_sim, ${j * bandBits}) % ${1 << bandBits}")
+      .mkString("array(", ", ", ")")
+    val bd = newStage(
+      s"SELECT __graft_sh_id, __graft_sh_sim, __graft_sh_bi, __graft_sh_bk FROM $sim " +
+        s"LATERAL VIEW posexplode($bandArr) __b AS __graft_sh_bi, __graft_sh_bk")
+    val drops = newStage(
+      s"SELECT DISTINCT b.__graft_sh_id AS __graft_sh_drop FROM $bd a JOIN $bd b " +
+        s"ON a.__graft_sh_bi = b.__graft_sh_bi AND a.__graft_sh_bk = b.__graft_sh_bk " +
+        s"AND a.__graft_sh_id < b.__graft_sh_id " +
+        s"AND bit_count(a.__graft_sh_sim ^ b.__graft_sh_sim) <= 3")
+    val out = newStage(
+      s"SELECT e.* FROM ${prev.cte} e LEFT ANTI JOIN $drops d ON e.${q(id)} = d.__graft_sh_drop")
+    val mirror = graft.ops.NearDup.dropNearDuplicates(
+      prev.df, graft.ops.NearDup.simhashPairs(prev.df, text, id), id)
+    Stage(out, mirror)
+  }
+
+  /** `| dedup kind=substrings` as SQL text (round 16): ExactSubstr
+    * span removal ([[graft.ops.Dedup.dedupSubstrings]] at its k=8
+    * default) — k-token rolling shingle hashes
+    * (`graft_shingle_hashes(w, 8)`, the identical native expression),
+    * keep-first window over the corpus-wide hash space, covered
+    * positions exploded from repeat spans, token-level anti-join, and
+    * position-ordered reassembly (the lines emission's struct-sort).
+    * Output: `(id, text_clean, n_removed)`, row-preserving.
+    */
+  private def applyDedupSubstrings(prev: Stage, text: String, id: String, span: Span): Stage = {
+    val missing = Seq(text, id).filterNot(hasColumn(prev.df, _))
+    if (missing.nonEmpty)
+      fail(s"dedup column ${missing.head} not found", span)
+    val k = 8 // the grammar route's width (Dedup.dedupSubstrings default)
+    val tokensSql = sqlOf(graft.ops.NearDup.tokens(col(text)))
+    val b0 = newStage(
+      s"SELECT ${q(id)} AS __graft_ss_id, $tokensSql AS __graft_ss_w FROM ${prev.cte}")
+    val ne = newStage(
+      s"SELECT * FROM $b0 WHERE NOT (size(__graft_ss_w) = 1 AND element_at(__graft_ss_w, 1) = '')")
+    val kg = newStage(
+      s"SELECT __graft_ss_id, __graft_ss_pos, __graft_ss_h FROM $ne " +
+        s"LATERAL VIEW posexplode(graft_shingle_hashes(__graft_ss_w, $k)) __g " +
+        s"AS __graft_ss_pos, __graft_ss_h")
+    val rs = newStage(
+      s"SELECT __graft_ss_id, __graft_ss_pos FROM (" +
+        s"SELECT *, row_number() OVER (PARTITION BY __graft_ss_h " +
+        s"ORDER BY __graft_ss_id, __graft_ss_pos) AS __graft_ss_rn FROM $kg" +
+        s") WHERE __graft_ss_rn >= 2")
+    val cv = newStage(
+      s"SELECT DISTINCT __graft_ss_id AS __graft_ss_cid, __graft_ss_tp FROM $rs " +
+        s"LATERAL VIEW explode(sequence(__graft_ss_pos, __graft_ss_pos + ${k - 1})) __e " +
+        s"AS __graft_ss_tp")
+    val tok = newStage(
+      s"SELECT __graft_ss_id, __graft_ss_pos, __graft_ss_tk FROM $ne " +
+        s"LATERAL VIEW posexplode(__graft_ss_w) __t AS __graft_ss_pos, __graft_ss_tk")
+    val kept = newStage(
+      s"SELECT t.* FROM $tok t LEFT ANTI JOIN $cv c " +
+        s"ON t.__graft_ss_id = c.__graft_ss_cid AND t.__graft_ss_pos = c.__graft_ss_tp")
+    val re = newStage(
+      s"SELECT __graft_ss_id, array_join(transform(array_sort(" +
+        s"collect_list(struct(__graft_ss_pos, __graft_ss_tk))), s -> s.__graft_ss_tk), ' ') " +
+        s"AS __graft_ss_tc, count(1) AS __graft_ss_nk FROM $kept GROUP BY __graft_ss_id")
+    val tl = newStage(
+      s"SELECT __graft_ss_id, CAST(size(__graft_ss_w) AS BIGINT) AS __graft_ss_nt FROM $ne")
+    val out = newStage(
+      s"SELECT d.${q(id)}, coalesce(r.__graft_ss_tc, '') AS text_clean, " +
+        s"(coalesce(t.__graft_ss_nt, 0) - coalesce(r.__graft_ss_nk, 0)) AS n_removed " +
+        s"FROM (SELECT ${q(id)} FROM ${prev.cte}) d " +
+        s"LEFT JOIN $re r ON d.${q(id)} = r.__graft_ss_id " +
+        s"LEFT JOIN $tl t ON d.${q(id)} = t.__graft_ss_id")
+    Stage(out, graft.ops.Dedup.dedupSubstrings(prev.df, text, id))
   }
 
   /** `| dedup kind=lines` as SQL text (round 16): RefinedWeb-style

@@ -400,14 +400,28 @@ object NearDup {
     * signature and every band arithmetic inside a positive signed
     * long on both engines.
     */
-  private[ops] val SimBits = 60
-  private[ops] val SimBandBits = 15
+  private[graft] val SimBits = 60
+  private[graft] val SimBandBits = 15
 
   /** 60-bit token hash: the first 15 md5 hex digits (DuckDB:
     * `('0x' || substr(md5(x), 1, 15))::BIGINT`).
     */
-  private def hash60(c: Column): Column =
+  private[graft] def hash60(c: Column): Column =
     conv(substring(md5hex(c), 1, 15), 16, 10).cast("long")
+
+  /** The [[SimBits]] per-bit ±1 sum aggregates over a token-hash
+    * column `h` (unaliased, bit order) — shared with the SQL-text
+    * backend (the minhashAggColumns pattern).
+    */
+  private[graft] def simhashBitSums: Seq[Column] = (0 until SimBits).map { i =>
+    sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1))
+  }
+
+  /** Sign-bit packing of the [[SimBits]] bit sums (`s(i)` = the i-th
+    * sum Column) into one long — shared with the SQL-text backend.
+    */
+  private[graft] def simhashPacked(s: Int => Column): Column =
+    (0 until SimBits).map(i => when(s(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 
   /** [[SimBits]]-bit SimHash values, one row per id: `(id, sim)`. Bit
     * i of the result is the sign of `Σ_tokens (2·bit_i(hash(token)) −
@@ -420,14 +434,9 @@ object NearDup {
     val hashed = df
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .select(col(idCol), hash60(col("t")).as("h"))
-    val bitSums = (0 until SimBits).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) > 0, 1).otherwise(-1)).as(s"s$i")
-    }
+    val bitSums = simhashBitSums.zipWithIndex.map { case (c, i) => c.as(s"s$i") }
     hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(
-        col(idCol),
-        (0 until SimBits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _).as("sim")
-      )
+      .select(col(idCol), simhashPacked(i => col(s"s$i")).as("sim"))
   }
 
   /** SimHash near-duplicate pairs: 4 bands of [[SimBandBits]] bits

@@ -179,11 +179,9 @@ class SqlCompileSpec extends SparkTestBase {
   }
 
   test("extension operators are rejected with a pointer to Pql.query") {
-    // exact (r15) and minhash (r16) are EMITTED — the remaining banded
-    // kinds stay rejected
-    val e = intercept[graft.compiler.PqlCompileException](
-      Pql.compileToSql("StormEvents | dedup kind=simhash EventNarrative by EventId", catalog))
-    assert(e.getMessage.contains("Pql.query") && e.getMessage.contains("kind=simhash"), e.getMessage)
+    // every dedup kind is EMITTED since round 16 — the only remaining
+    // rejections are the plan-time-data forms (adaptive sizing, the
+    // sample budget= crossover), asserted here and in the per-kind tests
     val e2 = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("StormEvents | sample budget=100 EventNarrative by EventId, State", catalog))
     assert(e2.getMessage.contains("Pql.query"), e2.getMessage)
@@ -348,6 +346,62 @@ class SqlCompileSpec extends SparkTestBase {
     val e = intercept[graft.compiler.PqlCompileException](
       Pql.compileToSql("D | dedup kind=exact dim=4 text by doc_id", cat))
     assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
+  test("dedup kind=simhash emits SQL matching the plan path (round 16)") {
+    val session = spark
+    import session.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " " + base), // doubled text: identical TF sign profile, hamming 0
+      (3L, "an entirely different text about catalyst plan optimization and shuffles"),
+      (4L, "short one")
+    ).toDF("doc_id", "text")
+    def cat(name: String): DataFrame =
+      if (name == "SH") docs else sys.error(s"no fixture table $name")
+    docs.createOrReplaceTempView("SH")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "SH | dedup kind=simhash text by doc_id",
+        "SH | dedup kind=simhash text by doc_id | summarize n = count()")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    // doc 2 is a near-dup of doc 1 (one extra token) and must drop
+    val kept = spark.sql(Pql.compileToSql("SH | dedup kind=simhash text by doc_id | project doc_id", cat))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L), kept)
+  }
+
+  test("dedup kind=substrings emits SQL matching the plan path (round 16)") {
+    graft.functions.GraftExtensions.register(spark) // graft_shingle_hashes
+    val session = spark
+    import session.implicits._
+    val boiler = "one two three four five six seven eight"  // exactly k=8 tokens
+    val docs = Seq(
+      (1L, boiler + " unique tail of document one"),
+      (2L, boiler + " different ending for document two"),  // repeats doc 1's 8-token span
+      (3L, "fully distinct text with no repeated spans at all whatsoever"),
+      (4L, "")                                               // empty doc, row-preserved
+    ).toDF("doc_id", "text")
+    def cat(name: String): DataFrame =
+      if (name == "SS") docs else sys.error(s"no fixture table $name")
+    docs.createOrReplaceTempView("SS")
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    for (q <- Seq(
+        "SS | dedup kind=substrings text by doc_id",
+        "SS | dedup kind=substrings text by doc_id | summarize total = sum(n_removed)")) {
+      val sql = Pql.compileToSql(q, cat)
+      assert(rows(spark.sql(sql)) == rows(Pql.query(spark, q, cat)), s"query: $q\nsql:\n$sql")
+    }
+    val out = spark.sql(Pql.compileToSql("SS | dedup kind=substrings text by doc_id", cat))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 2 lost its repeated 8-token prefix; docs 3/4 untouched
+    assert(out(2L)._2 >= 8 && !out(2L)._1.contains("one two three"), out(2L))
+    assert(out(3L)._2 == 0 && out(4L) == (("", 0L)) && out.size == 4, out)
+    assert(spark.sql(Pql.compileToSql("SS | dedup kind=substrings text by doc_id", cat))
+      .columns.toSeq == Seq("doc_id", "text_clean", "n_removed"))
   }
 
   test("dedup kind=lines emits SQL matching the plan path (round 16)") {
