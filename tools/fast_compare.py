@@ -19,6 +19,7 @@ oracle session runs UTC).
 Usage: python3 tools/fast_compare.py <verify_out> <sf_dir> [keys...]
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -39,9 +40,15 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     # heavy oracles (6-round connected components at 30×) exceed RAM —
-    # let DuckDB spill instead of OOM
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET max_temp_directory_size='120GB'")
+    # let DuckDB spill instead of OOM. Env overrides so CONCURRENT
+    # compare processes can keep separate spill dirs (a sibling's
+    # between-entry `rm -rf` on the shared dir corrupts a live spill)
+    # and split the machine's RAM instead of both claiming the 80%
+    # default (round 16).
+    con.execute(f"SET temp_directory='{os.environ.get('DUCKDB_SPILL_DIR', '/tmp/duckdb_spill')}'")
+    con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_SPILL', '120GB')}'")
+    if os.environ.get("DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():
