@@ -12,6 +12,7 @@ compare against the Spark dump.
 Usage: python3 tools/clusters_stepwise.py <verify_out> <sf_dir>
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -37,7 +38,7 @@ def main():
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET temp_directory='{os.environ.get('DUCKDB_SPILL_DIR', '/tmp/duckdb_spill')}'")
     p = sf_dir / "documents.parquet"
     src = f"{p}/*.parquet" if p.is_dir() else str(p)
     con.execute(f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{src}')")

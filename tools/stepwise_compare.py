@@ -18,6 +18,7 @@ fast_compare.py, including the family-wise casts.
 Usage: python3 tools/stepwise_compare.py <verify_out> <sf_dir> <entry>
 """
 import json
+import os
 import re
 import sys
 import time
@@ -78,8 +79,10 @@ def main():
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET max_temp_directory_size='120GB'")
+    con.execute(f"SET temp_directory='{os.environ.get('DUCKDB_SPILL_DIR', '/tmp/duckdb_spill')}'")
+    con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_SPILL', '120GB')}'")
+    if os.environ.get('DUCKDB_MEM'):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():
