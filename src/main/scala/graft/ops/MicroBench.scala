@@ -250,6 +250,54 @@ object MicroBench {
       return
     }
 
+    if (args.contains("decontamab")) {
+      // Round-17 adjudication of the BENCH_r16 decontam_overlap 0.91 s
+      // reading (its worst in six rounds, on a clean-sentinel day).
+      // Two questions: (1) which branch does the adaptive
+      // `bloomDecision` take on the EXACT bench corpus shape — did
+      // r15's broadened unknown-rule silently flip it? (2) what do the
+      // three bloom settings cost here, with enough reps to see the
+      // op's run-to-run variance? Sentinel-bracketed.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+      val decision = Decontam.bloomDecision(corpus)
+      val statSize = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+      println(s"bloomDecision(bench corpus) = $decision  " +
+        s"(plan statSize=$statSize bytes, floor=${Decontam.BloomMinCorpusBytes})")
+
+      val reps = 5
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-24s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      rep("overlap adaptive (bench)")(
+        Decontam.overlap(corpus, eval, "text", "doc_id"))
+      rep("overlap bloom=off")(
+        Decontam.overlap(corpus, eval, "text", "doc_id", bloomPreFilter = Some(false)))
+      rep("overlap bloom=on")(
+        Decontam.overlap(corpus, eval, "text", "doc_id", bloomPreFilter = Some(true)))
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("embedgeo")) {
       // LSH geometry vs corpus size (round-12 sf10 finding): with the
       // default 32-plane/8-bit geometry the sign-LSH bucket occupancy

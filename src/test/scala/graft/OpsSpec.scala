@@ -1028,6 +1028,30 @@ class OpsSpec extends SparkTestBase {
       s"decision must follow the estimate, got $tinyStat")
   }
 
+  test("decontam adaptive bloom: the BENCH shape at sf0.1 takes the no-bloom branch (round 17)") {
+    // BENCH_r16's decontam_overlap 0.91 s (worst in six rounds) raised
+    // the question whether r15's broadened unknown-rule had silently
+    // flipped the bench row onto the bloom path. This pins the answer
+    // at plan time against the real bench input: the sf0.1 corpus
+    // plan (parquet scan + doc_id filter) is estimable, BELOW the
+    // 4 MiB floor, and the adaptive default must skip the bloom —
+    // exactly the branch the round-17 MicroBench `decontamab` A/B
+    // measured (adaptive 0.65–1.06 s ≈ bloom=off band; forced bloom=on
+    // 0.87–0.97 s). Pure plan-statistics read, no Spark job.
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir + "/documents.parquet").exists())
+    val d = graft.sources.Tables.parquetDir(spark, dir)("documents")
+    val corpus = d.filter(col("doc_id") % 20 =!= 0)
+    val stat = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stat < BigInt(Long.MaxValue), s"bench corpus must be estimable: $stat")
+    assert(stat < Decontam.BloomMinCorpusBytes, s"bench corpus above floor? $stat")
+    assert(!Decontam.bloomDecision(corpus),
+      "the sf0.1 bench shape must take the no-bloom branch")
+    val plan = executedPlan(Decontam.overlap(corpus,
+      d.filter(col("doc_id") % 20 === 0), "text", "doc_id"))
+    assert(!plan.contains("might_contain"), s"bench shape built a bloom:\n$plan")
+  }
+
   // ---- plan shape (the 100-TB contract) --------------------------------
 
   test("decontam matches corpus shingles against a broadcast eval set") {
