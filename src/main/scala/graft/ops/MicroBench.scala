@@ -298,6 +298,77 @@ object MicroBench {
       return
     }
 
+    if (args.contains("sqltextab")) {
+      // Round-17 ask #4: what does the SQL-TEXT backend cost vs the
+      // plan path? The emitted text leans on interpreted higher-order
+      // functions (transform / array_sort(collect_list(...))
+      // reassembly) where the plan path uses codegen expressions —
+      // parity is proven (SqlCompileSpec + 12 gate entries), the
+      // RATIO is what an embedder choosing the text route needs.
+      // Three heaviest emissions, same query string both arms,
+      // sentinel-bracketed, 3 timed reps after 2 warm-ups.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      graft.functions.GraftExtensions.register(spark)
+      val cat = graft.sources.Tables.parquetDir(spark, sfDir)
+      cat("documents").createOrReplaceTempView("documents")
+      cat("embeddings").createOrReplaceTempView("embeddings")
+      val queries = Seq(
+        "minhash" -> "documents | dedup kind=minhash text by doc_id",
+        "substrings" -> "documents | dedup kind=substrings text by doc_id",
+        "semantic" -> ("embeddings | dedup kind=semantic cos=0.4 cells=32 embedding by vec_id" +
+          " | project vec_id, label")
+      )
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Double = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-22s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f")
+        ts.sorted.apply(reps / 2)
+      }
+      queries.foreach { case (k, q) =>
+        val plan = rep(s"$k plan-path")(graft.Pql.query(spark, q, cat))
+        val text = rep(s"$k sql-text")(spark.sql(graft.Pql.compileToSql(q, cat)))
+        println(f"$k%-22s text/plan ratio = ${text / plan}%.2fx")
+      }
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
+    if (args.contains("explainjoins")) {
+      // Round-17 ask #3 (audit half): the two multi-join headline
+      // queries at the CURRENT SF — are the dims broadcast, is the
+      // fact scan filtered/pruned? Prints the formatted physical plan
+      // plus a one-line verdict per query. Plan-time only, no job.
+      for (k <- Seq("q3_shipping", "q5_local")) {
+        val df = graft.SparkEntry.queries(k)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString()
+        val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+        val nSortMerge = "SortMergeJoin".r.findAllIn(plan).length
+        val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+        println(s"==== $k: broadcastJoins=$nBroadcast sortMergeJoins=$nSortMerge")
+        pushed.foreach(p => println(s"  $p"))
+        println(plan)
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("embedgeo")) {
       // LSH geometry vs corpus size (round-12 sf10 finding): with the
       // default 32-plane/8-bit geometry the sign-LSH bucket occupancy
