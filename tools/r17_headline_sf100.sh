@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-17 ask #3: dump + checksum-verify q3_shipping / q5_local /
+# events_windowed at sf100 (q1_agg already has its r16 verdict).
+set -uo pipefail
+cd /root/repo
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+SF=/tmp/graft_sf100
+OUT=/tmp/verify_sf100_r16
+for e in q3_shipping q5_local events_windowed; do
+  echo "-- dump $e ($(date +%T))"
+  SPARK_GRAFT_CPUS=28 timeout 3600 java -Xmx100g -cp "$CP" graft.Verify "$SF" "$OUT" "$e" \
+    2>&1 | tail -1
+done
+echo "== compares (no JVM alive) =="
+FREE_GB=$(df --output=avail -BG / | tail -1 | tr -dc 0-9)
+SPILL_GB=$((FREE_GB > 12 ? FREE_GB - 8 : 4))
+echo "-- free ${FREE_GB}G, spill cap ${SPILL_GB}G"
+for e in q3_shipping q5_local events_windowed; do
+  echo "-- checksum $e ($(date +%T))"
+  DUCKDB_SPILL="${SPILL_GB}GB" timeout 14400 \
+    python3 tools/checksum_compare.py "$OUT" "$SF" "$e" 2>/tmp/cc17_${e}.log \
+    || echo "[compare-rc=$?] $e"
+  rm -rf /tmp/duckdb_spill/* 2>/dev/null
+done
+echo "DONE $(date +%T)"
