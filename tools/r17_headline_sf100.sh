@@ -16,6 +16,9 @@ FREE_GB=$(df --output=avail -BG / | tail -1 | tr -dc 0-9)
 SPILL_GB=$((FREE_GB > 12 ? FREE_GB - 8 : 4))
 echo "-- free ${FREE_GB}G, spill cap ${SPILL_GB}G"
 for e in q3_shipping q5_local events_windowed; do
+  if [ ! -f "$OUT/$e.parquet/_SUCCESS" ]; then
+    echo "[skip] $e: dump incomplete (no _SUCCESS) - compare not run"; continue
+  fi
   echo "-- checksum $e ($(date +%T))"
   DUCKDB_SPILL="${SPILL_GB}GB" timeout 14400 \
     python3 tools/checksum_compare.py "$OUT" "$SF" "$e" 2>/tmp/cc17_${e}.log \

@@ -55,12 +55,19 @@ def connect():
 
 
 def sig_expr(planes):
-    """Exact fixed-order sign-LSH signature over double list v."""
+    """Exact fixed-order sign-LSH signature over double list v.
+
+    NaN-free-input assumption (r17 advice): DuckDB orders NaN above all
+    numbers (NaN >= 0 is TRUE, bit set) where PackedSignSig's Java
+    `NaN >= 0` is FALSE (bit clear). The synthetic corpora contain no
+    NaNs; the isnan() guard below makes the verifier match the engine
+    on NaN-bearing vectors anyway.
+    """
     terms = []
     for p in range(planes):
         d = ("list_reduce(list_transform(generate_series(0, %d), j -> v[j+1] * (%s)),"
              " (x, y) -> x + y)" % (DIM - 1, PLANE.format(idx=f"{p} * {DIM} + j")))
-        terms.append(f"CASE WHEN {d} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+        terms.append(f"CASE WHEN isnan({d}) THEN 0 WHEN {d} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
     return " + ".join(terms)
 
 

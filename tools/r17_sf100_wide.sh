@@ -26,6 +26,9 @@ for e in $ENTRIES; do
   echo "-- dump $e ($(date +%T))"
   SPARK_GRAFT_CPUS=28 timeout 2400 java -Xmx100g -cp "$CP" graft.Verify "$SF" "$OUT" "$e" \
     2>&1 | tail -1
+  if [ ! -f "$OUT/$e.parquet/_SUCCESS" ]; then
+    echo "[skip] $e: dump incomplete (no _SUCCESS) - compare not run"; continue
+  fi
   echo "-- checksum $e ($(date +%T))"
   DUCKDB_SPILL="${SPILL_GB}GB" timeout 7200 \
     python3 tools/checksum_compare.py "$OUT" "$SF" "$e" 2>/tmp/cw17_${e}.log \

@@ -6,7 +6,7 @@
 #      decontam_overlap (two new 1000x families).
 #   B. streaming soak at sf10 (the sf3 record's next octave): the
 #      three grammar streaming kinds + sessions_capped, 20 files =>
-#      20 micro-batches, state-rows-vs-watermark evidence.
+#      21 micro-batches (one extra finalizing trigger), state-rows-vs-watermark evidence.
 #   C. oracle compares with NO JVM alive, fresh python per entry,
 #      multi-hour budgets (these oracles are the 240s-timeout set).
 set -uo pipefail
@@ -40,6 +40,9 @@ FREE_GB=$(df --output=avail -BG / | tail -1 | tr -dc 0-9)
 SPILL_GB=$((FREE_GB > 12 ? FREE_GB - 8 : 4))
 echo "-- free ${FREE_GB}G, spill cap ${SPILL_GB}G"
 for e in pql_dedup_embed dedup_semantic_auto pql_dedup_semantic_auto pql_ann_brute; do
+  if [ ! -f "$OUT10/$e.parquet/_SUCCESS" ]; then
+    echo "[skip] $e: sf10 dump incomplete (no _SUCCESS) - compare not run"; continue
+  fi
   echo "-- fast_compare sf10 $e ($(date +%T))"
   DUCKDB_SPILL="${SPILL_GB}GB" timeout 14400 \
     python3 tools/fast_compare.py "$OUT10" "$SF10" "$e" 2>/tmp/fc17_${e}.log \
@@ -47,6 +50,9 @@ for e in pql_dedup_embed dedup_semantic_auto pql_dedup_semantic_auto pql_ann_bru
   rm -rf /tmp/duckdb_spill/* 2>/dev/null
 done
 for e in dedup_lines decontam_overlap; do
+  if [ ! -f "$OUT100/$e.parquet/_SUCCESS" ]; then
+    echo "[skip] $e: sf100 dump incomplete (no _SUCCESS) - compare not run"; continue
+  fi
   echo "-- checksum sf100 $e ($(date +%T))"
   DUCKDB_SPILL="${SPILL_GB}GB" timeout 14400 \
     python3 tools/checksum_compare.py "$OUT100" "$SF100" "$e" 2>/tmp/cc17_${e}.log \
