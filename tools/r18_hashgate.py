@@ -62,7 +62,12 @@ def main():
     con.execute("SET max_temp_directory_size='20GB'")
     con.execute("SET memory_limit='80GB'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(p):  # Spark-written dataset dir vs single file
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}/*.parquet')")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
     n_pass = n_fail = 0
     for entry, got in spark_lines.items():
         if only and entry not in only:
