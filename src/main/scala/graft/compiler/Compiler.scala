@@ -75,6 +75,33 @@ private[graft] final class Compiler(
 
   // ---- operators -----------------------------------------------------
 
+  /** Structured Streaming allows at most ONE event-time column per
+    * stream: a project/extend alias that merely COPIES the watermarked
+    * column inherits its watermark metadata (Alias propagates
+    * NamedExpression metadata), and the next stateful operator aborts
+    * with `STREAM_FAILED … more than one event time column` — for a
+    * query that runs fine in batch (found by StreamFuzz seed 36:
+    * `embeddings | extend x1 = ts | dedup kind=embed …`). The
+    * watermark belongs to the SOURCE column: when the input's
+    * event-time column is still present in the output under its own
+    * name, strip the inherited metadata from the copies. A RENAME
+    * (source column dropped) keeps the metadata — the alias IS the
+    * event-time column then, which is what lets a projected stream
+    * still feed windowed aggregation.
+    */
+  private def dedupEventTime(in: DataFrame, out: DataFrame): DataFrame = {
+    if (!out.isStreaming) return out
+    val key = "spark.watermarkDelayMs"
+    val wm = out.schema.fields.filter(_.metadata.contains(key)).map(_.name)
+    if (wm.length <= 1) return out
+    val inWm = in.schema.fields.filter(_.metadata.contains(key)).map(_.name).toSet
+    val keep = wm.find(inWm.contains).getOrElse(wm.head)
+    out.select(out.columns.map { c =>
+      if (c == keep || !wm.contains(c)) col(c)
+      else col(c).as(c, org.apache.spark.sql.types.Metadata.empty)
+    }: _*)
+  }
+
   private def applyOp(df: DataFrame, op: TabularOperator): DataFrame = op match {
     case WhereOp(pred, _) => df.filter(compile(pred, env))
 
@@ -83,16 +110,16 @@ private[graft] final class Compiler(
       // `let`/parameter bindings and builtins shadow table columns,
       // matching the reference (/root/reference/pql.go:374-384,603-610);
       // quoted names are always plain column references.
-      df.select(cols.map { c =>
+      dedupEventTime(df, df.select(cols.map { c =>
         c.x match {
           case Some(x)                 => compile(x, env).as(c.name.name)
           case None if c.name.quoted   => attr(c.name.name).as(c.name.name)
           case None                    => compile(c.name.asQualified, env).as(c.name.name)
         }
-      }: _*)
+      }: _*))
 
     case ExtendOp(cols, _) =>
-      df.select(col("*") +: cols.map(computed): _*)
+      dedupEventTime(df, df.select(col("*") +: cols.map(computed): _*))
 
     case SummarizeOp(aggs, by, _) =>
       val aggCols = aggs.map(computed)

@@ -24,6 +24,29 @@ final case class GenQuery(
     sqlEmittable: Boolean
 )
 
+/** A generated STREAMING differential-test query (StreamFuzz): the
+  * same pipeline text runs over a batch catalog and over a
+  * micro-batched file-stream catalog, and the gated results must
+  * match.
+  *
+  * @param seed     generator seed (reproduce with `PipelineGen.stream(seed)`)
+  * @param base     source table (the harness registers it as a stream)
+  * @param prePql   the pipeline UP TO the terminal operator — the
+  *                 terminal's input, used by the band/digest gates to
+  *                 recompute the expected state keys batch-side
+  * @param pql      the full pipeline text
+  * @param terminal which gate applies: "stateless" | "window" (both:
+  *                 full-row batch ≡ stream parity) | "exact" (digest
+  *                 set) | "minhash" | "embed" (band set)
+  */
+final case class StreamGenQuery(
+    seed: Long,
+    base: String,
+    prePql: String,
+    pql: String,
+    terminal: String
+)
+
 /** Grammar-driven random PQL pipeline generator for differential
   * testing (DiffFuzzSpec / graft.fuzz.DiffFuzz — round-18 top ask).
   *
@@ -64,6 +87,11 @@ final case class GenQuery(
 object PipelineGen {
 
   def apply(seed: Long): GenQuery = new PipelineGen(seed).generate()
+
+  /** A stream-safe pipeline for the streaming differential fuzz
+    * (StreamFuzzSpec / graft.fuzz.StreamFuzz).
+    */
+  def stream(seed: Long): StreamGenQuery = new PipelineGen(seed).generateStream()
 
   // ---- schema model ----------------------------------------------------
 
@@ -139,6 +167,17 @@ object PipelineGen {
     "embeddings" -> Schema(
       Vector(Col("vec_id", KLong), Col("embedding", KOther), Col("label", KInt)),
       List("vec_id"))
+  )
+
+  /** The streaming-fuzz catalog's table schemas: documents and
+    * embeddings carry the event-time column the harness synthesizes
+    * (StreamFuzz.prepare — ts from the id, same formula as the
+    * stream_dedup_* gate entries); events has a real one.
+    */
+  private[fuzz] val streamTables: Map[String, Schema] = Map(
+    "documents" -> Schema(tables("documents").cols :+ Col("ts", KTs), List("doc_id")),
+    "events" -> tables("events"),
+    "embeddings" -> Schema(tables("embeddings").cols :+ Col("ts", KTs), List("vec_id"))
   )
 
   /** Per-column literal pools — values that actually occur, so string
@@ -1044,6 +1083,117 @@ final class PipelineGen(seed: Long) {
       }
       i += 1
     }
+  }
+
+  // ---- streaming pipelines -------------------------------------------------
+
+  /** Stream-safe pipeline: random stateless pre-ops (where / extend /
+    * project), then one of the terminals Structured Streaming can run
+    * — nothing (pure stateless parity), a windowed summarize (`bin`
+    * group key → tumbling window, complete mode), or one of the three
+    * streaming dedup kinds. The gates that make a cross-run compare
+    * sound mirror the fixed stream_dedup_* gate entries: full rows for
+    * the deterministic terminals, the digest set for kind=exact, the
+    * emitted band SET for the band kinds (which row owns a contested
+    * band follows arrival order — not comparable; the set is).
+    */
+  private[fuzz] def generateStream(): StreamGenQuery = {
+    val terminal = rnd.nextInt(20) match {
+      case 0 | 1 | 2 | 3 | 4 | 5 | 6 | 7 => "stateless"
+      case 8 | 9 | 10 | 11 | 12          => "window"
+      case 13 | 14 | 15                  => "exact"
+      case 16 | 17                       => "minhash"
+      case _                             => "embed"
+    }
+    baseTable = terminal match {
+      case "stateless"          => pick(Seq("documents", "events"))
+      case "window"             => "events"
+      case "exact" | "minhash"  => "documents"
+      case _                    => "embeddings"
+    }
+    schema = streamTables(baseTable)
+    duck = "" // no DuckDB leg: the oracle is the batch Spark run
+
+    // fresh-named lets only (a let shadowing `text`/`ts`/the id would
+    // change what the TERMINAL's by-clause resolves to — composition
+    // the batch oracle shares, but keep the anchors stable)
+    if (rnd.nextInt(3) == 0) {
+      val name = fresh("v")
+      val l = if (rnd.nextBoolean()) intLit() else {
+        val v = pick(Vector("en", "click", "A", "zz"))
+        Ex("\"" + v + "\"", "'" + v + "'", KStr)
+      }
+      lets(name) = (l.pql, l.duck, l.kind)
+      pqlPrefix += s"let $name = ${l.pql};"
+    }
+
+    // stateless pre-ops; the stateful terminals need their anchor
+    // columns intact, so project is reserved for the stateless variant
+    val nPre =
+      if (terminal == "stateless") rnd.nextInt(4) + 1
+      else rnd.nextInt(3)
+    var i = 0
+    while (i < nPre) {
+      rnd.nextInt(5) match {
+        case 0 | 1      => opWhere()
+        case 2 | 3      => opExtend()
+        case _          => if (terminal == "stateless") opProject() else opWhere()
+      }
+      i += 1
+    }
+    val prePql = (pqlPrefix :+ (baseTable +: pqlOps).mkString("\n| ")).mkString("\n")
+
+    terminal match {
+      case "stateless" => ()
+      case "window" =>
+        val nAggs = rnd.nextInt(2) + 1
+        val aggs = Vector.fill(nAggs)(genAgg(schema))
+        val dur = pick(Seq("15m", "1h", "6h", "1d"))
+        val binName = fresh("w")
+        val keyParts = mutable.ArrayBuffer[(String, Col)](
+          (s"""$binName = bin(ts, "$dur")""", Col(binName, KTs)))
+        if (rnd.nextBoolean()) {
+          if (rnd.nextBoolean())
+            keyParts += (("event_type", Col("event_type", KStr)))
+          else {
+            val k2 = fresh("k")
+            val m = rnd.nextInt(7) + 2
+            keyParts += ((s"$k2 = (user_id % $m)", Col(k2, KLong)))
+          }
+        }
+        val keys = if (rnd.nextBoolean()) keyParts.toVector else keyParts.toVector.reverse
+        addOp(
+          s"summarize ${aggs.map(_._2).mkString(", ")} by ${keys.map(_._1).mkString(", ")}",
+          "",
+          Schema(keys.map(_._2) ++ aggs.map(a => Col(a._1, a._4)), Nil))
+        // optional stateless tail over the aggregate (complete mode
+        // allows it); post-aggregation double columns differ between
+        // the batch and incremental partial-sum trees by float
+        // summation order, so tail PREDICATES stay off them — a
+        // boundary-straddling 1-ulp diff would flip row membership,
+        // which no output tolerance can absorb
+        if (rnd.nextInt(3) == 0) {
+          val safe = Schema(schema.cols.filterNot(_.kind == KDouble), Nil)
+          if (safe.cols.exists(_.kind != KOther)) {
+            val p = genBool(safe, 1)
+            addOp(s"where ${p.pql}", "", schema)
+          }
+        }
+        if (rnd.nextInt(3) == 0) opExtend()
+      case "exact" =>
+        addOp("dedup kind=exact text by doc_id", "", schema)
+      case "minhash" =>
+        addOp("dedup kind=minhash text by doc_id", "",
+          Schema(schema.cols ++ Vector(Col("band_idx", KInt), Col("band_key", KStr)),
+            Nil))
+      case _ =>
+        addOp("dedup kind=embed dim=64 planes=32 bits=8 embedding by vec_id", "",
+          Schema(schema.cols ++ Vector(Col("band_idx", KInt), Col("band_key", KLong)),
+            Nil))
+    }
+
+    val pql = (pqlPrefix :+ (baseTable +: pqlOps).mkString("\n| ")).mkString("\n")
+    StreamGenQuery(seed, baseTable, prePql, pql, terminal)
   }
 
   // ---- top-level -----------------------------------------------------------

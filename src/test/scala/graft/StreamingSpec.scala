@@ -292,6 +292,42 @@ class StreamingSpec extends SparkTestBase {
     assert(e4.getMessage.contains("watermark"), e4.getMessage)
   }
 
+  test("extend/project COPY of the event-time column keeps stateful ops runnable (StreamFuzz seed 36)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val wm = Streaming.withEventTime(ms.toDF.toDF("ts", "doc_id", "text"), "ts", "5 minutes")
+    val cat = Map("D" -> wm)
+
+    // an aliased COPY of the watermarked column inherits its metadata
+    // (two event-time columns → Spark aborts the stateful op at run
+    // time); the compiler strips the copy, keeping the source column's
+    // watermark — the same query in batch is unaffected
+    val copied = Pql.query(spark, "D | extend t2 = ts | dedup kind=exact text by doc_id", cat)
+    val wmCols = copied.schema.fields
+      .filter(_.metadata.contains("spark.watermarkDelayMs")).map(_.name).toSeq
+    assert(wmCols == Seq("ts"), s"watermark columns: $wmCols")
+    val q = Streaming.runToMemory(copied, "ev_copy_dedup", "append")
+    try {
+      ms.addData(Seq((ts(0), 1L, "a doc"), (ts(1), 2L, "a doc")))
+      q.processAllAvailable()
+      assert(spark.table("ev_copy_dedup").count() == 1) // dup dropped, t2 rode through
+    } finally q.stop()
+
+    // a RENAME (source dropped) keeps the metadata on the alias: the
+    // renamed column still drives append-mode windowed aggregation
+    val renamed = Pql.query(spark,
+      """D | project doc_id, t2 = ts | summarize n = count() by w = bin(t2, "15m")""", cat)
+    assert(renamed.isStreaming)
+    val q2 = Streaming.runToMemory(renamed, "ev_rename_win", "append")
+    try {
+      ms.addData(Seq((ts(2), 3L, "x"), (ts(3), 4L, "y")))
+      q2.processAllAvailable()
+      ms.addData(Seq((ts(59), 5L, "z"))) // watermark past the first window
+      q2.processAllAvailable()
+      assert(spark.table("ev_rename_win").count() >= 1)
+    } finally q2.stop()
+  }
+
   test("PQL | dedup kind=embed over a stream: band set equals the library/batch form (round 15)") {
     implicit val ctx = spark.sqlContext
     val dim = 8
