@@ -3016,6 +3016,37 @@ object SparkEntry {
       },
       Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
     ),
+    // Regression gate for the round-18 StreamFuzz finding (seed 36):
+    // an extend that COPIES the watermarked event-time column used to
+    // abort the downstream stateful dedup at run time ("more than one
+    // event time column") — the alias inherits the watermark metadata.
+    // The compiler now strips the copy's metadata (Compiler.
+    // dedupEventTime), so this pipeline — extend t2 = ts, then
+    // streaming exact dedup — must run end to end and emit exactly
+    // the digest set of pql_stream_dedup_exact (the copy is inert
+    // data; the projection gates determinism the same way).
+    "pql_stream_dedup_evcopy" -> Entry(
+      (s, dir) => {
+        val sink = "pqlsdc_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val raw = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(raw).parquet(s"$dir/documents.parque[t]")
+          .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)"))
+        val cat: String => DataFrame = {
+          case "documents" => graft.streaming.Streaming.withEventTime(stream, "ts", "1 hour")
+          case other       => sys.error(s"no streaming table $other")
+        }
+        val deduped = Pql.query(
+            s, "documents | extend t2 = ts | dedup kind=exact text by doc_id", cat)
+          .select(
+            org.apache.spark.sql.functions
+              .md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
+        val q = graft.streaming.Streaming.runToMemory(deduped, sink, "append")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+      },
+      Some(s"SELECT DISTINCT md5($sqlNorm) AS digest FROM documents")
+    ),
     // Round-16 second batch of text-backend emissions — the remaining
     // emitted dedup kinds, each running the SAME query text and
     // hash-matching the SAME oracle as its plan-path pql twin (three

@@ -14,13 +14,17 @@ import org.apache.spark.sql.SparkSession
   * the same parquet tables and compares multisets — the third backend
   * of the differential (DiffFuzzSpec covers plan ≡ SQL-text in sbt).
   *
-  * Usage: graft.fuzz.DiffFuzz <sfDir> <outDir> [nSeeds]
+  * Usage: graft.fuzz.DiffFuzz <sfDir> <outDir> [nSeeds] [takeAllRows]
+  * — takeAllRows must exceed every reachable intermediate at the
+  * chosen SF (PipelineGen.apply scaladoc; 2M default covers
+  * sf0.001/sf0.01, the sf0.1 campaign passes 20M).
   */
 object DiffFuzz {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val nSeeds = if (args.length > 2) args(2).toInt else 1000
+    val takeAllRows = if (args.length > 3) args(3).toInt else 2000000
 
     val spark = SparkSession
       .builder()
@@ -40,7 +44,7 @@ object DiffFuzz {
     var written = 0
     var skipped = 0
     (1 to nSeeds).foreach { seed =>
-      val gq = PipelineGen(seed.toLong)
+      val gq = PipelineGen(seed.toLong, takeAllRows)
       gq.duckSql match {
         case Some(dsql) =>
           val name = s"fuzz_$seed"

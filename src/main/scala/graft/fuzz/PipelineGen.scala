@@ -88,6 +88,17 @@ object PipelineGen {
 
   def apply(seed: Long): GenQuery = new PipelineGen(seed).generate()
 
+  /** Generate with an explicit `take`-no-op bound — REQUIRED above
+    * sf0.01: the bound must exceed every reachable intermediate row
+    * count or truncating takes slice engine-dependently (the sf0.1
+    * campaign's events self-join reaches 6.77M rows; seeds 10/511
+    * diffed against the default 2M bound before this knob existed).
+    * The bound only changes the emitted `take N` literal, not the
+    * random stream — same seed, same pipeline shape at any bound.
+    */
+  def apply(seed: Long, takeAllRows: Int): GenQuery =
+    new PipelineGen(seed, takeAllRows).generate()
+
   /** A stream-safe pipeline for the streaming differential fuzz
     * (StreamFuzzSpec / graft.fuzz.StreamFuzz).
     */
@@ -234,7 +245,7 @@ object PipelineGen {
   private val identRe = "[A-Za-z_][A-Za-z_0-9]*".r
 }
 
-final class PipelineGen(seed: Long) {
+final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
   import PipelineGen._
 
   private val rnd = new Random(seed)
@@ -567,10 +578,13 @@ final class PipelineGen(seed: Long) {
   }
 
   /** Row-count ceiling no generated pipeline can exceed at the fuzz
-    * scale factors (sf0.001/sf0.01) — `take` below a total order uses
-    * this to stay a no-op.
+    * scale factor — `take` below a total order uses this to stay a
+    * no-op. The default covers sf0.001/sf0.01; bigger SFs pass a
+    * bigger bound (companion apply overload): the dominating
+    * intermediate is the events self-join (sum of per-user count², =
+    * 6.77M at sf0.1, ~68M at sf1).
     */
-  private val takeAll = 2000000
+  private val takeAll = takeAllRows
 
   // ---- operators ----------------------------------------------------------
 
@@ -838,7 +852,7 @@ final class PipelineGen(seed: Long) {
       } else {
         val rel = pick(candidates)
         if (rel.fanout) selfJoined = true
-        val sub = new PipelineGen(rnd.nextLong())
+        val sub = new PipelineGen(rnd.nextLong(), takeAllRows)
         // the right side compiles in the PARENT query's scope: the
         // sub-generator must know the parent's lets so shadowed names
         // render quoted (column) rather than silently rebinding; the

@@ -115,6 +115,9 @@ def main():
             n_fail += 1
         else:
             n_pass += 1
+        if (n_pass + n_fail) % 50 == 0:
+            print(f"[progress] {n_pass + n_fail}/{len(sqls)} compared "
+                  f"({n_fail} fail)", flush=True)
     print(f"\n{n_pass} pass / {n_fail} fail (of {len(sqls)} duck-renderable pipelines)")
     sys.exit(1 if n_fail else 0)
 
