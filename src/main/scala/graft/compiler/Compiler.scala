@@ -76,29 +76,41 @@ private[graft] final class Compiler(
   // ---- operators -----------------------------------------------------
 
   /** Structured Streaming allows at most ONE event-time column per
-    * stream: a project/extend alias that merely COPIES the watermarked
-    * column inherits its watermark metadata (Alias propagates
-    * NamedExpression metadata), and the next stateful operator aborts
-    * with `STREAM_FAILED … more than one event time column` — for a
-    * query that runs fine in batch (found by StreamFuzz seed 36:
-    * `embeddings | extend x1 = ts | dedup kind=embed …`). The
-    * watermark belongs to the SOURCE column: when the input's
-    * event-time column is still present in the output under its own
-    * name, strip the inherited metadata from the copies. A RENAME
-    * (source column dropped) keeps the metadata — the alias IS the
-    * event-time column then, which is what lets a projected stream
-    * still feed windowed aggregation.
+    * STATEFUL operator: a project/extend alias that merely COPIES the
+    * watermarked column inherits its watermark metadata (Alias
+    * propagates NamedExpression metadata), and a downstream stateful
+    * operator aborts with `STREAM_FAILED … more than one event time
+    * column` — for a query that runs fine in batch (found by
+    * StreamFuzz seed 36: `embeddings | extend x1 = ts | dedup
+    * kind=embed …`). Copies are legal through any number of STATELESS
+    * transforms, and a copy-then-drop-original pipeline (`extend t2 =
+    * ts | project t2, … | summarize … by bin(t2, …)`) NEEDS the copy
+    * to keep its metadata until the original is projected away — so
+    * the strip happens here, at the point a stateful operator is
+    * compiled, never eagerly at extend/project. `preferred` is the
+    * column the stateful operator actually binds to (the `bin()`
+    * argument for windowed aggregation); every watermarked column is a
+    * per-row copy of the same source event time (Alias only inherits
+    * metadata from a bare attribute), so when no preference applies,
+    * keeping the first in schema order is deterministic and
+    * value-identical. Only the watermark key is removed — other field
+    * metadata (e.g. parquet comments) rides through — and names are
+    * backtick-quoted so dotted/quoted PQL identifiers survive the
+    * re-select.
     */
-  private def dedupEventTime(in: DataFrame, out: DataFrame): DataFrame = {
-    if (!out.isStreaming) return out
+  private def singleEventTime(df: DataFrame, preferred: Option[String]): DataFrame = {
+    if (!df.isStreaming) return df
     val key = "spark.watermarkDelayMs"
-    val wm = out.schema.fields.filter(_.metadata.contains(key)).map(_.name)
-    if (wm.length <= 1) return out
-    val inWm = in.schema.fields.filter(_.metadata.contains(key)).map(_.name).toSet
-    val keep = wm.find(inWm.contains).getOrElse(wm.head)
-    out.select(out.columns.map { c =>
-      if (c == keep || !wm.contains(c)) col(c)
-      else col(c).as(c, org.apache.spark.sql.types.Metadata.empty)
+    val wm = df.schema.fields.filter(_.metadata.contains(key)).map(_.name)
+    if (wm.length <= 1) return df
+    val keep = preferred.filter(wm.contains).getOrElse(wm.head)
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (c == keep || !wm.contains(c)) attr(c)
+      else {
+        val stripped = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(df.schema(c).metadata).remove(key).build()
+        attr(c).as(c, stripped)
+      }
     }: _*)
   }
 
@@ -110,16 +122,16 @@ private[graft] final class Compiler(
       // `let`/parameter bindings and builtins shadow table columns,
       // matching the reference (/root/reference/pql.go:374-384,603-610);
       // quoted names are always plain column references.
-      dedupEventTime(df, df.select(cols.map { c =>
+      df.select(cols.map { c =>
         c.x match {
           case Some(x)                 => compile(x, env).as(c.name.name)
           case None if c.name.quoted   => attr(c.name.name).as(c.name.name)
           case None                    => compile(c.name.asQualified, env).as(c.name.name)
         }
-      }: _*))
+      }: _*)
 
     case ExtendOp(cols, _) =>
-      dedupEventTime(df, df.select(col("*") +: cols.map(computed): _*))
+      df.select(col("*") +: cols.map(computed): _*)
 
     case SummarizeOp(aggs, by, _) =>
       val aggCols = aggs.map(computed)
@@ -139,6 +151,13 @@ private[graft] final class Compiler(
       binKey match {
         case Some((cc, idx, ts, ms)) =>
           val name = cc.name.map(_.name).getOrElse(sourceText(cc.x.span))
+          // the stateful op binds to the bin() argument — when copies
+          // of the event-time column are in flight, keep that one
+          val preferred = ts match {
+            case QualifiedIdent(List(id)) => Some(id.name)
+            case _                        => None
+          }
+          val dfS = singleEventTime(df, preferred)
           // no cast here: casting the event-time attribute strips the
           // watermark metadata and append mode stops resolving
           val win = window(compile(ts, env), s"$ms milliseconds").as(name)
@@ -148,8 +167,8 @@ private[graft] final class Compiler(
               // distinct form: a keys-only streaming aggregation keeps
               // the watermark-evictable window state (a .distinct()
               // here would be an unbounded streaming Deduplicate)
-              df.groupBy(keyCols: _*).agg(max(lit(1)).as("__g")).drop("__g")
-            else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+              dfS.groupBy(keyCols: _*).agg(max(lit(1)).as("__g")).drop("__g")
+            else dfS.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
           agged.withColumn(name, col(name).getField("start"))
         case None =>
           val keyCols = by.map(computed)
@@ -196,13 +215,18 @@ private[graft] final class Compiler(
       if (wm.isEmpty)
         fail("streaming dedup needs an event-time watermark on the input " +
           "(apply withWatermark in the catalog — Streaming.withEventTime)", span)
+      // dropDuplicatesWithinWatermark is stateful: collapse event-time
+      // copies to one column here (never eagerly at extend/project —
+      // copy-then-drop-original pipelines need the copy to keep its
+      // metadata until the original is projected away)
+      val df1 = singleEventTime(df, None)
       kind match {
         case "exact" =>
           new OpOptions(opts, span, Set.empty, "streaming dedup kind=exact").finish()
-          graft.streaming.Streaming.dedupExactOn(df, text.name)
+          graft.streaming.Streaming.dedupExactOn(df1, text.name)
         case "minhash" =>
           new OpOptions(opts, span, Set.empty, "streaming dedup kind=minhash").finish()
-          graft.streaming.Streaming.dedupMinhashBandsOn(df, text.name)
+          graft.streaming.Streaming.dedupMinhashBandsOn(df1, text.name)
         case "embed" =>
           // fixed geometry only: the adaptive default sizes bands from
           // a plan-time corpus count, which an unbounded stream cannot
@@ -211,7 +235,7 @@ private[graft] final class Compiler(
             "streaming dedup kind=embed")
           val dim = o.requiredInt("dim", min = 1)
           val out = graft.streaming.Streaming.dedupEmbedBandsOn(
-            df, text.name, dim,
+            df1, text.name, dim,
             planes = o.int("planes", 32, min = 1),
             bandBits = o.int("bits", 8, min = 1))
           o.finish()

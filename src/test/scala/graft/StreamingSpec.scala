@@ -328,6 +328,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("COPY-then-drop-original keeps the copy's watermark until the stateful op (r19)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String)]
+    val wm = Streaming.withEventTime(ms.toDF.toDF("ts", "doc_id", "text"), "ts", "5 minutes")
+    val cat = Map("D" -> wm)
+
+    // `extend t2 = ts | project t2, …` copies the event-time column
+    // and then drops the ORIGINAL: no stateful operator runs while
+    // both are in flight, so the copy must keep its inherited
+    // watermark (an eager strip at extend would leave the stream with
+    // NO event-time column here and the windowed agg would abort) —
+    // this is the pattern the r18 eager fix broke (ADVICE r18 medium)
+    val q = Pql.query(spark,
+      """D | extend t2 = ts | project t2, doc_id
+        | | summarize n = count() by w = bin(t2, "15m")""".stripMargin, cat)
+    assert(q.isStreaming)
+    val run = Streaming.runToMemory(q, "ev_copy_drop_win", "append")
+    try {
+      ms.addData(Seq((ts(2), 1L, "a"), (ts(3), 2L, "b")))
+      run.processAllAvailable()
+      ms.addData(Seq((ts(59), 3L, "c"))) // watermark past the first window
+      run.processAllAvailable()
+      val rows = spark.table("ev_copy_drop_win").collect()
+      assert(rows.map(_.getLong(1)).sum >= 2, rows.mkString(","))
+    } finally run.stop()
+
+    // …and when BOTH the copy and the original reach the stateful op,
+    // the one the window binds to survives — binding to the COPY works
+    // even though the original is also still in flight
+    val q2 = Pql.query(spark,
+      """D | extend t2 = ts
+        | | summarize n = count() by w = bin(t2, "15m")""".stripMargin, cat)
+    val run2 = Streaming.runToMemory(q2, "ev_copy_both_win", "append")
+    try {
+      ms.addData(Seq((ts(4), 4L, "d")))
+      run2.processAllAvailable()
+      ms.addData(Seq((ts(58), 5L, "e")))
+      run2.processAllAvailable()
+      assert(spark.table("ev_copy_both_win").count() >= 1)
+    } finally run2.stop()
+  }
+
   test("PQL | dedup kind=embed over a stream: band set equals the library/batch form (round 15)") {
     implicit val ctx = spark.sqlContext
     val dim = 8
