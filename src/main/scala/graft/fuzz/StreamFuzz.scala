@@ -79,12 +79,12 @@ object StreamFuzz {
 
   // ---- gated projections --------------------------------------------------
 
-  private def digestOf(df: DataFrame): DataFrame =
+  private[fuzz] def digestOf(df: DataFrame): DataFrame =
     df.select(
         md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
       .distinct()
 
-  private def bandsOf(df: DataFrame): DataFrame =
+  private[fuzz] def bandsOf(df: DataFrame): DataFrame =
     df.select(col("band_idx").cast("int").as("band_idx"),
         col("band_key").cast("string").as("band_key"))
       .distinct()
@@ -126,7 +126,7 @@ object StreamFuzz {
     case (x, y) => x == y
   }
 
-  private def compare(
+  private[fuzz] def compare(
       label: String,
       got: (Seq[String], Seq[Seq[Any]]),
       want: (Seq[String], Seq[Seq[Any]])
