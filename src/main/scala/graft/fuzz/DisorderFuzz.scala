@@ -153,6 +153,36 @@ object DisorderFuzz {
     spark.table(sink)
   }
 
+  /** The watermark only sees rows that REACH the watermark node:
+    * Catalyst pushes a pre-filter that does not touch the event-time
+    * column BELOW `withWatermark`, so at the holdout batch the
+    * watermark is `max(surviving on-time event time) − delay` — NOT
+    * `max(delivered) − delay`. (Found by this fuzzer's own seed 50 at
+    * sf0.001: a filter that kills every on-time row leaves the
+    * watermark at its initial value and the "guaranteed-late" holdout
+    * is legitimately not late. Correct Spark semantics — and a real
+    * operational property at scale: a highly selective pre-filter
+    * slows watermark advance.) The guaranteed-drop leg therefore only
+    * asserts when the surviving on-time max pushes the watermark
+    * strictly past every SURVIVING holdout row, with a 1 s margin for
+    * the engine's ms-granularity watermark arithmetic.
+    */
+  private def lateDropGuaranteed(spark: SparkSession, workDir: String, gq: StreamGenQuery): Boolean = {
+    def survivingMax(layout: String): Option[Long] = {
+      val cat: String => DataFrame = name => spark.read.parquet(s"$workDir/$name/$layout")
+      graft.Pql.query(spark, gq.prePql, cat)
+        .agg(max(unix_micros(col("ts")))).collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r                  => Some(r.getLong(0))
+      }
+    }
+    (survivingMax("__holdout"), survivingMax("ontime")) match {
+      case (None, _) => true // holdout fully pre-filtered: late ≡ ontime trivially
+      case (Some(h), Some(m)) => h < m - delayMicros(gq.base) - 1000000L
+      case (Some(_), None) => false // watermark never advances
+    }
+  }
+
   /** Run one seed's disorder differential; None = pass. */
   def check(spark: SparkSession, workDir: String, seed: Long): Option[String] = {
     val gq = PipelineGen.stream(seed)
@@ -170,12 +200,23 @@ object DisorderFuzz {
         .orElse {
           // stateless chains must KEEP beyond-budget rows (a watermark
           // alone filters nothing); stateful ops must DROP all of them
-          val want = if (gq.terminal == "stateless") ordered else run("ontime", sinks(2))
-          StreamFuzz.compare("late≡" +
-            (if (gq.terminal == "stateless") "full(kept)" else "ontime(dropped)"),
-            run("late", sinks(3)), want)
+          // — when the watermark model says the drop is guaranteed
+          if (gq.terminal == "stateless")
+            StreamFuzz.compare("late≡full(kept)", run("late", sinks(3)), ordered)
+          else if (lateDropGuaranteed(spark, workDir, gq))
+            StreamFuzz.compare("late≡ontime(dropped)",
+              run("late", sinks(3)), run("ontime", sinks(2)))
+          else None // counted by the campaign as late-leg skipped
         }
     } finally sinks.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** True when [[check]] would run the guaranteed-drop leg (campaign
+    * accounting: skipped legs must be visible, not silent).
+    */
+  def lateLegRuns(spark: SparkSession, workDir: String, seed: Long): Boolean = {
+    val gq = PipelineGen.stream(seed)
+    gq.terminal == "stateless" || lateDropGuaranteed(spark, workDir, gq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -196,12 +237,14 @@ object DisorderFuzz {
     prepare(spark, sfDir, workDir, seed = 1L)
 
     var pass = 0
+    var lateSkipped = 0
     val byTerminal = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     (1 to nSeeds).foreach { seed =>
       val gq = PipelineGen.stream(seed.toLong)
       byTerminal(gq.terminal) += 1
       try {
+        if (!lateLegRuns(spark, workDir, seed.toLong)) lateSkipped += 1
         check(spark, workDir, seed.toLong) match {
           case None => pass += 1
           case Some(d) =>
@@ -218,7 +261,8 @@ object DisorderFuzz {
     val mix = byTerminal.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(
-      s"""{"disorderfuzz":{"seeds":$nSeeds,"pass":$pass,"fail":${failures.length},"mix":{$mix}}}""")
+      s"""{"disorderfuzz":{"seeds":$nSeeds,"pass":$pass,"fail":${failures.length},""" +
+        s""""late_leg_skipped":$lateSkipped,"mix":{$mix}}}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
