@@ -474,12 +474,12 @@ object SparkEntry {
     */
   private lazy val sqlChunkQuery: String = sqlChunkQueryFor("documents")
 
-  private def sqlChunkQueryFor(src: String): String =
+  private def sqlChunkQueryFor(src: String, n: Int = 64): String =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '$sqlWs+') AS w FROM $src),
-       |n AS (SELECT doc_id, w, greatest(CAST(ceil(len(w) / 64.0) AS BIGINT), 1) AS nc FROM t),
+       |n AS (SELECT doc_id, w, greatest(CAST(ceil(len(w) / $n.0) AS BIGINT), 1) AS nc FROM t),
        |u AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS c FROM n),
        |s AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
-       |        array_to_string(w[c*64+1 : c*64+64], ' ') AS chunk_text FROM u)
+       |        array_to_string(w[c*$n+1 : c*$n+$n], ' ') AS chunk_text FROM u)
        |SELECT doc_id, chunk_idx, chunk_text,
        |  CASE WHEN length(chunk_text) = 0 THEN CAST(0 AS BIGINT)
        |       ELSE CAST(len(string_split(chunk_text, ' ')) AS BIGINT) END AS n_tokens
@@ -1806,10 +1806,12 @@ object SparkEntry {
   /** DuckDB replica of [[graft.ops.Dedup.dedupLines]] — shared by the
     * library-call and PQL-language entries.
     */
-  private lazy val sqlDedupLinesOracle: String =
+  private lazy val sqlDedupLinesOracle: String = sqlDedupLinesOracleOver("documents")
+
+  private def sqlDedupLinesOracleOver(src: String): String =
     s"""WITH f AS (
        |  SELECT doc_id, unnest(fr) AS frag, generate_subscripts(fr, 1) AS pos
-       |  FROM (SELECT doc_id, regexp_split_to_array($sqlNorm, '\\. ') AS fr FROM documents)
+       |  FROM (SELECT doc_id, regexp_split_to_array($sqlNorm, '\\. ') AS fr FROM $src)
        |),
        |k AS (
        |  SELECT doc_id, pos, frag,
@@ -1821,7 +1823,7 @@ object SparkEntry {
        |  FROM k WHERE rn = 1 GROUP BY doc_id
        |)
        |SELECT d.doc_id, coalesce(r.text, '') AS text
-       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+       |FROM $src d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
 
   /** DuckDB replica of [[graft.ops.NearDup.deduplicateCorpus]] (exact
     * dedup, then near-dup drop) — shared by the library-call and
@@ -1842,8 +1844,10 @@ object SparkEntry {
     * PQL-language entry (`pql_dedup_substrings`) so the two can't
     * drift.
     */
-  private lazy val sqlDedupSubstringsOracle: String =
-    s"""WITH ${sqlHashedShingleCtes("documents", 8)},
+  private lazy val sqlDedupSubstringsOracle: String = sqlDedupSubstringsOracleOver("documents")
+
+  private def sqlDedupSubstringsOracleOver(src: String): String =
+    s"""WITH ${sqlHashedShingleCtes(src, 8)},
        |ne AS (SELECT doc_id FROM t WHERE NOT (len(w) = 1 AND w[1] = '')),
        |kg AS (SELECT hh.doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
        |       FROM hh JOIN ne USING (doc_id)),
@@ -1862,7 +1866,7 @@ object SparkEntry {
        |tl AS (SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t JOIN ne USING (doc_id))
        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
        |  coalesce(tl.n_tok, 0) - coalesce(r.n_kept, 0) AS n_removed
-       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+       |FROM $src d LEFT JOIN r ON d.doc_id = r.doc_id
        |LEFT JOIN tl ON d.doc_id = tl.doc_id""".stripMargin
 
   /** DuckDB MinHash signature over hashed-shingle list `hs` (mirrors
@@ -2063,7 +2067,9 @@ object SparkEntry {
        |FROM documents d LEFT JOIN ol ON d.doc_id = ol.doc_id
        |WHERE d.doc_id % 20 <> 0 AND coalesce(ol.n_hits, 0) < 2""".stripMargin
 
-  private def sqlSimhashOracle: String = {
+  private def sqlSimhashOracle: String = sqlSimhashOracleOver("documents")
+
+  private def sqlSimhashOracleOver(src: String): String = {
     // 60-bit signature, 4 bands × 15 bits — mirrors NearDup.SimBits /
     // SimBandBits (see the scale rationale there). Token hash: first
     // 15 md5 hex digits (60 bits, positive BIGINT on both engines).
@@ -2079,7 +2085,7 @@ object SparkEntry {
     val bands = (0 until 4)
       .map(j => s"SELECT doc_id, $j AS bi, (sim // ${1L << (bandBits * j)}) % ${1 << bandBits} AS bk FROM sm")
       .mkString("\nUNION ALL ")
-    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM $src),
        |th AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hw FROM t),
        |bs AS (SELECT doc_id,
        |  $bitSums
@@ -2110,13 +2116,15 @@ object SparkEntry {
     }.mkString(" + ")
 
   /** Shared CTE prefix: embeddings as double vectors with L2 norms. */
-  private def sqlEmbedBase(dim: Int): String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private def sqlEmbedBase(dim: Int, src: String = "embeddings"): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $src),
        |n AS (SELECT vec_id, v,
        |  sqrt(list_reduce(list_transform(generate_series(1, $dim), i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
        |FROM e)""".stripMargin
 
-  private def sqlEmbedOracle: String = {
+  private def sqlEmbedOracle: String = sqlEmbedOracleOver("embeddings")
+
+  private def sqlEmbedOracleOver(src: String): String = {
     val dim = 64
     // 32 planes / 8-bit bands: mirrors embedCosinePairs' defaults —
     // 256 buckets per band keep candidate growth linear in the corpus
@@ -2126,7 +2134,7 @@ object SparkEntry {
       .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
       .mkString("\nUNION ALL ")
     val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
+    s"""${sqlEmbedBase(dim, src)},
        |sg AS (SELECT vec_id, v, nrm, CAST($sigBits AS BIGINT) AS sig FROM n),
        |bd AS ($bands),
        |cd AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2178,11 +2186,13 @@ object SparkEntry {
   /** Every 50th vec_id is a probe: 10 queries at sf0.01, 40 at sf0.1. */
   private val annQueryPred = "vec_id % 50 = 0"
 
-  private def sqlAnnBruteOracle: String = {
+  private def sqlAnnBruteOracle: String = sqlAnnBruteOracleOver("embeddings", annQueryPred)
+
+  private def sqlAnnBruteOracleOver(src: String, queryPred: String): String = {
     val dim = 64
     val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> n.v[i] * q.qv[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
-       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE $annQueryPred),
+    s"""${sqlEmbedBase(dim, src)},
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE $queryPred),
        |sc AS (SELECT q.query_id, n.vec_id, $dotQ / (n.nrm * q.qn) AS cos_sim
        |       FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id)
        |SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
@@ -2190,21 +2200,25 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
-  private def sqlAnnLshOracle: String = {
+  private def sqlAnnLshOracle: String = sqlAnnLshOracleOver("embeddings", annQueryPred)
+
+  private def sqlAnnLshOracleOver(
+      src: String, queryPred: String, planes: Int = 56, bits: Int = 8): String = {
     val dim = 64
     // 56 planes / 8-bit bands — mirrors Ann.lshTopK's defaults: 256
     // buckets per band keep candidates linear (the 16/4 geometry went
     // quadratic at sf1), and SEVEN bands restore the recall that
     // round 9's 4-band 32/8 gave up (recall comes from band count).
-    val bands = (0 until 7)
-      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bk FROM sg")
+    // nBands floors (leftover signature bits are dropped, Ann.lshTopK).
+    val bands = (0 until planes / bits)
+      .map(j => s"SELECT vec_id, $j AS bi, (sig // ${1L << (bits * j)}) % ${1 << bits} AS bk FROM sg")
       .mkString("\nUNION ALL ")
     val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> s1.v[i] * qs.qv[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
-       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim, planes = 56)} AS BIGINT) AS sig FROM n),
-       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig FROM sg WHERE $annQueryPred),
+    s"""${sqlEmbedBase(dim, src)},
+       |sg AS (SELECT vec_id, v, nrm, CAST(${sqlSignSig(dim, planes)} AS BIGINT) AS sig FROM n),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, sig FROM sg WHERE $queryPred),
        |bd AS ($bands),
-       |qb AS (SELECT vec_id AS query_id, bi, bk FROM bd WHERE $annQueryPred),
+       |qb AS (SELECT vec_id AS query_id, bi, bk FROM bd WHERE $queryPred),
        |cd AS (SELECT DISTINCT q.query_id, b.vec_id
        |       FROM bd b JOIN qb q ON b.bi = q.bi AND b.bk = q.bk AND b.vec_id <> q.query_id),
        |sc AS (SELECT cd.query_id, cd.vec_id, $dotQ / (s1.nrm * qs.qn) AS cos_sim
@@ -2214,19 +2228,20 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
-  private def sqlAnnIvfOracle: String = {
+  private def sqlAnnIvfOracle: String = sqlAnnIvfOracleOver("embeddings", annQueryPred)
+
+  private def sqlAnnIvfOracleOver(
+      src: String, queryPred: String, nCells: Int = 32, nProbe: Int = 2): String = {
     val dim = 64
-    val nCells = 32
-    val nProbe = 2
     val dC = s"list_reduce(list_transform(generate_series(0, ${dim - 1}), " +
       s"j -> v[j+1] * (${sqlPlane(s"${1000 * dim} + c * $dim + j")})), (x, y) -> x + y)"
     val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
+    s"""${sqlEmbedBase(dim, src)},
        |cd AS (SELECT vec_id, c, $dC AS d
        |       FROM n CROSS JOIN (SELECT unnest(generate_series(0, ${nCells - 1})) AS c)),
        |rk AS (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r FROM cd),
        |cell AS (SELECT vec_id, c FROM rk WHERE r = 1),
-       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $annQueryPred),
+       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $queryPred),
        |cand AS (SELECT qc.query_id, cell.vec_id FROM cell JOIN qc USING (c)
        |         WHERE cell.vec_id <> qc.query_id),
        |sc AS (SELECT cand.query_id, cand.vec_id, $dotQ / (b.nrm * qn.nrm) AS cos_sim
@@ -2291,14 +2306,16 @@ object SparkEntry {
        |SELECT vec_id, CAST(cell AS INT) AS cell FROM afin""".stripMargin
   }
 
-  private def sqlAnnIvfSeededOracle: String = {
+  private def sqlAnnIvfSeededOracle: String =
+    sqlAnnIvfSeededOracleOver("embeddings", annQueryPred)
+
+  private def sqlAnnIvfSeededOracleOver(
+      src: String, queryPred: String, nCells: Int = 32, nProbe: Int = 2): String = {
     val dim = 64
-    val nCells = 32
-    val nProbe = 2
     val dotQ = s"list_reduce(list_transform(generate_series(1, $dim), i -> b.v[i] * qn.v[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
+    s"""${sqlEmbedBase(dim, src)},
        |${sqlSeededCellCtes(dim, nCells)},
-       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $annQueryPred),
+       |qc AS (SELECT vec_id AS query_id, c FROM rk WHERE r <= $nProbe AND $queryPred),
        |cand AS (SELECT qc.query_id, cell.vec_id FROM cell JOIN qc USING (c)
        |         WHERE cell.vec_id <> qc.query_id),
        |sc AS (SELECT cand.query_id, cand.vec_id, $dotQ / (b.nrm * qn.nrm) AS cos_sim
@@ -2398,16 +2415,141 @@ object SparkEntry {
   /** SemDeDup oracle (mirrors SemDedup.pairs): within-cell pairs of
     * the hash-seeded Voronoi assignment, exact cosine >= minCos.
     */
-  private def sqlSemDedupPairs(minCos: Double): String = {
+  private def sqlSemDedupPairs(minCos: Double, nCells: Int = 32, src: String = "embeddings"): String = {
     val dim = 64
     val dotAB = s"list_reduce(list_transform(generate_series(1, $dim), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)"
-    s"""${sqlEmbedBase(dim)},
-       |${sqlSeededCellCtes(dim, nCells = 32)},
+    s"""${sqlEmbedBase(dim, src)},
+       |${sqlSeededCellCtes(dim, nCells)},
        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.c AS c
        |       FROM cell a JOIN cell b ON a.c = b.c AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, CAST(c AS INT) AS cell, $dotAB / (e1.nrm * e2.nrm) AS cos_sim
        |FROM pr JOIN n e1 ON pr.id_a = e1.vec_id JOIN n e2 ON pr.id_b = e2.vec_id
        |WHERE $dotAB / (e1.nrm * e2.nrm) >= $minCos""".stripMargin
+  }
+
+  // ---- extension-terminal oracle templates for the pipeline fuzz -----
+  // The DuckDB third leg of the differential fuzz (round 19) renders
+  // random COMPOSITIONS that end in §2.4 extension operators. Each
+  // template below is the SAME SQL building block the fixed gate
+  // entries above are verified with, parameterized over the generated
+  // input subquery — kept in this file, delegating to the private
+  // builders, so the fuzz rendering and the gate oracles cannot drift.
+  private[graft] object FuzzOracles {
+    /** `| dedup [kind=…] text by doc_id` over an arbitrary input:
+      * row-dropping kinds keep the input schema; lines/substrings
+      * rebuild the text (gate twins: pql_dedup, pql_dedup_minhash,
+      * pql_dedup_simhash, pql_dedup_lines, pql_dedup_substrings).
+      */
+    def dedup(kind: String, src: String): String = kind match {
+      case "" | "kind=exact"  => exact(src)
+      case "kind=lines"       => sqlDedupLinesOracleOver(s"($src)")
+      case "kind=substrings"  => sqlDedupSubstringsOracleOver(s"($src)")
+      case "kind=minhash" =>
+        s"""WITH ex AS (${exact(src)}),
+           |pairs AS (${sqlMinhashOracleOver("ex")})
+           |SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+      case "kind=simhash" =>
+        s"""SELECT * FROM ($src)
+           |WHERE doc_id NOT IN (SELECT id_b FROM (${sqlSimhashOracleOver(s"($src)")}))""".stripMargin
+      case other => throw new IllegalArgumentException(s"no fuzz oracle for dedup $other")
+    }
+
+    private def exact(src: String): String =
+      s"""SELECT * FROM ($src)
+         |QUALIFY row_number() OVER (PARTITION BY md5($sqlNorm) ORDER BY doc_id) = 1""".stripMargin
+
+    /** `| sample F by doc_id` (gate twin: pql_sample). */
+    def sample(src: String, fracLit: String): String =
+      s"""SELECT * FROM ($src)
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 8))::BIGINT / 4294967296.0 < $fracLit""".stripMargin
+
+    /** `| chunk N text by doc_id` (gate twin: pql_chunk). */
+    def chunk(src: String, n: Int): String = sqlChunkQueryFor(s"($src)", n)
+
+    /** `| chunk N … | pack B shards=8 …` (gate twin: pql_pack). */
+    def chunkPack(src: String, n: Int, budget: Int): String =
+      s"""WITH c AS (${sqlChunkQueryFor(s"($src)", n)}),
+         |sh AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard FROM c),
+         |st AS (SELECT *, sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+         |  ) - n_tokens AS strt FROM sh)
+         |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+         |  shard || '-' || (strt // $budget) AS seq_id
+         |FROM st""".stripMargin
+
+    /** `| decontam against (documents | where doc_id % m == 0) hits=H`
+      * (gate twin: pql_decontam — n=3 shingles, drop at >= H distinct
+      * hash hits; the corpus side is the piped input, NOT %-excluded).
+      */
+    def decontam(src: String, m: Int, hits: Int): String =
+      s"""WITH inp AS (SELECT * FROM ($src)),
+         |${sqlHashedShingleCtes("inp", 3)},
+         |${sqlHashedShingleCtes(s"(SELECT * FROM documents WHERE doc_id % $m = 0)", 3, "_e")},
+         |ev AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM hh_e)),
+         |co AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(hs) AS h FROM hh)),
+         |ol AS (SELECT co.doc_id, count(DISTINCT co.h) AS n_hits
+         |       FROM co JOIN ev ON co.h = ev.h GROUP BY co.doc_id)
+         |SELECT inp.* FROM inp LEFT JOIN ol ON inp.doc_id = ol.doc_id
+         |WHERE coalesce(ol.n_hits, 0) < $hits""".stripMargin
+
+    /** `| join kind=asof [tolerance=T] (events | where event_type ==
+      * 'E' | summarize v0 = max(value) by user_id, ts) on user_id, ts`
+      * (gate twins: asof_join, pql_asof_join — DuckDB native ASOF).
+      * `tolerance` is the rendered INTERVAL text (e.g. "15 MINUTE").
+      */
+    def asofJoin(src: String, evType: String, tolerance: Option[String]): String = {
+      val v0 = tolerance match {
+        case Some(iv) => s"CASE WHEN p.ts >= e.ts - INTERVAL $iv THEN p.v0 END"
+        case None     => "p.v0"
+      }
+      s"""WITH p AS (SELECT user_id, ts, max(value) AS v0
+         |           FROM events WHERE event_type = '$evType' GROUP BY user_id, ts)
+         |SELECT e.*, $v0 AS v0
+         |FROM ($src) e ASOF LEFT JOIN p
+         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+    }
+
+    /** `| join kind=range (… s = ts, e = ts + span …) on user_id, ts,
+      * s, e` (gate twins: range_join, pql_range_join — inner
+      * point-in-[s,e); the bucket option only shapes the plan).
+      */
+    def rangeJoin(src: String, evType: String, spanUs: Long): String =
+      s"""WITH p AS (SELECT user_id, ts AS s,
+         |  make_timestamp(epoch_us(ts::TIMESTAMP) + $spanUs) AS e, event_id AS iid
+         |  FROM events WHERE event_type = '$evType')
+         |SELECT ev.*, p.s AS s, p.e AS e, p.iid AS iid
+         |FROM ($src) ev JOIN p
+         |  ON ev.user_id = p.user_id AND ev.ts >= p.s AND ev.ts::TIMESTAMP < p.e""".stripMargin
+
+    /** `| dedup kind=embed dim=64 planes=32 bits=8` (gate twin:
+      * pql_dedup_embed — fixed 32/8 geometry, cos >= 0.4 drop).
+      */
+    def dedupEmbed(src: String): String =
+      s"""SELECT * FROM ($src)
+         |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlEmbedOracleOver(s"($src)")}))""".stripMargin
+
+    /** `| dedup kind=semantic cos=0.4 cells=C` (gate twin:
+      * dedup_semantic_drop at its fixed-cell sentry geometry).
+      */
+    def dedupSemantic(src: String, cells: Int): String =
+      s"""SELECT * FROM ($src)
+         |WHERE vec_id NOT IN (SELECT id_b FROM (${sqlSemDedupPairs(0.4, cells, s"($src)")}))""".stripMargin
+
+    /** `| ann [kind=…] (embeddings | where vec_id % m == 0) on
+      * embedding by vec_id` at the FIXED geometries the fuzz emits
+      * (gate twins: ann_brute, ann_lsh, ann_ivf).
+      */
+    def ann(src: String, m: Int, kind: String): String = {
+      val pred = s"vec_id % $m = 0"
+      kind match {
+        case "brute" => sqlAnnBruteOracleOver(s"($src)", pred)
+        case "lsh"   => sqlAnnLshOracleOver(s"($src)", pred, planes = 32, bits = 8)
+        // the grammar's kind=ivf is ALWAYS the seeded-centroid family
+        // (Compiler: Ann.ivfTopKSeeded) — cells= only pins the count
+        case "ivf"   => sqlAnnIvfSeededOracleOver(s"($src)", pred, nCells = 16, nProbe = 2)
+        case other   => throw new IllegalArgumentException(s"no fuzz oracle for ann $other")
+      }
+    }
   }
 
   private val nearDupEntries: ListMap[String, Entry] = ListMap(

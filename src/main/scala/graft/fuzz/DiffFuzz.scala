@@ -15,16 +15,21 @@ import org.apache.spark.sql.SparkSession
   * of the differential (DiffFuzzSpec covers plan ≡ SQL-text in sbt).
   *
   * Usage: graft.fuzz.DiffFuzz <sfDir> <outDir> [nSeeds] [takeAllRows]
-  * — takeAllRows must exceed every reachable intermediate at the
-  * chosen SF (PipelineGen.apply scaladoc; 2M default covers
-  * sf0.001/sf0.01, the sf0.1 campaign passes 20M).
+  * [ext] — takeAllRows must exceed every reachable intermediate at
+  * the chosen SF (PipelineGen.apply scaladoc; 2M default covers
+  * sf0.001/sf0.01, the sf0.1 campaign passes 20M). With `ext`, every
+  * seed is forced down the extension-anchored branch
+  * (PipelineGen.extension) — the round-19 campaign giving random
+  * compositions that END in §2.4 operators the DuckDB third leg.
   */
 object DiffFuzz {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val nSeeds = if (args.length > 2) args(2).toInt else 1000
-    val takeAllRows = if (args.length > 3) args(3).toInt else 2000000
+    val ext = args.contains("ext")
+    val posArgs = args.filterNot(_ == "ext")
+    val sfDir = posArgs(0)
+    val outDir = posArgs(1)
+    val nSeeds = if (posArgs.length > 2) posArgs(2).toInt else 1000
+    val takeAllRows = if (posArgs.length > 3) posArgs(3).toInt else 2000000
 
     val spark = SparkSession
       .builder()
@@ -44,7 +49,9 @@ object DiffFuzz {
     var written = 0
     var skipped = 0
     (1 to nSeeds).foreach { seed =>
-      val gq = PipelineGen(seed.toLong, takeAllRows)
+      val gq =
+        if (ext) PipelineGen.extension(seed.toLong, takeAllRows)
+        else PipelineGen(seed.toLong, takeAllRows)
       gq.duckSql match {
         case Some(dsql) =>
           val name = s"fuzz_$seed"

@@ -88,6 +88,12 @@ object PipelineGen {
 
   def apply(seed: Long): GenQuery = new PipelineGen(seed).generate()
 
+  /** Every-seed extension-anchored pipeline (see
+    * [[PipelineGen!.generateExtensionQuery]]).
+    */
+  def extension(seed: Long, takeAllRows: Int = 2000000): GenQuery =
+    new PipelineGen(seed, takeAllRows).generateExtensionQuery()
+
   /** Generate with an explicit `take`-no-op bound — REQUIRED above
     * sf0.01: the bound must exceed every reachable intermediate row
     * count or truncating takes slice engine-dependently (the sf0.1
@@ -956,10 +962,13 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
 
   /** Extension-anchored pipeline: random pre-ops, one §2.4 operator in
     * the grammar, random tail ops over its (pinned) output schema.
-    * No DuckDB leg — the compare is plan path vs SQL-text path.
+    * Anchors at FIXED geometry render a DuckDB leg built from the gate
+    * entries' own oracle blocks ([[graft.SparkEntry.FuzzOracles]]) —
+    * three-way differential; the plan-time adaptive forms stay
+    * two-way (plan path vs SQL-text path) with duckOk = false.
     */
   private def generateExtension(): Unit = {
-    duckOk = false
+    val FO = graft.SparkEntry.FuzzOracles
     val docAnchors: Vector[() => Unit] = Vector(
       () => {
         val kind = pick(Seq("", "kind=exact", "kind=lines", "kind=minhash",
@@ -975,19 +984,23 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
             Schema(Vector(Col("doc_id", KLong), Col("text_clean", KStr),
               Col("n_removed", KLong)), List("doc_id"))
           else schema
-        addOp(s"dedup$k text by doc_id", duck, out)
+        addOp(s"dedup$k text by doc_id", FO.dedup(kind, duck), out)
       },
-      () => addOp(s"sample 0.${rnd.nextInt(9) + 1} by doc_id", duck, schema),
+      () => {
+        val f = rnd.nextInt(9) + 1
+        addOp(s"sample 0.$f by doc_id", FO.sample(duck, s"0.$f"), schema)
+      },
       () => {
         val n = pick(Seq(32, 64, 128))
-        addOp(s"chunk $n text by doc_id", duck,
+        addOp(s"chunk $n text by doc_id", FO.chunk(duck, n),
           Schema(Vector(Col("doc_id", KLong), Col("chunk_idx", KInt),
             Col("chunk_text", KStr), Col("n_tokens", KLong)), List("doc_id", "chunk_idx")))
       },
       () => {
         val n = pick(Seq(32, 64))
         val b = pick(Seq(128, 256, 512))
-        addOp(s"chunk $n text by doc_id | pack $b shards=8 n_tokens by doc_id, chunk_idx", duck,
+        addOp(s"chunk $n text by doc_id | pack $b shards=8 n_tokens by doc_id, chunk_idx",
+          FO.chunkPack(duck, n, b),
           Schema(Vector(Col("doc_id", KLong), Col("chunk_idx", KInt), Col("chunk_text", KStr),
             Col("n_tokens", KLong), Col("seq_id", KStr)), List("doc_id", "chunk_idx")))
       },
@@ -997,10 +1010,11 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
         // grammar: options come AFTER the eval sub-pipeline
         // (`decontam against (Eval) [hits=n] [ngram=n] Text by Id`)
         addOp(s"decontam against (documents | where (doc_id % $m) == 0) hits=$hits text by doc_id",
-          duck, schema)
+          FO.decontam(duck, m, hits), schema)
       },
       () => {
         emittable = false // plan-time crossover — the text backend rejects
+        duckOk = false // crossover recomputation is the gate oracle's job
         addOp("sample budget=800 text by doc_id, source", duck,
           Schema(Vector(Col("doc_id", KLong), Col("source", KStr), Col("n_tok", KLong)),
             List("doc_id")))
@@ -1009,42 +1023,49 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
     val embAnchors: Vector[() => Unit] = Vector(
       () => {
         val fixed = rnd.nextBoolean()
-        if (!fixed) emittable = false // adaptive geometry — rejected by SqlGen
+        if (!fixed) { emittable = false; duckOk = false } // adaptive geometry — rejected by SqlGen
         val geo = if (fixed) " planes=32 bits=8" else ""
-        addOp(s"dedup kind=embed dim=64$geo embedding by vec_id", duck, schema)
+        addOp(s"dedup kind=embed dim=64$geo embedding by vec_id",
+          if (fixed) FO.dedupEmbed(duck) else duck, schema)
       },
       () => {
         val fixed = rnd.nextBoolean()
-        if (!fixed) emittable = false
+        if (!fixed) { emittable = false; duckOk = false }
         val cells = if (fixed) " cells=16" else ""
-        addOp(s"dedup kind=semantic cos=0.4$cells embedding by vec_id", duck, schema)
+        addOp(s"dedup kind=semantic cos=0.4$cells embedding by vec_id",
+          if (fixed) FO.dedupSemantic(duck, 16) else duck, schema)
       },
       () => {
         val m = pick(Seq(25, 50, 100))
-        val (kindTxt, fixed) = rnd.nextInt(3) match {
-          case 0 => ("", true) // brute: no index to size
+        val (kindTxt, fixed, annKind) = rnd.nextInt(3) match {
+          case 0 => ("", true, "brute") // brute: no index to size
           case 1 =>
-            if (rnd.nextBoolean()) (" kind=lsh dim=64 planes=32 bits=8", true)
-            else (" kind=lsh dim=64", false)
+            if (rnd.nextBoolean()) (" kind=lsh dim=64 planes=32 bits=8", true, "lsh")
+            else (" kind=lsh dim=64", false, "lsh")
           case _ =>
-            if (rnd.nextBoolean()) (" kind=ivf dim=64 cells=16 probes=2", true)
-            else (" kind=ivf dim=64", false)
+            if (rnd.nextBoolean()) (" kind=ivf dim=64 cells=16 probes=2", true, "ivf")
+            else (" kind=ivf dim=64", false, "ivf")
         }
-        if (!fixed) emittable = false
+        if (!fixed) { emittable = false; duckOk = false }
         addOp(s"ann$kindTxt (embeddings | where (vec_id % $m) == 0) on embedding by vec_id",
-          duck,
+          if (fixed) FO.ann(duck, m, annKind) else duck,
           Schema(Vector(Col("query_id", KLong), Col("vec_id", KLong),
             Col("cos_sim", KDouble), Col("rank", KInt)), List("query_id", "rank")))
       }
     )
     val evAnchors: Vector[() => Unit] = Vector(
       () => {
-        val tol =
-          if (rnd.nextBoolean()) s""" tolerance="${pick(Seq("15m", "1h", "6h"))}"""" else ""
+        val tolPql = if (rnd.nextBoolean()) Some(pick(Seq("15m", "1h", "6h"))) else None
+        val tol = tolPql.map(t => s""" tolerance="$t"""").getOrElse("")
+        val tolIv = tolPql.map {
+          case "15m" => "15 MINUTE"
+          case "1h"  => "1 HOUR"
+          case _     => "6 HOUR"
+        }
         val t = pick(strPools("event_type"))
         addOp(
           s"""join kind=asof$tol (events | where event_type == "$t" | summarize v0 = max(value) by user_id, ts) on user_id, ts""",
-          duck,
+          FO.asofJoin(duck, t, tolIv),
           Schema(Vector(Col("user_id", KLong), Col("event_id", KLong), Col("ts", KTs),
             Col("event_type", KStr), Col("value", KDouble), Col("props", KStr),
             Col("v0", KDouble)), schema.tiebreak))
@@ -1055,7 +1076,7 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
         val t = pick(strPools("event_type"))
         addOp(
           s"""join kind=range bucket="$bucket" (events | where event_type == "$t" | project user_id, s = ts, e = timestamp_micros(unix_micros(ts) + $spanUs), iid = event_id) on user_id, ts, s, e""",
-          duck,
+          FO.rangeJoin(duck, t, spanUs),
           Schema(Vector(Col("user_id", KLong), Col("event_id", KLong), Col("ts", KTs),
             Col("event_type", KStr), Col("value", KDouble), Col("props", KStr),
             Col("s", KTs), Col("e", KTs), Col("iid", KLong)),
@@ -1077,7 +1098,8 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
     if (rnd.nextInt(4) == 0) {
       val name = fresh("h")
       val e = genNum(schema, 1)
-      addOp(s"extend $name = ${e.pql}", duck,
+      addOp(s"extend $name = ${e.pql}",
+        s"SELECT *, ${e.duck} AS ${duckIdent(name)} FROM ($duck)",
         Schema(schema.cols :+ Col(name, e.kind), schema.tiebreak))
     }
 
@@ -1266,6 +1288,19 @@ final class PipelineGen(seed: Long, takeAllRows: Int = 2000000) {
 
   def generate(): GenQuery = {
     if (seed % 10 < 7) generateTabular() else generateExtension()
+    assemble()
+  }
+
+  /** Force the extension-anchored branch for every seed (the DuckDB
+    * campaign over extension-terminal compositions; organic seeds hit
+    * it only 3 in 10).
+    */
+  private[fuzz] def generateExtensionQuery(): GenQuery = {
+    generateExtension()
+    assemble()
+  }
+
+  private def assemble(): GenQuery = {
     val body = (baseTable +: pqlOps).mkString("\n| ")
     val pql = (pqlPrefix :+ body).mkString("\n")
     GenQuery(seed, pql, if (duckOk) Some(duck) else None, emittable)
