@@ -23,8 +23,13 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * probe side is GBs locally, TBs in deployment; at 100 TB the
   * data-sized joins are SMJ — the r17 sf100 explain audit).
   *
-  * Usage: graft.ProfileProbe <sfDir>
+  * Usage: graft.ProfileProbe <sfDir> [creationSideThreshold]
   * Prints one JSON line with scan/filter row metrics for both arms.
+  * The optional threshold overrides the profile's creation-side
+  * admission gate for the on-arm — the knob that decides WHICH side's
+  * bloom fires (a gate admitting the fact side injects a near-useless
+  * `o_orderkey` bloom; one sized to dimension tables' pruned join
+  * columns admits the selective `o_custkey` one).
   */
 object ProfileProbe {
 
@@ -80,8 +85,11 @@ object ProfileProbe {
     )
 
     def run(withProfile: Boolean): (Long, Long, Seq[String], Double) = {
+      val threshold = args.lift(1).map(t =>
+        Map("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> t)
+      ).getOrElse(Map.empty)
       val conf =
-        if (withProfile) Profiles.cluster() ++ shims
+        if (withProfile) Profiles.cluster() ++ threshold ++ shims
         else shims + ("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
       val prev = Profiles.applyTo(spark, conf)
       try {

@@ -23,6 +23,20 @@ import org.apache.spark.sql.SparkSession
   *     positives die in the exact join (verified both arms).
   *     Alternative: enable CBO + ANALYZE TABLE so Filter estimates
   *     scale, and keep the stock thresholds.
+  *
+  *     **Size `bloomCreationCap` BETWEEN the pruned join columns of
+  *     your largest dimension and your smallest fact table.** The cap
+  *     is the knob that decides WHICH side's bloom fires, and an
+  *     over-generous one is actively harmful: ProfileProbe at sf10
+  *     (BASELINE r19) measured that a cap admitting the fact side
+  *     (lineitem's pruned l_orderkey+l_shipdate estimate fits under
+  *     400 MB at that scale) makes Spark spend the one orders-side
+  *     slot on a fact-built `o_orderkey` bloom — 0.04% row cut, +27 s
+  *     creation cost — while a 50 MB cap (dimension in, fact out at
+  *     sf10) admits the customer-built `o_custkey` bloom instead:
+  *     80.07% cut (6.85M → 1.37M rows) and net wall-time win. The
+  *     400 MB default is sized for the ~sf100-and-up regime the
+  *     profile targets, where fact-side pruned estimates are GBs+.
   *   - **AQE** stays on (runtime re-planning, skew-join splitting,
   *     partition coalescing — measured net-zero at sf0.1, the value
   *     is at scale).
@@ -44,12 +58,19 @@ object Profiles {
     * @param totalCores total executor cores in the cluster; shuffle
     *                   partitions are sized at 2× (one wave + skew
     *                   headroom, AQE coalesces the rest)
+    * @param bloomCreationCap creation-side admission gate for runtime
+    *                   bloom filters — size it between the pruned
+    *                   join-column estimates of the largest dimension
+    *                   (in) and the smallest fact table (out); see the
+    *                   class doc for the measured failure mode of an
+    *                   over-generous cap
     */
-  def cluster(totalCores: Int = 4000): Map[String, String] = Map(
-    // runtime bloom-filter joins: admit big creation sides (size-only
-    // stats report the unfiltered scan), require a big application
-    // side, and size the filter for ~3M-key dimensions at fpp << 1%
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "400MB",
+  def cluster(totalCores: Int = 4000, bloomCreationCap: String = "400MB"): Map[String, String] = Map(
+    // runtime bloom-filter joins: admit dimension-sized creation
+    // sides (size-only stats report the unfiltered pruned scan),
+    // require a big application side, and size the filter for
+    // ~3M-key dimensions at fpp << 1%
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> bloomCreationCap,
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1GB",
     "spark.sql.optimizer.runtime.bloomFilter.numBits" -> "134217728",
     // AQE: on by default — pinned here because the skew/coalesce
