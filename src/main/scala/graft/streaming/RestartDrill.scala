@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   *   runMain graft.streaming.RestartDrill prep  <sfDir> <scratch> [nFiles]
   *   runMain graft.streaming.RestartDrill drain <scratch> <workload> <tag>
   *   runMain graft.streaming.RestartDrill crash <scratch> <workload> <tag> <haltAfterBatches>
-  * where <workload> is `window` (PQL windowed agg, append file sink)
-  * or `dedup_exact` (PQL streaming dedup kind=exact, digest output).
+  * where <workload> is `window` (PQL windowed agg, append file sink),
+  * `dedup_exact` (PQL streaming dedup kind=exact, digest output), or
+  * `dedup_minhash` / `dedup_embed` (the band-claim stateful kinds,
+  * band-projection output — the StreamFuzz sound gate).
   */
 object RestartDrill {
 
@@ -62,6 +64,11 @@ object RestartDrill {
     docs.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$scratch/docs")
     forceMtimeOrder(s"$scratch/docs")
+    val emb = t("embeddings")
+      .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)"))
+    emb.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$scratch/emb")
+    forceMtimeOrder(s"$scratch/emb")
   }
 
   private def fileStream(spark: SparkSession, path: String): DataFrame =
@@ -89,7 +96,30 @@ object RestartDrill {
       }
       graft.Pql.query(spark, "documents | dedup kind=exact text by doc_id", cat)
         .select(md5(graft.ops.TextOps.normalize(col("text")).cast("binary")).as("digest"))
-    case other => sys.error(s"unknown workload $other (window | dedup_exact)")
+    case "dedup_minhash" =>
+      // sound gate for the band-claim kinds (the StreamFuzz rule):
+      // WHICH row owns a band is arrival-ordered within a micro-batch
+      // (shuffle fetch order), but the claimed band multiset is
+      // deterministic — so the sink carries the band projection, and
+      // the drill's row compare IS the band-set compare
+      val cat: String => DataFrame = {
+        case "documents" => Streaming.withEventTime(fileStream(spark, s"$scratch/docs"), "ts", "1 hour")
+        case other       => sys.error(s"no streaming table $other")
+      }
+      graft.Pql.query(spark, "documents | dedup kind=minhash text by doc_id", cat)
+        .select(col("band_idx").cast("int").as("band_idx"),
+          col("band_key").cast("string").as("band_key"))
+    case "dedup_embed" =>
+      val cat: String => DataFrame = {
+        case "embeddings" => Streaming.withEventTime(fileStream(spark, s"$scratch/emb"), "ts", "1 hour")
+        case other        => sys.error(s"no streaming table $other")
+      }
+      graft.Pql.query(spark,
+        "embeddings | dedup kind=embed dim=64 planes=32 bits=8 embedding by vec_id", cat)
+        .select(col("band_idx").cast("int").as("band_idx"),
+          col("band_key").cast("string").as("band_key"))
+    case other =>
+      sys.error(s"unknown workload $other (window | dedup_exact | dedup_minhash | dedup_embed)")
   }
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -96,4 +96,15 @@ class RestartSpec extends SparkTestBase {
   test("streaming dedup kind=exact: crash+restart digest output equals the uninterrupted run") {
     recoveryHolds("dedup_exact")
   }
+
+  // band-claim kinds: WHICH row owns a band is arrival-ordered, so the
+  // drill sinks the band projection (the StreamFuzz sound gate) and
+  // the row compare is the claimed-band multiset compare
+  test("streaming dedup kind=minhash: crash+restart band set equals the uninterrupted run") {
+    recoveryHolds("dedup_minhash")
+  }
+
+  test("streaming dedup kind=embed: crash+restart band set equals the uninterrupted run") {
+    recoveryHolds("dedup_embed")
+  }
 }
