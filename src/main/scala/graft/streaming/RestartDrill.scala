@@ -69,6 +69,9 @@ object RestartDrill {
     emb.repartitionByRange(nFiles, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$scratch/emb")
     forceMtimeOrder(s"$scratch/emb")
+    // disordered replays (the DisorderFuzz layouts) for the
+    // restart × disorder intersection workloads
+    graft.fuzz.DisorderFuzz.prepare(spark, sfDir, s"$scratch/dis", seed = 7)
   }
 
   private def fileStream(spark: SparkSession, path: String): DataFrame =
@@ -118,8 +121,30 @@ object RestartDrill {
         "embeddings | dedup kind=embed dim=64 planes=32 bits=8 embedding by vec_id", cat)
         .select(col("band_idx").cast("int").as("band_idx"),
           col("band_key").cast("string").as("band_key"))
+    case "window_jitter" | "window_late" =>
+      // restart × disorder intersection: the same windowed agg over a
+      // DISORDERED events replay (DisorderFuzz layouts — jitter =
+      // bounded cross-file disorder inside the 1-day watermark delay;
+      // late = on-time files plus one final beyond-budget holdout
+      // file). The crash lands BEFORE the holdout file arrives, so on
+      // the late layout it is the watermark RECOVERED from the offset
+      // log that must drop the holdout exactly as the uninterrupted
+      // run's in-memory watermark does.
+      val layout = if (workload == "window_jitter") "jitter" else "late"
+      val dir = s"$scratch/dis/events/$layout"
+      val sch = spark.read.parquet(dir).schema
+      val cat: String => DataFrame = {
+        case "events" =>
+          Streaming.withEventTime(
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+              .parquet(s"$dir/part-*"),
+            "ts", "1 day")
+        case other => sys.error(s"no streaming table $other")
+      }
+      graft.Pql.query(spark,
+        """events | summarize n = count() by hb = bin(ts, "1h"), event_type""", cat)
     case other =>
-      sys.error(s"unknown workload $other (window | dedup_exact | dedup_minhash | dedup_embed)")
+      sys.error(s"unknown workload $other (window | dedup_exact | dedup_minhash | dedup_embed | window_jitter | window_late)")
   }
 
   def main(args: Array[String]): Unit = args.toList match {

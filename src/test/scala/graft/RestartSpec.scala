@@ -107,4 +107,16 @@ class RestartSpec extends SparkTestBase {
   test("streaming dedup kind=embed: crash+restart band set equals the uninterrupted run") {
     recoveryHolds("dedup_embed")
   }
+
+  // restart × disorder intersection: crash and recover mid-DISORDERED
+  // replay (DisorderFuzz layouts). On the late layout the crash lands
+  // before the beyond-budget holdout file, so the holdout's drop is
+  // decided by the watermark RECOVERED from the offset log.
+  test("windowed agg over bounded disorder: crash+restart equals the uninterrupted run") {
+    recoveryHolds("window_jitter")
+  }
+
+  test("windowed agg with a beyond-budget late file after the crash point: recovered watermark drops it identically") {
+    recoveryHolds("window_late")
+  }
 }

@@ -90,7 +90,10 @@ def main():
     sqls = json.loads((dump_dir / "fuzz_duck_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = Path(sf_dir) / f"{t}.parquet"
+        # ScaleData dirs hold part files; testdata SFs are single files
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{src}')")
     n_pass = n_fail = 0
     for name, sql in sqls.items():
         try:
