@@ -170,10 +170,16 @@ object RestartDrill {
         build(spark, scratch, workload),
         s"$scratch/${workload}_$tag/out", s"$scratch/${workload}_$tag/ckpt")
       val minBatches = haltAfter.toLong
-      val deadline = System.currentTimeMillis() + 120000L
+      // 10 minutes, not 2: the drill's only timing assumption is "the
+      // stream reaches batch N eventually". Under full-suite CPU
+      // contention on a degraded VM the 120 s form flaked (rc=1 from
+      // this exit instead of the 137 halt) while the same drill passed
+      // 6/6 in isolation — the deadline exists to fail a HUNG stream,
+      // so it should sit far above any plausible slow-but-alive run.
+      val deadline = System.currentTimeMillis() + 600000L
       while (Option(q.lastProgress).forall(_.batchId < minBatches)) {
         if (System.currentTimeMillis() > deadline) {
-          System.err.println(s"crash mode: batch $minBatches not reached in 120s")
+          System.err.println(s"crash mode: batch $minBatches not reached in 600s")
           sys.exit(1)
         }
         Thread.sleep(20)
