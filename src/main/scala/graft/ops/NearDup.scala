@@ -449,6 +449,17 @@ object NearDup {
     * directly on the banded join output, and the two signature
     * join-backs disappear (measured 2.5 s → 0.9 s at sf0.1; at scale
     * it is 8 extra bytes per band row vs two extra shuffle joins).
+    *
+    * Each pair is emitted EXACTLY ONCE — in its FIRST matching band —
+    * via a "no earlier band also agrees" join conjunct on `sim_a XOR
+    * sim_b` (the [[embedCosinePairs]] first-collision trick on the
+    * same packed-long geometry). This deletes the `distinct()` that
+    * previously shuffled the full candidate multiset: a pair within
+    * hamming ≤ 3 of a 4-band signature agrees on ≥ 1 whole band and
+    * often on 2-4, so up to 4 copies of every output pair crossed that
+    * exchange. Duplicate candidates now die inside the generated join
+    * loop before materializing (round 19; plan: 5 Exchange → 4, the
+    * candidate-multiset exchange gone).
     */
   def simhashPairs(
       df: DataFrame,
@@ -469,15 +480,29 @@ object NearDup {
     val bandRows = sims.select(col(idCol), col("sim"), posexplode(bands).as(Seq("band_idx", "band_key")))
     val a = bandRows.select(col(idCol).as("id_a"), col("sim").as("sim_a"), col("band_idx"), col("band_key"))
     val b = bandRows.select(col(idCol).as("id_b"), col("sim").as("sim_b"), col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
+    // first agreeing band of the two signatures: lowest i whose
+    // SimBandBits-bit slice of the XOR is all-zero (same integer
+    // arithmetic as the band keys, so the two can never disagree)
+    val firstMatch = (0 until 4).foldRight(lit(4)) { (i, rest) =>
+      when(
+        shiftrightunsigned(col("sim_a").bitwiseXOR(col("sim_b")), i * SimBandBits)
+          % (1 << SimBandBits) === 0L,
+        lit(i)
+      ).otherwise(rest)
+    }
+    a.as("a").join(
+        b.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("id_a") < col("id_b") &&
+          firstMatch === col("a.band_idx")
+      )
       .select(
         col("id_a"),
         col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Remove near-duplicates from the corpus given a candidate-pair
@@ -545,10 +570,26 @@ object NearDup {
     val edges = ckpt(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    // Iterate over the pair graph's VERTEX SET, not the corpus (round
+    // 19): a row with no pair edge can never change its label (nbrMin
+    // has no row for it; its root is its own id, so the jump self-join
+    // maps it to itself), so carrying the whole corpus through 6
+    // rounds of hop + jump joins — 2-3 corpus-scale exchanges per
+    // round, 6 corpus-scale checkpoint materializations — computed
+    // nothing for the (overwhelming at 100 TB) non-duplicate majority.
+    // Every per-round frame is now O(|pairs|); isolated rows join
+    // their own id back in ONE final broadcast-size left join. The
+    // corpus semi-join keeps the original contract exactly: an edge
+    // endpoint NOT present in `df` never gets a label, so its id can
+    // never be adopted as a root (labels propagate only through
+    // labeled vertices, as before).
+    //
     // labels propagate in the id's OWN type: least/min are defined on
     // strings too, and a cast("long") would turn non-numeric doc ids
     // into NULL roots and silently collapse every cluster_id
-    var labels = df.select(col(idCol).as("u"), col(idCol).as("root"))
+    var labels = edges.select(col("u")).distinct()
+      .join(df.select(col(idCol).as("u")), Seq("u"), "left_semi")
+      .withColumn("root", col("u"))
     (1 to iterations).foreach { _ =>
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")
@@ -568,7 +609,11 @@ object NearDup {
         .join(hopped.select(col("u").as("__r"), col("root").as("__rr")), col("root") === col("__r"), "left")
         .select(col("u"), least(col("root"), coalesce(col("__rr"), col("root"))).as("root"))
     }
-    labels.select(col("u").as(idCol), col("root").as("cluster_id"))
+    // internal names must not collide with an arbitrary idCol
+    val lab = labels.select(col("u").as("__cc_u"), col("root").as("__cc_root"))
+    df.select(col(idCol))
+      .join(lab, col(idCol) === col("__cc_u"), "left")
+      .select(col(idCol), coalesce(col("__cc_root"), col(idCol)).as("cluster_id"))
   }
 
   /** Per-ROW MinHash band rows, the streaming-safe form: the same
