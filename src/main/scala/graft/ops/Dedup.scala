@@ -96,8 +96,19 @@ object Dedup {
     * Scale shape (100 TB): no document text ever rides a shuffle —
     * the duplicate-span pass moves `(id, pos, h)` triples through ONE
     * hash-keyed window (first-occurrence rank dies in the exchange
-    * that computes it), covered positions are `(id, pos)` pairs, and
-    * reassembly is the same id-keyed sort-aggregate as [[dedupLines]].
+    * that computes it), and the removal DECISION comes back to the
+    * documents as one tiny per-doc array of removed-span starts
+    * (guide-§8 shape: decide with small rows, touch the heavy rows
+    * once). The cut itself — drop covered tokens, rejoin the
+    * survivors, count the removals — runs row-local in two codegen
+    * merges over (token array, sorted span starts)
+    * ([[graft.functions.SpanCover]]), so the exploded token stream is
+    * never shuffled at all. Round 19: this replaced the join shape
+    * (covered positions exploded k× and `distinct()`-shuffled, the
+    * FULL token stream shuffled into a token-level anti-join, kept
+    * tokens shuffled AGAIN into an id-keyed reassembly aggregate, plus
+    * two doc-keyed joins — 12 Exchanges → 4, and the only full-corpus
+    * exchange left is the k-gram hash window's).
     * Window-over-hash skew is impossible by construction: a hash's
     * partition holds its occurrence list, bounded by the corpus-wide
     * repeat count of ONE k-gram (and the heaviest k-grams are exactly
@@ -114,27 +125,32 @@ object Dedup {
     val removedSpans = kg
       .withColumn("__rn", row_number().over(firstWins))
       .filter(col("__rn") >= 2)
-    val covered = removedSpans
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
-      .distinct()
-      .withColumnRenamed(idCol, "__cid")
-    val toks = ne.select(col(idCol), posexplode(col("w")).as(Seq("pos", "tk")))
-    val kept = toks.join(covered,
-      col(idCol) === col("__cid") && col("pos") === col("tp"), "left_anti")
-    val reassembled = kept
+    // the per-doc removal decision, aggregated to ONE small row per
+    // affected doc: ascending span starts (`(id, pos)` is unique in
+    // removedSpans, so the sorted list is a set)
+    val spanStarts = removedSpans
       .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tk")))), _.getField("tk")),
-          " ").as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    val tlen = ne.select(col(idCol), size(col("w")).cast("long").as("n_tok"))
-    df.select(col(idCol))
-      .join(reassembled, Seq(idCol), "left")
-      .join(tlen, Seq(idCol), "left")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+      .withColumnRenamed(idCol, "__sid")
+    // attach the decision to the docs (left join — the starts frame
+    // holds only docs that lose spans; AQE broadcasts it when small)
+    // and cut row-locally. Docs with empty/null normalized text have
+    // no kg rows, hence empty starts: the merge keeps their tokens
+    // ([""] rejoins to "", n stays 0) — exactly the old outer-join
+    // fallback. A null token array nulls both expressions; coalesce
+    // restores the row-preserving ("", 0) contract.
+    val empty = array().cast("array<int>")
+    df.select(col(idCol), NearDup.tokens(col(textCol)).as("__w"))
+      .join(spanStarts, col(idCol) === col("__sid"), "left")
       .select(
         col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        (coalesce(col("n_tok"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        coalesce(
+          graft.functions.SpanCover.removeCoveredTokens(
+            col("__w"), coalesce(col("__starts"), empty), k),
+          lit("")).as("text_clean"),
+        coalesce(
+          graft.functions.SpanCover.coveredTokenCount(
+            coalesce(col("__starts"), empty), k, size(col("__w"))),
+          lit(0L)).as("n_removed"))
   }
 }
