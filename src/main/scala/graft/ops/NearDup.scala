@@ -187,13 +187,33 @@ object NearDup {
       .reduce(_ + _)
       .cast("double") / k
 
-  /** Pipe-joined string band keys of a k-component signature array:
-    * element j covers components [j·bandRows, (j+1)·bandRows).
+  /** Band keys of a k-component signature array: element j covers
+    * components [j·bandRows, (j+1)·bandRows).
+    *
+    * For bands of 1-2 components — every shipped geometry: minhash
+    * pairs 32/2, ngram candidates 8/1, incremental 32/2 — the key is
+    * the EXACT integer packing `c₀·P + c₁` (components are mod-P
+    * residues, so the pack is a bijection into [0, P²) ⊂ [0, 2⁶³) —
+    * identical collision behavior to the component tuple, candidate
+    * set unchanged). Round 19: this replaced pipe-joined decimal
+    * strings, which (a) ran INTERPRETED (transform+slice+array_join
+    * per band — the engine's own no-higher-order-functions-on-hot-
+    * paths rule, see minhashSigs) and (b) shuffled ~40-char text keys
+    * where 8 bytes carry the same information (guide §2.3: narrower
+    * shuffle keys). Wider bands (> 2 components, nothing ships them)
+    * keep the string form — P³ would overflow a long.
     */
-  private def bandKeysOfSig(sig: Column, nBands: Int, bandRows: Int): Column = transform(
-    sequence(lit(0), lit(nBands - 1)),
-    j => array_join(transform(slice(sig, j * bandRows + 1, lit(bandRows)), _.cast("string")), "|")
-  )
+  private def bandKeysOfSig(sig: Column, nBands: Int, bandRows: Int): Column =
+    if (bandRows == 1)
+      array((0 until nBands).map(j => element_at(sig, j + 1)): _*)
+    else if (bandRows == 2)
+      array((0 until nBands).map { j =>
+        element_at(sig, j * 2 + 1) * P + element_at(sig, j * 2 + 2)
+      }: _*)
+    else transform(
+      sequence(lit(0), lit(nBands - 1)),
+      j => array_join(transform(slice(sig, j * bandRows + 1, lit(bandRows)), _.cast("string")), "|")
+    )
 
   /** (id, band_idx, band_key) rows: the signature split into
     * `k / bandRows` bands of `bandRows` components each.
