@@ -29,8 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (what `sort_array(collect_list(pos))` produces); unsorted input
   * silently miscounts.
   */
-case class RemoveCoveredTokens(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression
+case class RemoveCoveredTokens(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    sep: String = " ",
+    skipEmpty: Boolean = false
+) extends BinaryExpression
     with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), ArrayType(IntegerType))
@@ -38,24 +43,33 @@ case class RemoveCoveredTokens(left: Expression, right: Expression, k: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_remove_covered"
 
-  override def nullSafeEval(w: Any, starts: Any): Any =
-    RemoveCoveredTokens.compute(w.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], k)
+  // one shared separator object per expression instance; generated
+  // code references it through ctx.addReferenceObj
+  @transient private lazy val sepUtf8: UTF8String = UTF8String.fromString(sep)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (w, s) => s"graft.functions.RemoveCoveredTokens.compute($w, $s, $k)")
+  override def nullSafeEval(w: Any, starts: Any): Any =
+    RemoveCoveredTokens.compute(
+      w.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], k, sepUtf8, skipEmpty)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sepUtf8, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, (w, s) =>
+      s"graft.functions.RemoveCoveredTokens.compute($w, $s, $k, $sepRef, $skipEmpty)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
 object RemoveCoveredTokens {
-  private val Sep = UTF8String.fromString(" ")
-
   /** Tokens at positions not covered by any `[start, start+k-1]`,
-    * joined by one space (null tokens skipped, like `array_join`).
+    * joined by `sep` (null tokens skipped, like `array_join`; empty
+    * tokens additionally skipped when `skipEmpty` — the line-dedup
+    * convention, where zero-length fragments never reassemble).
     * Called from generated code.
     */
-  def compute(w: ArrayData, starts: ArrayData, k: Int): UTF8String = {
+  def compute(
+      w: ArrayData, starts: ArrayData, k: Int, sep: UTF8String, skipEmpty: Boolean): UTF8String = {
     val n = w.numElements()
     val ns = starts.numElements()
     val kept = new java.util.ArrayList[UTF8String](n)
@@ -73,10 +87,13 @@ object RemoveCoveredTokens {
         }
         si += 1
       }
-      if (i > coveredUntil && !w.isNullAt(i)) kept.add(w.getUTF8String(i))
+      if (i > coveredUntil && !w.isNullAt(i)) {
+        val t = w.getUTF8String(i)
+        if (!(skipEmpty && t.numBytes() == 0)) kept.add(t)
+      }
       i += 1
     }
-    UTF8String.concatWs(Sep, kept.toArray(new Array[UTF8String](kept.size)): _*)
+    UTF8String.concatWs(sep, kept.toArray(new Array[UTF8String](kept.size)): _*)
   }
 }
 
@@ -128,6 +145,14 @@ object SpanCover {
   /** Surviving text after covered-span removal (codegen). */
   def removeCoveredTokens(w: Column, starts: Column, k: Int): Column =
     Bridge.column(RemoveCoveredTokens(Bridge.expression(w), Bridge.expression(starts), k))
+
+  /** Surviving fragments after dropped-position removal, rejoined with
+    * `". "` and empty fragments skipped — the [[graft.ops.Dedup
+    * .dedupLines]] reassembly (codegen).
+    */
+  def removeDroppedFragments(frags: Column, dropped: Column): Column =
+    Bridge.column(RemoveCoveredTokens(
+      Bridge.expression(frags), Bridge.expression(dropped), k = 1, sep = ". ", skipEmpty = true))
 
   /** Covered-position count, clamped to the document (codegen). */
   def coveredTokenCount(starts: Column, k: Int, n: Column): Column =

@@ -48,31 +48,43 @@ object Dedup {
     * fragment was seen earlier comes back as the empty string, not a
     * dropped row.
     *
-    * Scale posture (100 TB): two digest-keyed shuffles — fragments
-    * shuffle once on their md5 (the keep-first window; 16-byte keys,
-    * not fragment bodies, dominate the exchange) and survivors shuffle
-    * once on the document id for reassembly. No joins against full
-    * text, no cartesian anything. The same rule is expressible in SQL,
-    * so the DuckDB oracle reproduces reassembled documents
-    * byte-for-byte.
+    * Scale posture (100 TB): fragment BODIES never ride a shuffle —
+    * the keep-first decision moves only `(id, pos, md5)` triples
+    * through the digest-keyed window (the body is projected away
+    * BEFORE the exchange), the dropped positions come back as one
+    * tiny sorted per-doc int array (repeat-losing docs only), and the
+    * reassembly re-splits the document row-locally and rejoins the
+    * surviving fragments in one codegen merge
+    * ([[graft.functions.SpanCover]], the round-19 dedupSubstrings
+    * shape). The pre-round-19 form shuffled fragment bodies twice
+    * (through the window AND an id-keyed reassembly aggregate) plus a
+    * doc-keyed join. No joins against full text, no cartesian
+    * anything. The same rule is expressible in SQL, so the DuckDB
+    * oracle reproduces reassembled documents byte-for-byte.
     */
   def dedupLines(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val frags = df
+    val fragKeys = df
       .select(col(idCol), posexplode(split(TextOps.normalize(col(textCol)), "\\. ")).as(Seq("pos", "frag")))
       .filter(length(col("frag")) > 0)
-    val keepFirst = Window.partitionBy(md5(col("frag").cast("binary")))
-      .orderBy(col(idCol), col("pos"))
-    val kept = frags
+      .select(col(idCol), col("pos"), md5(col("frag").cast("binary")).as("__h"))
+    val keepFirst = Window.partitionBy(col("__h")).orderBy(col(idCol), col("pos"))
+    // positions that lose (a repeat of an earlier fragment, corpus-wide
+    // first-occurrence order), one small sorted array per affected doc
+    val dropped = fragKeys
       .withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") === 1)
-    val reassembled = kept
+      .filter(col("__rn") >= 2)
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("frag")))), _.getField("frag")),
-        ". ").as("text"))
-    df.select(col(idCol))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
+      .agg(sort_array(collect_list(col("pos"))).as("__dropped"))
+      .withColumnRenamed(idCol, "__did")
+    val empty = array().cast("array<int>")
+    df.select(col(idCol), split(TextOps.normalize(col(textCol)), "\\. ").as("__f"))
+      .join(dropped, col(idCol) === col("__did"), "left")
+      .select(
+        col(idCol),
+        coalesce(
+          graft.functions.SpanCover.removeDroppedFragments(
+            col("__f"), coalesce(col("__dropped"), empty)),
+          lit("")).as("text"))
   }
 
   /** Exact-substring dedup (ExactSubstr of Lee et al. 2021,
