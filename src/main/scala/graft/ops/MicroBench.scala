@@ -61,6 +61,71 @@ object MicroBench {
       return
     }
 
+    if (args.contains("entryn")) {
+      // MicroBench entryn <reps> <name>... — like `entry` but with
+      // <reps> timed runs per entry (all times printed + the median),
+      // for measuring on days when single runs swing 2-4× under the
+      // VM's memory-compaction stalls. Sentinel-bracketed.
+      val rest = args.dropWhile(_ != "entryn").drop(1)
+      val reps = rest.head.toInt
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+      rest.tail.foreach { k =>
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(k)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run(); run() // warm-up ×2
+        val ts = Seq.fill(reps)(run())
+        val med = ts.sorted.apply(reps / 2)
+        println(f"$k%-28s median $med%.3f s  runs ${ts.map(t => f"$t%.3f").mkString(" ")}")
+      }
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
+    if (args.contains("jobs")) {
+      // MicroBench jobs <name>... — noise-immune PLAN-SHAPE metric:
+      // the number of Spark jobs one execution of each entry launches
+      // (eager plan-time jobs — counts, checkpoints, broadcasts-built-
+      // by-collect — plus the final noop write). Wall time on this VM
+      // swings 2-4× under memory-compaction stalls; the job count is a
+      // deterministic property of the binary, so an optimization that
+      // deletes driver jobs is verifiable in ONE run on any day.
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            counter.incrementAndGet(); ()
+          }
+        })
+      args.dropWhile(_ != "jobs").drop(1).foreach { k =>
+        def run(): Unit = graft.SparkEntry.queries(k)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        run() // warm-up (file-listing jobs happen here, not in the count)
+        Thread.sleep(200) // let straggler listener events drain
+        counter.set(0)
+        run()
+        Thread.sleep(200)
+        println(f"$k%-28s jobs ${counter.get()}")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget1")) {
       // Exact-window vs histogram-threshold token budget on ONE GIANT
       // STRATUM (the shape the histogram form exists for): with a

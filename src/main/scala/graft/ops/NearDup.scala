@@ -611,16 +611,31 @@ object NearDup {
       .join(df.select(col(idCol).as("u")), Seq("u"), "left_semi")
       .withColumn("root", col("u"))
     (1 to iterations).foreach { _ =>
-      val nbrMin = edges
+      // hop: smallest among the vertex's own label and its labeled
+      // neighbours' labels. ONE aggregate over a tagged union (round
+      // 19) instead of the former join → groupBy → join-back chain:
+      // `least(root, min(neighbour roots))` IS `min` over {own root} ∪
+      // {neighbour roots}, so the self rows ride the same exchange as
+      // the neighbour rows and the join-back of `labels` to the
+      // aggregated neighbour minima — a full extra shuffle of the
+      // label frame per round at cluster scale — disappears. The
+      // `max(__self) = 1` filter keeps exactly the rows the old LEFT
+      // join kept: a vertex outside `labels` (edge endpoint not in
+      // `df`) contributes neighbour rows but has no self row, so it is
+      // dropped, and every labels-vertex has a self row, so none are.
+      // Checkpointed because the jump self-join references it twice —
+      // without it the plan (and the recompute cost) doubles every
+      // round.
+      val nbrRows = edges
         .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")
-        .groupBy("u")
-        .agg(min("nroot").as("minn"))
-      // hop: smallest neighbour label. Checkpointed because the jump
-      // self-join references it twice — without it the plan (and the
-      // recompute cost) doubles every round.
+        .select(col("u"), col("nroot").as("cand"), lit(0).as("__self"))
       val hopped = ckpt(labels
-        .join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("root"), coalesce(col("minn"), col("root"))).as("root")))
+        .select(col("u"), col("root").as("cand"), lit(1).as("__self"))
+        .unionByName(nbrRows)
+        .groupBy("u")
+        .agg(min(col("cand")).as("root"), max(col("__self")).as("__s"))
+        .filter(col("__s") === 1)
+        .select(col("u"), col("root")))
       // jump: root ← root(root). A label is always the id of a node in
       // the same component (inductively: own id, a neighbour's label,
       // or a label's label), so chasing it stays in-component and only
