@@ -152,6 +152,130 @@ object PackedSignSig {
     Bridge.column(PackedSignSig(Bridge.expression(v), matrix, dim))
 }
 
+/** Nearest-centroid assignment by the LLOYD score `cc_c − 2·dot(v,
+  * centroid_c)` against a PLAN-TIME centroid matrix: argmin over
+  * cells, ties to the smallest index — [[graft.ops.Kmeans]]'s
+  * assignment as ONE fused codegen loop per row.
+  *
+  * Replaces the one-row-broadcast + `zip_with(cents, ccs, …)` +
+  * `array_min`/`array_position` shape: higher-order lambdas evaluate
+  * INTERPRETED (one closure call per cell per row), and the broadcast
+  * pack costs a 1-row aggregate + exchange per assignment pass. The
+  * semantics of that composition are mirrored exactly so assignments
+  * are bit-identical:
+  *   - per-cell dot is [[graft.functions.DotProduct]]'s: NULL score on
+  *     length mismatch, a null vector element, or a null centroid
+  *     component (`nullCell`); in-index-order left fold otherwise;
+  *   - `score = cc − 2.0·dot` with the centroid's squared norm `cc`
+  *     precomputed by the same left fold (driver-side, same IEEE ops);
+  *   - argmin skips NULL scores (like `array_min`) and compares via
+  *     Spark's double ordering (`-0.0 == 0.0`, NaN greatest — the
+  *     `SQLOrderingUtil.compareDoubles` rule), first minimum wins
+  *     (like `array_position`'s first match);
+  *   - every score NULL (or no cells) → NULL cell.
+  * Centroids may be ragged (`offsets` has nCells+1 entries; cell c is
+  * `matrix[offsets(c) until offsets(c+1))`) — mirroring per-cell dot
+  * null semantics for ragged seed corpora.
+  */
+case class ArgminScore(
+    child: Expression,
+    matrix: Array[Double],
+    offsets: Array[Int],
+    ccs: Array[Double],
+    nullCell: Array[Boolean])
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(offsets.length >= 1 && offsets.head == 0 && offsets.last == matrix.length,
+    s"offsets must span the matrix: ${offsets.mkString(",")} vs ${matrix.length}")
+  require(ccs.length == offsets.length - 1 && nullCell.length == ccs.length,
+    s"per-cell arrays must have ${offsets.length - 1} entries")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  // null on empty cell set / all-null scores even with a non-null
+  // child — same janino constant-isNull hazard as ArgmaxDot
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmin_score"
+
+  override def nullSafeEval(a: Any): Any = {
+    val c = ArgminScore.compute(
+      a.asInstanceOf[ArrayData], matrix, offsets, ccs, nullCell)
+    if (c < 0) null else c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("argminMatrix", matrix, "double[]")
+    val offRef = ctx.addReferenceObj("argminOffsets", offsets, "int[]")
+    val ccsRef = ctx.addReferenceObj("argminCcs", ccs, "double[]")
+    val nulRef = ctx.addReferenceObj("argminNullCell", nullCell, "boolean[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("cell")
+      s"""
+         |final int $c = graft.functions.ArgminScore.compute(
+         |  $v, $matRef, $offRef, $ccsRef, $nulRef);
+         |if ($c < 0) { ${ev.isNull} = true; } else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArgminScore {
+
+  /** Winning cell, or -1 for "no assignment" (no cells, or every
+    * score NULL). Called from generated code.
+    */
+  def compute(
+      v: ArrayData,
+      m: Array[Double],
+      offsets: Array[Int],
+      ccs: Array[Double],
+      nullCell: Array[Boolean]): Int = {
+    val nCells = offsets.length - 1
+    val vlen = v.numElements()
+    var vHasNull = false
+    var i = 0
+    while (i < vlen && !vHasNull) { vHasNull = v.isNullAt(i); i += 1 }
+    var bestC = -1
+    var best = 0.0
+    var c = 0
+    while (c < nCells) {
+      val off = offsets(c)
+      val len = offsets(c + 1) - off
+      // NULL score (skipped, like array_min over nulls) unless the
+      // lengths match and neither side has a null element
+      if (!nullCell(c) && len == vlen && !vHasNull) {
+        var s = 0.0
+        var j = 0
+        while (j < len) { s += v.getDouble(j) * m(off + j); j += 1 }
+        val score = ccs(c) - 2.0 * s
+        // Spark's double ordering: ±0.0 equal, NaN greatest; strict <
+        // keeps the FIRST minimum (array_position's first match)
+        if (bestC < 0 ||
+            (!(score == best) && java.lang.Double.compare(score, best) < 0)) {
+          best = score
+          bestC = c
+        }
+      }
+      c += 1
+    }
+    bestC
+  }
+
+  /** Column-side entry point. */
+  def apply(
+      v: Column,
+      matrix: Array[Double],
+      offsets: Array[Int],
+      ccs: Array[Double],
+      nullCell: Array[Boolean]): Column =
+    Bridge.column(ArgminScore(Bridge.expression(v), matrix, offsets, ccs, nullCell))
+}
+
 /** [[ArgmaxDot]] with the centroid set as a RUNTIME argument (an
   * `array<array<double>>` value, one element per cell in cell order)
   * instead of a plan-time flat matrix — the SQL-text backend's

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an embedding column, engine-deterministic.
@@ -30,72 +29,122 @@ import org.apache.spark.sql.functions._
   * `list_reduce`), so every score double — and hence every
   * assignment — matches across engines.
   *
-  * Scale shape (100 TB): centroids live in ONE broadcast row of
-  * nested arrays (`nCells × dim` doubles); each assignment pass is a
-  * narrow per-row projection — `nCells` dots + an array argmin, NO
-  * shuffle, no per-row window. Each update pass is one
-  * map-side-combined `(cell, dim)`-keyed aggregate of long partials
-  * (`nCells·dim` result rows). Total: `iters + 1` corpus scans, the
-  * textbook distributed-Lloyd lower bound.
+  * Scale shape (100 TB): centroids are a PLAN-TIME matrix (round 19,
+  * the [[graft.ops.Ann.ivfTopKSeeded]] baked pattern): each
+  * assignment pass is one fused argmin loop per row inside
+  * whole-stage codegen ([[graft.functions.ArgminScore]]) — NO
+  * broadcast pack, no per-row interpreted `zip_with` lambda, no
+  * shuffle. Each update pass is one map-side-combined `(cell,
+  * dim)`-keyed aggregate of long partials whose `nCells·dim` result
+  * rows (bounded like the IVF centroid matrix — tens of MB at the
+  * 65536-cell cap) come back to the driver, where the division back
+  * to double means runs with the exact IEEE ops the old in-plan
+  * `coalesce((s/n)/Scale, w)` performed. Total: `iters + 1` corpus
+  * scans, the textbook distributed-Lloyd lower bound — now with zero
+  * exchanges outside the update aggregates (was: a 1-row aggregate +
+  * broadcast + interpreted per-row lambdas per pass, and an eager
+  * lineage checkpoint per iteration).
   */
 object Kmeans {
 
   private val Scale = 16777216.0 // 2^24
 
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.ArrayMath.dotProduct(a, b)
-
-  /** `(c, carr)` seed centroids: the `nCells` smallest-md5-id corpus
-    * vectors, cell index = rank in that tiny ordered set.
+  /** Position-indexed seed centroid values, collected at plan time:
+    * the `nCells` smallest-md5-id corpus vectors in (hash, id) order —
+    * the exact rows (and rank order) the pre-round-19 `seedArrays`
+    * window assigned. Bounded: `nCells` rows. Component values stay
+    * boxed so null components / null vectors keep the old per-cell
+    * NULL-score semantics.
     */
-  private def seedArrays(
-      base: DataFrame, idCol: String, nCells: Int): DataFrame = {
+  private def collectSeeds(
+      base: DataFrame, idCol: String, nCells: Int): IndexedSeq[IndexedSeq[java.lang.Double]] = {
     val h = NearDup.hash32(col(idCol).cast("string"))
-    base.select(col(idCol), col("v"), h.as("h"))
+    base.select(col("v"), h.as("h"), col(idCol))
       .orderBy(col("h"), col(idCol)).limit(nCells)
-      .withColumn("c",
-        (row_number().over(Window.orderBy(col("h"), col(idCol))) - 1).cast("int"))
-      .select(col("c"), col("v").as("carr"))
+      .select(col("v")).collect()
+      .iterator.map { r =>
+        if (r.isNullAt(0)) null
+        else r.getSeq[Any](0).iterator
+          .map(x => x.asInstanceOf[java.lang.Double]).toIndexedSeq
+      }.toIndexedSeq
   }
 
-  /** One broadcastable row: `cents` = the centroid arrays in cell
-    * order, `ccs` = their squared norms (fixed-order folds).
+  /** The Lloyd assignment Column for a position-indexed centroid set:
+    * argmin over `cc_c − 2·dot(v, c_c)`, ties to the smallest index —
+    * one fused codegen loop per row ([[graft.functions.ArgminScore]]),
+    * score/ordering semantics bit-identical to the former
+    * `zip_with`+`array_min`+`array_position` spelling (the squared
+    * norms are the same in-order left folds, computed here with the
+    * same JVM IEEE ops the in-plan `transform(cents, ca → dot(ca,
+    * ca))` performed).
     */
-  private def packed(centArr: DataFrame): DataFrame =
-    centArr
-      .agg(transform(array_sort(collect_list(struct(col("c"), col("carr")))),
-        _.getField("carr")).as("cents"))
-      .select(col("cents"),
-        transform(col("cents"), ca => dot(ca, ca)).as("ccs"))
+  private def argminOf(cents: IndexedSeq[IndexedSeq[java.lang.Double]]): Column = {
+    val offsets = new Array[Int](cents.length + 1)
+    val nullCell = new Array[Boolean](cents.length)
+    val ccs = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ca = cents(c)
+      nullCell(c) = ca == null || ca.contains(null)
+      offsets(c + 1) = offsets(c) + (if (ca == null) 0 else ca.length)
+      c += 1
+    }
+    val mat = new Array[Double](offsets.last)
+    c = 0
+    while (c < cents.length) {
+      val ca = cents(c)
+      if (!nullCell(c)) {
+        var s = 0.0
+        var j = 0
+        while (j < ca.length) {
+          val w = ca(j).doubleValue()
+          mat(offsets(c) + j) = w
+          s += w * w
+          j += 1
+        }
+        ccs(c) = s
+      }
+      c += 1
+    }
+    graft.functions.ArgminScore(col("v"), mat, offsets, ccs, nullCell)
+  }
 
-  /** `(idCol, v, cell)`: nearest centroid per row — a narrow
-    * projection against the one-row broadcast, zero shuffle.
+  /** One Lloyd update: the `(cell, j)`-keyed fixed-point component
+    * sums — the SAME map-side-combined aggregate as before, its
+    * bounded (`nCells·dim`-row) result collected — then the division
+    * back to double means on the driver with the identical IEEE ops
+    * the in-plan `coalesce((s/n)/Scale, w)` performed. Cells that
+    * lose every member keep their previous centroid; cells whose
+    * stored vector is null/empty drop out and the survivors re-rank —
+    * exactly the old join shape's behavior (`posexplode` of their
+    * `carr` produced no rows).
     */
-  private def assign(base: DataFrame, idCol: String, centArr: DataFrame): DataFrame =
-    base.crossJoin(broadcast(packed(centArr)))
-      .withColumn("scores",
-        zip_with(col("cents"), col("ccs"), (ca, cc) => cc - lit(2.0) * dot(col("v"), ca)))
-      .select(col(idCol), col("v"),
-        (array_position(col("scores"), array_min(col("scores"))) - 1).cast("int").as("cell"))
-
-  /** Lloyd update: fixed-point component means keyed `(cell, j)`;
-    * cells that lose every member keep their previous centroid.
-    */
-  private def update(assigned: DataFrame, idCol: String, centArr: DataFrame): DataFrame = {
-    val sums = assigned
-      .select(col("cell").as("c"), posexplode(col("v")).as(Seq("j", "x")))
+  private def updateCents(
+      base: DataFrame,
+      cents: IndexedSeq[IndexedSeq[java.lang.Double]]): IndexedSeq[IndexedSeq[java.lang.Double]] = {
+    val rows = base
+      .select(argminOf(cents).as("c"), posexplode(col("v")).as(Seq("j", "x")))
       .groupBy(col("c"), col("j"))
       .agg(
         sum(floor(col("x") * Scale).cast("long")).as("s"),
         count(lit(1)).as("n")
       )
-    val oldComp = centArr.select(col("c"), posexplode(col("carr")).as(Seq("j", "w")))
-    oldComp.join(sums, Seq("c", "j"), "left")
-      .select(col("c"), col("j"),
-        coalesce((col("s").cast("double") / col("n").cast("double")) / Scale, col("w")).as("w"))
-      .groupBy(col("c"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("w")))),
-        _.getField("w")).as("carr"))
+      .collect()
+    val sums = rows.iterator.filter(!_.isNullAt(0)).map { r =>
+      (r.getInt(0), r.getInt(1)) ->
+        ((if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))), r.getLong(3))
+    }.toMap
+    cents.iterator.zipWithIndex
+      .filter { case (ca, _) => ca != null && ca.nonEmpty }
+      .map { case (ca, p) =>
+        ca.iterator.zipWithIndex.map { case (w, j) =>
+          sums.get((p, j)) match {
+            case Some((s, n)) if s != null =>
+              java.lang.Double.valueOf((s.doubleValue() / n.toDouble) / Scale)
+            case _ => w
+          }
+        }.toIndexedSeq
+      }.toIndexedSeq
   }
 
   /** Final assignments `(idCol, cell)` after `iters` Lloyd rounds over
@@ -110,9 +159,9 @@ object Kmeans {
   ): DataFrame = {
     require(nCells >= 1 && iters >= 0, s"need nCells >= 1, iters >= 0, got $nCells/$iters")
     val base = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
-    var cent = seedArrays(base, idCol, nCells)
+    var cents = collectSeeds(base, idCol, nCells)
     for (_ <- 0 until iters)
-      cent = update(assign(base, idCol, cent), idCol, cent).localCheckpoint()
-    assign(base, idCol, cent).select(col(idCol), col("cell"))
+      cents = updateCents(base, cents)
+    base.select(col(idCol), argminOf(cents).as("cell"))
   }
 }

@@ -144,14 +144,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), plan) // map-side combined logit sums
   }
 
-  test("kmeans_assign: centroids ride a one-row broadcast, dots are codegen") {
+  test("kmeans_assign: baked argmin projection — no join, no exchange") {
     val plan = plans(SparkEntry.queries("kmeans_assign")(spark, sfDir))
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("graft_dot"), plan)
-    // nested-loop joins appear ONLY as the 1-row centroid broadcast
-    val bnlj = "BroadcastNestedLoopJoin BuildRight, (\\w+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(bnlj.nonEmpty && bnlj.forall(_ == "Cross"), plan)
+    // round 19: the final assignment pass is one fused codegen argmin
+    // per row against the plan-time centroid matrix — the per-pass
+    // broadcast pack, nested-loop join, and interpreted zip_with are
+    // gone (the Lloyd updates run as bounded plan-time aggregates)
+    assert(plan.contains("graft_argmin_score"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("mixture_sample is a shuffle-free narrow projection") {

@@ -43,6 +43,66 @@ class KmeansSpec extends SparkTestBase {
     assert(byBlob.values.flatten.toSet.size == 3, byBlob)
   }
 
+  test("ArgminScore matches the zip_with+array_min+array_position spelling on adversarial inputs") {
+    // round 19: the Lloyd assignment became one fused codegen argmin
+    // against a plan-time matrix; this pins it to the old higher-order
+    // composition on exactly the inputs where double/null semantics
+    // could drift: ties, NaN folds, ragged vectors, null elements,
+    // null arrays, empty arrays, and a null-component centroid.
+    val cents: IndexedSeq[IndexedSeq[java.lang.Double]] = IndexedSeq(
+      IndexedSeq[java.lang.Double](1.0, 2.0),
+      IndexedSeq[java.lang.Double](1.0, 2.0), // exact tie with cell 0
+      IndexedSeq[java.lang.Double](-3.0, 0.5),
+      IndexedSeq[java.lang.Double](null, 4.0), // null component: never assignable
+      IndexedSeq[java.lang.Double](Double.PositiveInfinity, 1.0) // ∞ cc → NaN score possible
+    )
+    val vecs = Seq(
+      Seq[java.lang.Double](1.0, 2.0),
+      Seq[java.lang.Double](-3.0, 0.5),
+      Seq[java.lang.Double](0.0, 0.0),
+      Seq[java.lang.Double](Double.NaN, 1.0), // NaN scores everywhere
+      Seq[java.lang.Double](Double.PositiveInfinity, 0.0), // ∞−∞ = NaN on one cell
+      Seq[java.lang.Double](1.0), // ragged: every dot null
+      Seq[java.lang.Double](1.0, null), // null element: every dot null
+      Seq[java.lang.Double](), // empty
+      null // null vector
+    )
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+
+    // the pre-round-19 spelling, over literal centroids
+    def caLit(ca: IndexedSeq[java.lang.Double]) =
+      array(ca.map(w =>
+        if (w == null) lit(null).cast("double") else lit(w.doubleValue())): _*)
+    val centsLit = array(cents.map(caLit): _*)
+    val dot = graft.functions.ArrayMath.dotProduct(_, _)
+    val ccsLit = transform(centsLit, ca => dot(ca, ca))
+    val scores = zip_with(centsLit, ccsLit, (ca, cc) => cc - lit(2.0) * dot(col("v"), ca))
+    val oldCell = (array_position(scores, array_min(scores)) - 1).cast("int")
+
+    // the round-19 expression, built the way Kmeans.argminOf builds it
+    val offsets = cents.scanLeft(0)((o, ca) => o + ca.length).toArray
+    val nullCell = cents.map(_.contains(null)).toArray
+    val mat = cents.flatMap(ca => ca.map(w => if (w == null) 0.0 else w.doubleValue())).toArray
+    val ccs = cents.map { ca =>
+      if (ca.contains(null)) 0.0
+      else ca.foldLeft(0.0)((s, w) => s + w.doubleValue() * w.doubleValue())
+    }.toArray
+    val newCell = graft.functions.ArgminScore(col("v"), mat, offsets, ccs, nullCell)
+
+    val rows = df.select(col("id"), oldCell.as("old"), newCell.as("new"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1)),
+        if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2))))
+    rows.foreach { case (id, o, n) => assert(o == n, s"vec $id: old=$o new=$n") }
+    // sanity: the adversarial set actually exercises both null and
+    // non-null assignments
+    assert(rows.exists(_._2 == null) && rows.exists(_._2 != null))
+  }
+
   test("iters=0 equals plain seeded Voronoi assignment and refinement reduces SSE") {
     val df = blobs(240, seed = 13)
     val vecs = df.as[(Long, Array[Float])].collect().toMap
