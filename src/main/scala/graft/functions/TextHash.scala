@@ -140,6 +140,105 @@ object ShingleHashes {
   }
 }
 
+/** Native codegen SimHash signature over a token array: bit `i` of
+  * the [[graft.ops.NearDup.SimBits]]-bit result is the sign of
+  * `Σ_tokens (2·bit_i(h60(token)) − 1)` — the whole signature in ONE
+  * tight loop per row (one md5 per token, 60 integer counters).
+  *
+  * Replaces the explode → per-token `hash60` projection → groupBy
+  * with 60 conditional-sum aggregates shape (round 19): the per-bit
+  * ±1 sums are INTEGER and commutative, so no accumulation-order
+  * hazard exists (unlike grouped double sums), and fusing them
+  * row-locally deletes the exploded token stream, the 60-buffer hash
+  * aggregate, and the signature exchange outright — the only shuffle
+  * left in `simhashPairs` is the banded self-join. Measured at sf0.1:
+  * the signature stage was 0.76 s of the operator's 1.07 s.
+  *
+  * Bit-for-bit parity with the aggregate form (and the DuckDB
+  * oracle / SQL-text backend, which keep the aggregate spelling):
+  *   - per-token hash = first 15 md5 hex digits of the UTF-8 token as
+  *     a long (= the unsigned big-endian first 8 digest bytes >>> 4);
+  *   - bit i contributes +1 when `h & (1 << i)` is set, −1 otherwise;
+  *     bit i of the signature is set when the sum is > 0;
+  *   - a null OR EMPTY token array yields NULL — exactly the docs the
+  *     explode form dropped before the aggregate (callers filter the
+  *     nulls to reproduce the old frame row-for-row).
+  * PRECONDITION (as [[ShingleHashes]]): no null token elements —
+  * `NearDup.tokens` is a `split()`, which never produces them.
+  */
+case class SimhashSig(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  // null on an EMPTY array even with a non-null child — the constant
+  // isNull janino hazard (see DotProduct)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashSig.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("sig")
+      s"""
+         |final Long $s = graft.functions.SimhashSig.compute($c);
+         |if ($s == null) { ${ev.isNull} = true; } else { ${ev.value} = $s.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  private val Bits = 60
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Packed signature, or null for an empty array (the explode form
+    * produced no rows for it). Called from generated code — the boxed
+    * return carries the null.
+    */
+  def compute(tokens: ArrayData): java.lang.Long = {
+    val len = tokens.numElements()
+    if (len == 0) return null
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < len) {
+      val t = tokens.getUTF8String(i)
+      val d = digest.get().digest(if (t == null) Array.emptyByteArray else t.getBytes)
+      // first 15 hex digits = unsigned big-endian first 8 bytes >>> 4
+      val u = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val h = u >>> 4
+      var b = 0
+      while (b < Bits) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < Bits) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  /** Column-side entry point. */
+  def apply(tokens: Column): Column =
+    Bridge.column(SimhashSig(Bridge.expression(tokens)))
+}
+
 object TextHash {
 
   /** Hashed word-n-gram shingle array of a token array (codegen). */

@@ -450,14 +450,19 @@ object NearDup {
     * reason: everything stays in whole-stage codegen with map-side
     * partial sums.
     */
-  def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .select(col(idCol), hash60(col("t")).as("h"))
-    val bitSums = simhashBitSums.zipWithIndex.map { case (c, i) => c.as(s"s$i") }
-    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), simhashPacked(i => col(s"s$i")).as("sim"))
-  }
+  def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // ONE fused loop per row (round 19, graft.functions.SimhashSig):
+    // the per-bit ±1 sums are integer and commutative, so unlike the
+    // float signature ops they fuse row-locally with no
+    // accumulation-order hazard — deleting the exploded token stream,
+    // the 60-buffer aggregate, and the signature exchange (the
+    // operator's only remaining shuffle is the banded self-join).
+    // The isNotNull filter reproduces the explode form's frame
+    // row-for-row: docs with a null text produced no exploded rows.
+    // The aggregate spelling lives on in simhashBitSums/simhashPacked
+    // for the SQL-text backend and the DuckDB oracle.
+    df.select(col(idCol), graft.functions.SimhashSig(tokens(col(textCol))).as("sim"))
+      .filter(col("sim").isNotNull)
 
   /** SimHash near-duplicate pairs: 4 bands of [[SimBandBits]] bits
     * generate candidates; pairs within `maxHamming` bits survive.
