@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
@@ -274,6 +274,115 @@ object ArgminScore {
       ccs: Array[Double],
       nullCell: Array[Boolean]): Column =
     Bridge.column(ArgminScore(Bridge.expression(v), matrix, offsets, ccs, nullCell))
+}
+
+/** Top-N centroid cells by dot product against a PLAN-TIME centroid
+  * matrix: the `nProbe` best cells ordered by `(dot desc, c asc)` as
+  * an `array<int>` — [[graft.ops.Ann]]'s QUERY-side probe selection
+  * as one fused codegen loop per row.
+  *
+  * Replaces the `cellRanks` explode → broadcast-join-on-dimension →
+  * groupBy-sum → window-rank shape for the probe list (round 19): the
+  * query side is small, but that shape still costs a centroid
+  * component frame, a broadcast build, an aggregate exchange, and a
+  * window per query batch. Its semantics are mirrored exactly:
+  *   - per-cell dot sums `x_j·w_cj` over `j < min(len(v), dim)` in
+  *     index order, SKIPPING null vector elements (SQL `sum` skips
+  *     nulls — unlike [[DotProduct]]'s null-poisoning, which is the
+  *     PAIR operators' contract, not this one);
+  *   - a vector with no non-null element in range has d = NULL for
+  *     every cell (an all-null SUM), which ranks AFTER every non-null
+  *     d (`desc` = NULLS LAST) with ties by c — so such rows probe
+  *     cells 0..nProbe-1, like the window form;
+  *   - NaN sums rank FIRST (Spark's double ordering: NaN greatest);
+  *     equal sums tie-break by the smaller cell;
+  *   - an EMPTY vector yields NULL (posexplode produced no rows, so
+  *     the query vanished from the ranked frame; callers explode,
+  *     which drops the null).
+  */
+case class TopCellsDot(child: Expression, matrix: Array[Double], dim: Int, nProbe: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+  require(matrix.length % dim == 0,
+    s"matrix length ${matrix.length} is not a multiple of dim=$dim")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // null on an empty vector / empty matrix even with a non-null child
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_cells_dot"
+
+  override def nullSafeEval(a: Any): Any =
+    TopCellsDot.compute(a.asInstanceOf[ArrayData], matrix, dim, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("topCellsMatrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val o = ctx.freshName("cells")
+      s"""
+         |final ArrayData $o = graft.functions.TopCellsDot.compute($v, $matRef, $dim, $nProbe);
+         |if ($o == null) { ${ev.isNull} = true; } else { ${ev.value} = $o; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopCellsDot {
+
+  /** The nProbe best cells, or null for an empty vector/matrix.
+    * Called from generated code.
+    */
+  def compute(v: ArrayData, m: Array[Double], dim: Int, nProbe: Int): ArrayData = {
+    val nCells = m.length / dim
+    if (v.numElements() == 0 || nCells == 0) return null
+    val n = math.min(v.numElements(), dim)
+    val ds = new Array[Double](nCells)
+    val dNull = new Array[Boolean](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var any = false
+      var j = 0
+      val off = c * dim
+      while (j < n) {
+        if (!v.isNullAt(j)) { s += v.getDouble(j) * m(off + j); any = true }
+        j += 1
+      }
+      ds(c) = s
+      dNull(c) = !any // SUM over zero non-null terms is NULL
+      c += 1
+    }
+    // (d desc — Spark double ordering: ±0.0 equal, NaN greatest, nulls
+    // last — then c asc), like row_number over the window
+    val idx = Array.range(0, nCells)
+    val ord = new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val (na, nb) = (dNull(a), dNull(b))
+        if (na && nb) Integer.compare(a, b)
+        else if (na) 1
+        else if (nb) -1
+        else {
+          val cmp =
+            if (ds(a) == ds(b)) 0 else java.lang.Double.compare(ds(b), ds(a))
+          if (cmp != 0) cmp else Integer.compare(a, b)
+        }
+      }
+    }
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, ord)
+    new GenericArrayData(boxed.take(math.min(nProbe, nCells)).map(_.intValue))
+  }
+
+  /** Column-side entry point. */
+  def apply(v: Column, matrix: Array[Double], dim: Int, nProbe: Int): Column =
+    Bridge.column(TopCellsDot(Bridge.expression(v), matrix, dim, nProbe))
 }
 
 /** [[ArgmaxDot]] with the centroid set as a RUNTIME argument (an

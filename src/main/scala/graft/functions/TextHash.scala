@@ -239,6 +239,88 @@ object SimhashSig {
     Bridge.column(SimhashSig(Bridge.expression(tokens)))
 }
 
+/** Native codegen MinHash signature over a hashed-shingle array: the
+  * k permutation minima `min_h((a_j·h + b_j) mod P)` in ONE fused
+  * loop per row.
+  *
+  * Replaces the explode → groupBy with k primitive `min` aggregates
+  * shape (round 19): `min` over mod-P longs is integer and
+  * commutative — no accumulation-order hazard — so the whole
+  * signature fuses row-locally on top of [[ShingleHashes]]' array,
+  * deleting the exploded shingle stream, the k-buffer aggregate, and
+  * the signature exchange from every MinHash consumer. (The row-wise
+  * STREAMING form, `NearDup.rowBandRows`, had always computed this
+  * shape but through interpreted `transform` lambdas — this is the
+  * codegen twin.)
+  *
+  * Parity: `a_j = (1103515245·(j+1) + 12345) mod P`,
+  * `b_j = (987654321·(j+1) + 67890) mod P` — exactly
+  * `NearDup.perm(j)`; inputs are mod-P residues so `a·h + b < 2^62`
+  * never overflows. A null or EMPTY hash array yields NULL — the rows
+  * the explode form dropped before the aggregate (callers filter).
+  */
+case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  require(k >= 1, s"signature width must be positive, got $k")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // null on an EMPTY array even with a non-null child — the constant
+  // isNull janino hazard (see DotProduct)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashSig.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("sig")
+      s"""
+         |final ArrayData $s = graft.functions.MinhashSig.compute($c, $k);
+         |if ($s == null) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  private val P = 2147483647L
+
+  /** Signature array, or null for a null/empty input (the explode
+    * form produced no rows for it). Called from generated code.
+    */
+  def compute(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = (1103515245L * (j + 1) + 12345L) % P
+      val b = (987654321L * (j + 1) + 67890L) % P
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * hashes.getLong(i) + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Column-side entry point. */
+  def apply(hashes: Column, k: Int): Column =
+    Bridge.column(MinhashSig(Bridge.expression(hashes), k))
+}
+
 object TextHash {
 
   /** Hashed word-n-gram shingle array of a token array (codegen). */

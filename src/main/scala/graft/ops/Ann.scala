@@ -69,12 +69,13 @@ object Ann {
     * any engine reproduces them); queries probe their `nProbe` nearest
     * cells and rescore exactly within them.
     *
-    * Plan shape: centroid dot products via
-    * exploded-vector ⋈ broadcast(centroid components) → one groupBy
-    * with a codegen sum — no per-row interpreted lambdas; cell argmax
-    * and top-k are `row_number() <= n` (WindowGroupLimit). The corpus
-    * shuffles once keyed on (id) for assignment and once on cell for
-    * the probe join — both scale-safe.
+    * Plan shape: BOTH cell assignments are fused codegen loops per
+    * row against the plan-time centroid matrix (corpus argmax:
+    * [[graft.functions.ArgmaxDot]], round 12; query top-nProbe:
+    * [[graft.functions.TopCellsDot]], round 19) — no centroid frame,
+    * no broadcast build, no probe aggregate or rank window; top-k is
+    * `row_number() <= k` (WindowGroupLimit). The corpus shuffles only
+    * for the probe join — scale-safe.
     * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
     */
   def ivfTopK(
@@ -100,7 +101,6 @@ object Ann {
       if (nCells != 0) nCells
       else autoCells(knownCount.getOrElse(corpus.select(col(idCol)).count()))
     ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
-      lcgCentroids(corpus.sparkSession, dim, cells),
       lcgCentroidMatrix(dim, cells), dim)
   }
 
@@ -165,8 +165,7 @@ object Ann {
         if (nCells != 0) nCells
         else autoCells(knownCount.getOrElse(corpus.select(col(idCol)).count()))
       val (mat, mDim) = seededCentroidMatrix(corpus, vecCol, idCol, cells)
-      ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe,
-        seededCentroids(corpus, vecCol, idCol, cells), mat, mDim)
+      ivfWithCentroids(corpus, queries, vecCol, idCol, k, nProbe, mat, mDim)
     }
 
   /** [[lshTopK]] with the band geometry sized from the ACTUAL corpus
@@ -312,7 +311,6 @@ object Ann {
       idCol: String,
       k: Int,
       nProbe: Int,
-      centroids: DataFrame,
       centroidMatrix: Array[Double],
       matDim: Int
   ): DataFrame = {
@@ -322,14 +320,21 @@ object Ann {
     // materializes n·dim·nCells rows — and whose grouped double sums
     // lose left-fold exactness once the aggregate SPILLS (measured at
     // the sf10 SemDeDup auto sizing: 99/12.19M rows drifted from the
-    // oracle). QUERY probes keep the window form: it needs the top
-    // nProbe cells, and the query side is small by construction.
+    // oracle). QUERY probes are baked too (round 19,
+    // [[graft.functions.TopCellsDot]]): the top-nProbe cell list is
+    // one fused codegen loop per query row — the centroid component
+    // frame, its broadcast build, the probe aggregate, and the rank
+    // window all disappear (the small query side pays them per batch;
+    // TopCellsDot mirrors the window form's ordering exactly,
+    // including the all-null-SUM and NaN ranks).
     val corpusCells = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("v0"))
       .select(col(idCol), graft.functions.ArgmaxDot(col("v0"), centroidMatrix, matDim).as("c"))
       .filter(col("c").isNotNull)
-    val queryCells = cellRanks(queries, vecCol, idCol, "query_id", centroids)
-      .filter(col("r") <= nProbe).select(col("query_id"), col("c"))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("v0"))
+      .select(col("query_id"),
+        explode(graft.functions.TopCellsDot(col("v0"), centroidMatrix, matDim, nProbe)).as("c"))
     val cand = corpusCells
       .join(broadcast(queryCells), Seq("c"))
       .filter(col(idCol) =!= col("query_id"))

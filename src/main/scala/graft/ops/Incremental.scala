@@ -37,12 +37,18 @@ object Incremental {
     * frame to persist as the corpus snapshot.
     */
   def signatures(df: DataFrame, textCol: String, idCol: String, k: Int = 32): DataFrame = {
-    val digests = df.select(
-      col(idCol),
-      md5(TextOps.normalize(col(textCol)).cast("binary")).as("digest"))
-    val sigs = NearDup.minhashSigsFromHashed(
-      NearDup.hashedShingles(df, textCol, idCol), idCol, k)
-    digests.join(sigs, Seq(idCol))
+    // digest and signature are BOTH row-local since round 19 (codegen
+    // MinhashSig over the shingle-hash array), so the join the
+    // aggregate shape needed collapses into one narrow projection —
+    // zero shuffles. The inner join semantics are preserved exactly:
+    // the old sigs side dropped docs with a null text (no exploded
+    // rows), which is the isNotNull filter here.
+    df.select(
+        col(idCol),
+        md5(TextOps.normalize(col(textCol)).cast("binary")).as("digest"),
+        graft.functions.MinhashSig(
+          graft.functions.TextHash.shingleHashes(NearDup.tokens(col(textCol))), k).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** New-batch rows that are neither exact nor near duplicates of the

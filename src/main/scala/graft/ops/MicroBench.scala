@@ -126,6 +126,79 @@ object MicroBench {
       return
     }
 
+    if (args.contains("mhsig")) {
+      // MinHash signature-shape A/B (round 19), interleaved in ONE JVM
+      // so the VM's weather hits all arms equally: full minhashPairs
+      // cost with (a) the aggregate sigs (explode → 32-min groupBy),
+      // (b) rowwise codegen sigs (MinhashSig, no exchange),
+      // (c) rowwise + an explicit repartition(id) reuse point.
+      import graft.functions.{MinhashSig, TextHash}
+      val k = 32
+      def aggSigs = NearDup.minhashSigsFromHashed(
+        NearDup.hashedShingles(docs, "text", "doc_id"), "doc_id", k)
+      def rowSigs = docs
+        .select(col("doc_id"),
+          MinhashSig(TextHash.shingleHashes(NearDup.tokens(col("text"))), k).as("sig"))
+        .filter(col("sig").isNotNull)
+      def pairsOf(sigs: DataFrame): DataFrame = {
+        val cand = NearDup.bandCandidatesJoinBack(sigs, "doc_id", k, 2)
+        val est = NearDup.minhashEstSim(col("sig_a"), col("sig_b"), k)
+        cand.select(col("id_a"), col("id_b"), est.as("est_sim"))
+          .filter(col("est_sim") >= 0.25)
+      }
+      for (round <- 1 to 3) {
+        time(s"r$round agg")(pairsOf(aggSigs))
+        time(s"r$round rowwise")(pairsOf(rowSigs))
+        time(s"r$round row+repart")(pairsOf(rowSigs.repartition(col("doc_id"))))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("ngsets")) {
+      // ngram `sets` reuse-point A/B (round 19), interleaved: the
+      // (id, hs) sketch frame feeds the rowwise sigs AND two
+      // join-backs — does an explicit repartition(id) reuse point on
+      // it beat recomputing the shingle hashing per consumer?
+      var ngramAgg = false
+      def ngramOf(repart: Boolean): DataFrame = {
+        val sets0 = docs.select(
+          col("doc_id"),
+          slice(
+            array_sort(array_distinct(
+              graft.functions.TextHash.shingleHashes(NearDup.tokens(col("text"))))),
+            1, 4096
+          ).as("hs"))
+        val sets = if (repart) sets0.repartition(col("doc_id")) else sets0
+        val sigs =
+          if (ngramAgg)
+            NearDup.minhashSigsFromHashed(
+              sets.select(col("doc_id"), explode(col("hs")).as("h")), "doc_id", 8)
+          else NearDup.minhashSigsRowwise(sets, col("hs"), "doc_id", 8)
+        val cand = NearDup.bandCandidates(sigs, "doc_id", 8, 1).select(col("id_a"), col("id_b"))
+        cand.as("c")
+          .join(sets.as("h1"), col("c.id_a") === col("h1.doc_id"))
+          .join(sets.as("h2"), col("c.id_b") === col("h2.doc_id"))
+          .select(
+            col("c.id_a"), col("c.id_b"),
+            graft.functions.ArrayMath.sortedIntersectSize(col("h1.hs"), col("h2.hs"))
+              .cast("double").as("inter"),
+            (size(col("h1.hs")) + size(col("h2.hs"))).cast("double").as("tot"))
+          .select(col("id_a"), col("id_b"), (col("inter") / (col("tot") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.2)
+      }
+      for (round <- 1 to 3) {
+        ngramAgg = true
+        time(s"r$round agg/plain ")(ngramOf(repart = false))
+        time(s"r$round agg/repart")(ngramOf(repart = true))
+        ngramAgg = false
+        time(s"r$round row/plain ")(ngramOf(repart = false))
+        time(s"r$round row/repart")(ngramOf(repart = true))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget1")) {
       // Exact-window vs histogram-threshold token budget on ONE GIANT
       // STRATUM (the shape the histogram form exists for): with a

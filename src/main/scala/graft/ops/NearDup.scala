@@ -166,6 +166,22 @@ object NearDup {
       .select(col(idCol), array((0 until k).map(j => col(s"g$j")): _*).as("sig"))
   }
 
+  /** `(id, sig)` MinHash signatures computed ROW-LOCALLY (round 19):
+    * the k permutation minima fuse into one codegen loop per row over
+    * a hash ARRAY ([[graft.functions.MinhashSig]] — `min` over mod-P
+    * longs is order-free, so unlike the float signature aggregates
+    * nothing is lost by leaving the aggregate form), deleting the
+    * exploded shingle stream, the k-buffer aggregate, and the
+    * signature exchange from every batch MinHash consumer. The
+    * isNotNull filter reproduces the explode form's frame row-for-row
+    * (docs whose hash array is null produced no exploded rows). The
+    * aggregate spelling stays in [[minhashAggColumns]] for the
+    * SQL-text backend and the DuckDB oracle.
+    */
+  private[ops] def minhashSigsRowwise(df: DataFrame, hashArr: Column, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol), graft.functions.MinhashSig(hashArr, k).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** The k permutation-min aggregate Columns over a hashed-shingle
     * column `h` (unaliased, component order) — the signature
     * construction itself, exposed so the SQL-text backend renders the
@@ -320,7 +336,18 @@ object NearDup {
       bandRows: Int = 2,
       minEstSim: Double = 0.25
   ): DataFrame = {
-    val sigs = minhashSigsFromHashed(hashedShingles(df, textCol, idCol), idCol, k)
+    // The explicit repartition(id) is a REUSE POINT (round 19): the
+    // signature frame feeds the two band-row branches and the two
+    // join-backs, and with the signature aggregate fused away there is
+    // no exchange left for ReuseExchange to anchor on — each consumer
+    // would re-run the md5 shingle hashing. One narrow (id, sig)
+    // exchange (same bytes the old aggregate shuffled, map-side
+    // combined) pins the hashing to a single pass. Interleaved 3-arm
+    // A/B (`MicroBench mhsig`): rowwise+repartition 0.72–0.81 s vs
+    // aggregate 0.81–1.05 s vs plain rowwise 0.94–1.09 s at sf0.1.
+    val sigs = minhashSigsRowwise(
+      df, graft.functions.TextHash.shingleHashes(tokens(col(textCol))), idCol, k)
+      .repartition(col(idCol))
     // JOIN-BACK candidates, not carried-sig (round-10 A/B, `MicroBench
     // mhab`, sentinel-clean both scales): with k=32 the carried
     // signature widens every band row by 256 B and the first-collision
@@ -372,15 +399,23 @@ object NearDup {
     // ReuseExchange deduplicates into one exchange. (The pre-round-8
     // window formulation instead re-collected the exploded stream —
     // a full shuffle of every shingle hash.)
+    // The explicit repartition(id) is a REUSE POINT (round 19): `sets`
+    // feeds the rowwise signature path AND both join-backs, and with
+    // the signature aggregate gone there is no exchange left for
+    // ReuseExchange to anchor on — each consumer would re-run the md5
+    // shingle hashing. One narrow (id, hs) exchange pins the hashing
+    // to a single pass; the join-backs then join ON the partition key.
+    // Interleaved 4-arm A/B (`MicroBench ngsets`): rowwise+repartition
+    // beat the old aggregate shape in every round (0.68–0.98 s vs
+    // 0.86–1.21 s at sf0.1).
     val sets = df.select(
       col(idCol),
       slice(
         array_sort(array_distinct(graft.functions.TextHash.shingleHashes(tokens(col(textCol))))),
         1, maxShinglesPerDoc
       ).as("hs")
-    )
-    val sigs = minhashSigsFromHashed(
-      sets.select(col(idCol), explode(col("hs")).as("h")), idCol, k)
+    ).repartition(col(idCol))
+    val sigs = minhashSigsRowwise(sets, col("hs"), idCol, k)
     // first-collision band join: each candidate pair arrives exactly
     // once (no distinct() shuffle); the carried signatures are dropped
     // — Jaccard needs the sketch sets, which join back below

@@ -33,15 +33,27 @@ object Quantize {
       .groupBy("pos")
       .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
 
-  /** One row holding the extrema as position-ordered arrays, for the
-    * broadcast cross join: `(mns array<double>, mxs array<double>)`.
+  /** The extrema as position-ordered PLAN-TIME literal arrays (round
+    * 19): nDims rows are a bounded constant (the IVF-centroid
+    * precedent), so collecting them replaces the former 1-row
+    * aggregate + broadcast-nested-loop cross join with two literal
+    * array columns — same values (the identical min/max aggregate
+    * computes them, as a plan-time job), two fewer driver jobs, no
+    * join in the plan. Null extrema (a dimension whose every value is
+    * null) stay null via the boxed element type, exactly as the old
+    * collect_list structs carried them.
     */
-  private def extremaArrays(df: DataFrame, vecCol: String): DataFrame =
-    extrema(df, vecCol)
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("mn")))), _.getField("mn")).as("mns"),
-        transform(array_sort(collect_list(struct(col("pos"), col("mx")))), _.getField("mx")).as("mxs")
-      )
+  private def extremaLiterals(df: DataFrame, vecCol: String): (Column, Column) = {
+    val rows = extrema(df, vecCol).collect()
+    val byPos = rows.map(r => (r.getInt(0),
+      (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))).sortBy(_._1)
+    def arr(vs: Array[java.lang.Double]): Column =
+      if (vs.isEmpty) array().cast("array<double>")
+      else array(vs.map(v =>
+        if (v == null) lit(null).cast("double") else lit(v.doubleValue())): _*)
+    (arr(byPos.map(_._2._1)), arr(byPos.map(_._2._2)))
+  }
 
   private def codeExpr(x: Column, mn: Column, mx: Column, levels: Int): Column = {
     // fixed order: (x - mn) * (levels - 1), THEN / (mx - mn) — the
@@ -60,14 +72,13 @@ object Quantize {
   def quantizeCodes(df: DataFrame, vecCol: String, idCol: String, bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
     val levels = 1 << bits
-    df.crossJoin(broadcast(extremaArrays(df, vecCol)))
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")),
-        col("mns"), col("mxs"))
+    val (mns, mxs) = extremaLiterals(df, vecCol)
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(
         col(idCol),
         col("pos").cast("int").as("pos"),
-        codeExpr(col("x"), element_at(col("mns"), col("pos") + 1),
-          element_at(col("mxs"), col("pos") + 1), levels).as("code")
+        codeExpr(col("x"), element_at(mns, col("pos") + 1),
+          element_at(mxs, col("pos") + 1), levels).as("code")
       )
   }
 
@@ -79,14 +90,14 @@ object Quantize {
   def quantizeVectors(df: DataFrame, vecCol: String, idCol: String, bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
     val levels = 1 << bits
-    df.crossJoin(broadcast(extremaArrays(df, vecCol)))
-      .select(
-        col(idCol),
-        transform(col(vecCol), (x, i) =>
-          codeExpr(x, element_at(col("mns"), i + 1), element_at(col("mxs"), i + 1), levels)
-        ).as("codes"),
-        col("mns"), col("mxs")
-      )
+    val (mns, mxs) = extremaLiterals(df, vecCol)
+    df.select(
+      col(idCol),
+      transform(col(vecCol), (x, i) =>
+        codeExpr(x, element_at(mns, i + 1), element_at(mxs, i + 1), levels)
+      ).as("codes"),
+      mns.as("mns"), mxs.as("mxs")
+    )
   }
 
   /** Reconstruction: code → the CENTER of its quantization cell.

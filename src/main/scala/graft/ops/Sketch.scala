@@ -40,10 +40,20 @@ object Sketch {
     */
   def distinctTokensKmv(df: DataFrame, textCol: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val toks = df
+    // ONE distinct-token subtree feeds both the exact count and the
+    // sketch (round 19): the two sides previously tokenized the corpus
+    // independently (a second full Generate + normalize pass) — the
+    // exact side's countDistinct IS a count over the distinct-token
+    // set, and the sketch's distinct hashes over the VOCABULARY equal
+    // its distinct hashes over the corpus, so both consumers now hang
+    // off the same vocabulary exchange (reused, computed once) and the
+    // hash distinct runs over vocab-sized input instead of every token
+    // occurrence.
+    val vocab = df
       .select(explode(NearDup.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val kth = toks
+      .distinct()
+    val kth = vocab
       .select(NearDup.hash32(col("tok")).as("h"))
       .distinct()
       .orderBy(col("h"))
@@ -52,7 +62,7 @@ object Sketch {
       // the corpus has fewer than k distinct hashes and max(h) is NOT
       // the k-th minimum — the estimate would be biased low.
       .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("__n_in_k"))
-    val exact = toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+    val exact = vocab.agg(count(lit(1)).as("exact_distinct"))
     kth.crossJoin(exact).select(
       lit(k).as("k"),
       col("kth_hash"),

@@ -402,27 +402,37 @@ object TextOps {
     def bigramRows(d: DataFrame): DataFrame =
       NearDup.hashedShingles(
         d.filter(size(NearDup.tokens(col(textCol))) >= 2), textCol, idCol, n = 2)
-    val model = bigramRows(ref)
+    // The model is AT MOST topK rows by construction — a bounded
+    // plan-time constant (the IVF-centroid precedent), collected once
+    // and BAKED into a per-row codegen loop (round 19,
+    // [[graft.functions.LmBigramStats]]): the corpus-side plan drops
+    // from explode → broadcast join → per-doc aggregate →
+    // row-restoring left join (two joins, two exchanges) to ONE
+    // narrow projection. All three statistics are integer counts, so
+    // the fusion is exact; the collect mirrors the old broadcast
+    // model frame row-for-row (same count/order cut).
+    val modelRows = bigramRows(ref)
       .groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("h"))
       .limit(topK)
-    val scored = bigramRows(df)
-      .join(broadcast(model), Seq("h"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        count(col("cnt")).as("n_hits"),
-        coalesce(sum(col("cnt")), lit(0L)).as("model_mass")
-      )
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+      .collect()
+    val sorted = modelRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val stats = graft.functions.LmBigramStats(
+      NearDup.tokens(col(textCol)), sorted.map(_._1), sorted.map(_._2))
+    df.select(col(idCol), coalesce(stats, lit(Array(0L, 0L, 0L))).as("__lm"))
       .select(
         col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        coalesce(col("model_mass"), lit(0L)).as("model_mass"),
-        when(col("n_bigrams").isNull, lit(0.0))
+        element_at(col("__lm"), 1).as("n_bigrams"),
+        element_at(col("__lm"), 2).as("n_hits"),
+        element_at(col("__lm"), 3).as("model_mass")
+      )
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        col("n_hits"),
+        col("model_mass"),
+        when(col("n_bigrams") === 0L, lit(0.0))
           .otherwise(col("n_hits").cast("double") / col("n_bigrams").cast("double"))
           .as("coverage")
       )
@@ -658,22 +668,23 @@ object TextOps {
     val nBuckets = weights.length
     require(nBuckets >= 2, s"need >= 2 weights, got $nBuckets")
     val scaleD = ClassifierScale.toDouble
-    val wLit = lit(weights)
-    val acc = df
-      .select(col(idCol), explode(NearDup.tokens(col(textCol))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(col(idCol),
-        element_at(wLit, (pmod(NearDup.hash32(col("tok")), lit(nBuckets.toLong)) + 1L).cast("int")).as("w_int"))
-      .groupBy(col(idCol))
-      .agg(sum(col("w_int")).as("acc"), count(lit(1)).as("n_tok"))
+    // ONE fused loop per row (round 19, graft.functions.ClassifierAcc):
+    // the logit accumulators are integer (2^30-scaled longs — the
+    // model's whole design), so the per-document reduction fuses
+    // row-locally, deleting the exploded token stream, the aggregate
+    // exchange, and the row-restoring left join — the plan is now one
+    // codegen projection over the scan. The null-array coalesce is the
+    // old join's null branch (n_tok 0; acc unused at n_tok = 0).
+    val accArr = graft.functions.ClassifierAcc(NearDup.tokens(col(textCol)), weights)
     val logit =
       when(col("n_tok") === 0L, lit(biasScaled.toDouble / scaleD))
         .otherwise(
           (lit(biasScaled) * col("n_tok") + col("acc")).cast("double") /
             (col("n_tok") * ClassifierScale).cast("double"))
-    df.select(col(idCol))
-      .join(acc, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"), col("acc"))
+    df.select(col(idCol), coalesce(accArr, lit(Array(0L, 0L))).as("__ca"))
+      .select(col(idCol),
+        element_at(col("__ca"), 2).as("n_tok"),
+        element_at(col("__ca"), 1).as("acc"))
       .select(
         col(idCol),
         col("n_tok"),

@@ -630,11 +630,14 @@ class OpsSpec extends SparkTestBase {
     assert(viaJoin.sameElements(baked))
 
     // the point of baking: the token→weight lookup is a literal array
-    // index, so the aggregation side of the plan has NO join (the one
-    // remaining join is the zero-token-row join-back against the ids)
+    // index — and since round 19 the whole per-doc accumulation fuses
+    // row-locally (graft_classifier_acc), so the plan has NO join and
+    // NO aggregate at all (the zero-token join-back became the
+    // null-array coalesce)
     val plan = TextOps.classifierScoreBaked(docs, wArr, "text", "doc_id")
       .queryExecution.optimizedPlan.toString
-    assert(plan.toLowerCase.split("join").length - 1 == 1, plan)
+    assert(plan.toLowerCase.split("join").length - 1 == 0, plan)
+    assert(plan.contains("graft_classifier_acc"), plan)
 
     // a SPARSE model must still count every token: drop half the
     // buckets from the table — n_tok must match the dense run

@@ -128,20 +128,22 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("text_lm_score: model joins broadcast, shingles stay codegen, no cartesian") {
     val plan = plans(SparkEntry.queries("text_lm_score")(spark, sfDir))
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    // bigrams are hashed in the native expression, never built as strings
-    assert(plan.contains("graft_shingle_hashes"), plan)
-    assert(plan.contains("TakeOrderedAndProject"), plan) // the top-k model cut
+    // round 19: the top-K model is collected at plan time (bounded by
+    // construction) and baked into one codegen loop per row — the
+    // corpus side is a joinless, exchange-free, aggregate-free
+    // projection (the model cut itself runs as a plan-time job)
+    assert(plan.contains("graft_lm_bigram_stats"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
-  test("text_classifier_score: model weights broadcast, one aggregate, no cartesian") {
+  test("text_classifier_score: baked weights, one fused projection — no join, no exchange") {
     val plan = plans(SparkEntry.queries("text_classifier_score")(spark, sfDir))
-    assert(!plan.contains("CartesianProduct"), plan)
-    // the (bucket, w_int) model joins map-side — corpus tokens never
-    // shuffle for the model lookup
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(plan.contains("HashAggregate"), plan) // map-side combined logit sums
+    // round 19: the integer logit accumulation fuses row-locally
+    // against the plan-time weight vector
+    assert(plan.contains("graft_classifier_acc"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("kmeans_assign: baked argmin projection — no join, no exchange") {
