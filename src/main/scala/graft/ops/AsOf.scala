@@ -120,23 +120,29 @@ object AsOf {
     // bucket. Equal timestamps always share a bucket, so concatenating
     // buckets in order reproduces the exact global (ts, __side) order.
     val tnum = col(tsCol).cast("double")
-    val bounds = broadcast(
-      rWithVals.agg(
-        min(col(tsCol).cast("double")).as("__tmin"),
-        max(col(tsCol).cast("double")).as("__tmax")
-      )
-    )
-    val span = col("__tmax") - col("__tmin")
-    val bucketExpr = when(col("__tmin").isNull || tnum.isNull || span <= 0, lit(0L))
+    // The bucket bounds are a 1-ROW aggregate of the right side —
+    // collected at plan time (round 19) and baked as literals instead
+    // of riding two broadcast cross joins (`bucketed` and `summary`
+    // each paid a broadcast build). Same min/max aggregate computes
+    // them, as one plan-time job; the bucket mapping is unchanged
+    // value-for-value.
+    val boundsRow = rWithVals.agg(
+      min(col(tsCol).cast("double")).as("__tmin"),
+      max(col(tsCol).cast("double")).as("__tmax")
+    ).collect()(0)
+    val tminLit =
+      if (boundsRow.isNullAt(0)) lit(null).cast("double") else lit(boundsRow.getDouble(0))
+    val tmaxLit =
+      if (boundsRow.isNullAt(1)) lit(null).cast("double") else lit(boundsRow.getDouble(1))
+    val span = tmaxLit - tminLit
+    val bucketExpr = when(tminLit.isNull || tnum.isNull || span <= 0, lit(0L))
       .otherwise(
         least(
           lit(timeBuckets - 1L),
-          greatest(lit(0L), floor((tnum - col("__tmin")) / (span / timeBuckets)))
+          greatest(lit(0L), floor((tnum - tminLit) / (span / timeBuckets)))
         )
       )
-    val bucketed = unioned.crossJoin(bounds)
-      .withColumn("__bucket", bucketExpr)
-      .drop("__tmin", "__tmax")
+    val bucketed = unioned.withColumn("__bucket", bucketExpr)
 
     // pass 1: fill within each (key, bucket) slice — the hot key's
     // single sort becomes `timeBuckets` parallel sorts
@@ -153,7 +159,7 @@ object AsOf {
     // All of this runs on the aggregated (key, bucket) frame — at most
     // keys × timeBuckets rows — never on the event-scale frame.
     val keyCs = keyCols.map(col)
-    val summary = rWithVals.crossJoin(bounds)
+    val summary = rWithVals
       .withColumn("__bucket", bucketExpr)
       .groupBy((keyCols :+ "__bucket").map(col): _*)
       .agg(max_by(col("__vals"), col(tsCol)).as("__carry"))
