@@ -75,15 +75,18 @@ object SemDedup {
     // × 3125). Output-identical to cellRanks r=1 (OpsSpec asserts it,
     // including the tie and NaN orderings).
     val (mat, mDim) = Ann.seededCentroidMatrix(df, vecCol, idCol, nCells)
-    val cells = df
-      // native array Cast (codegen), not transform() (interpreted HOF)
-      .select(col(idCol), col(vecCol).cast("array<double>").as("v0"))
-      .select(col(idCol), graft.functions.ArgmaxDot(col("v0"), mat, mDim).as("c"))
-      .filter(col("c").isNotNull)
+    // cell, norm, and the double vector are ALL row-local projections
+    // of the same frame, computed in ONE select (round 19) — the cell
+    // column previously came back through a corpus-scale equi-join on
+    // the id, a full exchange of the vectors that attached a value the
+    // row could compute itself. ArgmaxDot sees the identical
+    // array<double> values either way (native Cast vs per-element
+    // transform are the same cast).
     val base = df
       .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .join(cells, Seq(idCol))
+      .withColumn("c", graft.functions.ArgmaxDot(col("v"), mat, mDim))
+      .filter(col("c").isNotNull)
     val a = base.select(
       col("c"), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(
