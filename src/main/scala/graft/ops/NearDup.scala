@@ -713,44 +713,32 @@ object NearDup {
   def rowBandRows(df: DataFrame, textCol: String, k: Int = 32, bandRows: Int = 2): DataFrame = {
     require(k >= 1 && bandRows >= 1 && k % bandRows == 0, "bandRows must divide k")
     val nBands = k / bandRows
-    val hs = when(
-      size(col("__w")) < 3,
-      array(hash32(concat_ws(" ", col("__w"))) % P)
-    ).otherwise(
-      transform(
-        sequence(lit(1), size(col("__w")) - 2),
-        i =>
-          (element_at(col("__hw"), i) * C1 +
-            element_at(col("__hw"), i + 1) * C2 +
-            element_at(col("__hw"), i + 2)) % P
-      )
+    // Signature via the CODEGEN expressions (round 19): the shingle
+    // hashing and the k permutation minima are
+    // [[graft.functions.ShingleHashes]] + [[graft.functions.MinhashSig]]
+    // — bit-identical values to the former interpreted-`transform`
+    // chain (same % P token hashes, same 3-gram combine incl. the
+    // whole-text short-doc fallback, same perm constants), with the
+    // per-token md5 loop inside whole-stage codegen instead of one
+    // closure call per token per row. Band keys KEEP the pipe-joined
+    // string form — it is part of the streaming gate entries' declared
+    // output — but are now built from fixed `concat_ws`/`element_at`
+    // trees (codegen) instead of interpreted array_join(transform(…)).
+    // A null signature (null text) nulls the band array, so explode
+    // drops the row — exactly the old null-chain behavior.
+    val sig = graft.functions.MinhashSig(
+      graft.functions.TextHash.shingleHashes(tokens(col(textCol))), k)
+    val bands = when(
+      col("__sig").isNotNull,
+      array((0 until nBands).map { bi =>
+        struct(
+          lit(bi).cast("int").as("band_idx"),
+          concat_ws("|", (1 to bandRows).map(r =>
+            element_at(col("__sig"), bi * bandRows + r).cast("string")): _*).as("band_key")
+        )
+      }: _*)
     )
-    // component j (1-based here) = batch perm(j-1): a=(1103515245*j+12345)%P
-    val sig = transform(
-      sequence(lit(1), lit(k)),
-      j => {
-        val a = (lit(1103515245L) * j + lit(12345L)) % P
-        val b = (lit(987654321L) * j + lit(67890L)) % P
-        array_min(transform(col("__hs"), h => (a * h + b) % P))
-      }
-    )
-    val bands = transform(
-      sequence(lit(0), lit(nBands - 1)),
-      bi => struct(
-        bi.cast("int").as("band_idx"),
-        array_join(
-          transform(
-            sequence(lit(1), lit(bandRows)),
-            r => element_at(col("__sig"), bi * bandRows + r).cast("string")
-          ),
-          "|"
-        ).as("band_key")
-      )
-    )
-    df.withColumn("__w", tokens(col(textCol)))
-      .withColumn("__hw", transform(col("__w"), t => hash32(t) % P))
-      .withColumn("__hs", hs)
-      .withColumn("__sig", sig)
+    df.withColumn("__sig", sig)
       .withColumn("__band", explode(bands))
       .select((df.columns.map(col) :+ col("__band.band_idx") :+ col("__band.band_key")): _*)
   }

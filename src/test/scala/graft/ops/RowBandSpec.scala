@@ -22,16 +22,30 @@ class RowBandSpec extends SparkTestBase {
   ).toDF("doc_id", "text")
 
   test("per-row band keys are bit-identical to the batch explode/agg pipeline") {
+    // The batch pipeline packs 1-2-component band keys into ONE long
+    // (`c0·P + c1`, a bijection — round 19); the streaming form keeps
+    // the pipe-joined string (part of the stream gate entries' declared
+    // output). Bit-identity is asserted through the bijection: the
+    // string key, re-packed, must equal the batch long for every
+    // (doc, band). Wider bands (r=4) keep the string form on both.
+    val P = 2147483647L
+    def packed(key: String, r: Int): String = {
+      val parts = key.split('|').map(_.toLong)
+      if (r == 1) parts(0).toString
+      else if (r == 2) (parts(0) * P + parts(1)).toString
+      else key
+    }
     for ((k, r) <- Seq((32, 2), (8, 1), (16, 4))) {
       val batch = NearDup.bandRowsOf(
         NearDup.minhashSigsFromHashed(
           NearDup.hashedShingles(docs, "text", "doc_id"), "doc_id", k),
         "doc_id", k, r
-      ).select(col("doc_id"), col("band_idx"), col("band_key"))
+      ).select(col("doc_id"), col("band_idx"), col("band_key").cast("string"))
         .as[(Long, Int, String)].collect().toSet
       val perRow = NearDup.rowBandRows(docs, "text", k, r)
         .select(col("doc_id"), col("band_idx"), col("band_key"))
-        .as[(Long, Int, String)].collect().toSet
+        .as[(Long, Int, String)].collect()
+        .map { case (id, b, key) => (id, b, packed(key, r)) }.toSet
       assert(perRow == batch, s"k=$k r=$r:\nrow=$perRow\nbatch=$batch")
       assert(perRow.size == docs.count() * (k / r)) // no dropped/dup bands
     }
