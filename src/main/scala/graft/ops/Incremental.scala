@@ -104,7 +104,7 @@ object Incremental {
     * and [[updatedSnapshot]]. `newSig` is a [[signatures]] frame of
     * the new batch.
     */
-  private def dropIds(
+  private[ops] def dropIds(
       newSig: DataFrame,
       snapshot: DataFrame,
       idCol: String,

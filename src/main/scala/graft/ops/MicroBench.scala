@@ -199,6 +199,30 @@ object MicroBench {
       return
     }
 
+    if (args.contains("incab")) {
+      // Incremental-dedup signature reuse-point A/B (round 19),
+      // interleaved: newSig feeds three consumers (digest semi-join,
+      // band rows, sig join-back) — is an explicit repartition(id)
+      // reuse point on the rowwise signature frame worth its exchange?
+      val snapPath = "/tmp/microbench_incsnap"
+      Incremental.signatures(docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(snapPath)
+      val snapshot = spark.read.parquet(snapPath)
+      val newDf = docs.filter(col("doc_id") % 3 === 0)
+      def arm(repart: Boolean): DataFrame = {
+        val sig0 = Incremental.signatures(newDf, "text", "doc_id")
+        val newSig = if (repart) sig0.repartition(col("doc_id")) else sig0
+        newDf.join(Incremental.dropIds(newSig, snapshot, "doc_id", 32, 2, 0.25),
+          Seq("doc_id"), "left_anti")
+      }
+      for (round <- 1 to 3) {
+        time(s"r$round plain ")(arm(repart = false))
+        time(s"r$round repart")(arm(repart = true))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget1")) {
       // Exact-window vs histogram-threshold token budget on ONE GIANT
       // STRATUM (the shape the histogram form exists for): with a
