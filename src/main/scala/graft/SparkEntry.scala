@@ -2563,7 +2563,8 @@ object SparkEntry {
     ),
     // Benchmark decontamination: docs with doc_id % 20 == 0 play the
     // eval suite; the rest is the training corpus. Eval shingle set is
-    // broadcast — the corpus side never shuffles its shingles.
+    // baked into a plan-time model (round 20) — the corpus side is one
+    // row-local codegen pass, no shuffle, no join.
     "decontam_overlap" -> Entry(
       (s, dir) => {
         val d = docs(s, dir)

@@ -413,13 +413,13 @@ object MicroBench {
     }
 
     if (args.contains("decontamab")) {
-      // Round-17 adjudication of the BENCH_r16 decontam_overlap 0.91 s
-      // reading (its worst in six rounds, on a clean-sentinel day).
-      // Two questions: (1) which branch does the adaptive
-      // `bloomDecision` take on the EXACT bench corpus shape — did
-      // r15's broadened unknown-rule silently flip it? (2) what do the
-      // three bloom settings cost here, with enough reps to see the
-      // op's run-to-run variance? Sentinel-bracketed.
+      // Round-20 adjudication: the baked row-local overlap (one
+      // codegen projection against a plan-time EvalShingleModel) vs
+      // the pre-round-20 explode → broadcast join → two-countDistinct
+      // aggregate → left-join-back formulation (reproduced inline
+      // below, exactly as Decontam.overlap read through round 19).
+      // The model-freeze job runs at construction, INSIDE each timed
+      // rep — nothing is amortized across runs. Sentinel-bracketed.
       val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
       val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
       def sentinelOnce(): Double = {
@@ -432,10 +432,21 @@ object MicroBench {
 
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
       val eval = docs.filter(col("doc_id") % 20 === 0)
-      val decision = Decontam.bloomDecision(corpus)
-      val statSize = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-      println(s"bloomDecision(bench corpus) = $decision  " +
-        s"(plan statSize=$statSize bytes, floor=${Decontam.BloomMinCorpusBytes})")
+
+      def overlapJoin(): DataFrame = {
+        val evalShingles = NearDup.hashedShingles(eval, "text", "doc_id")
+          .select(col("h"), col("doc_id").as("eval_id")).distinct()
+        val hits = NearDup.hashedShingles(corpus, "text", "doc_id")
+          .join(broadcast(evalShingles), "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("n_hits"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+        corpus.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+            (coalesce(col("n_hits"), lit(0L)) >= 2).as("contaminated"))
+      }
 
       val reps = 5
       def rep(name: String)(df: => DataFrame): Unit = {
@@ -446,12 +457,13 @@ object MicroBench {
         }
         println(f"$name%-24s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
       }
-      rep("overlap adaptive (bench)")(
+      rep("overlap join (r19 form)")(overlapJoin())
+      rep("overlap baked (r20)")(
         Decontam.overlap(corpus, eval, "text", "doc_id"))
-      rep("overlap bloom=off")(
-        Decontam.overlap(corpus, eval, "text", "doc_id", bloomPreFilter = Some(false)))
-      rep("overlap bloom=on")(
-        Decontam.overlap(corpus, eval, "text", "doc_id", bloomPreFilter = Some(true)))
+      val a = Decontam.overlap(corpus, eval, "text", "doc_id")
+      val b = overlapJoin()
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      println(s"row diff baked vs join: $diff")
 
       val s1 = sentinelOnce()
       val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)

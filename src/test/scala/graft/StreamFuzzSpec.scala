@@ -13,8 +13,10 @@ import graft.fuzz.{PipelineGen, StreamFuzz}
   * deterministic, digest/band SETS where the surviving representative
   * follows arrival order. See [[graft.fuzz.StreamFuzz]].
   *
-  * Seed count: GRAFT_STREAMFUZZ_N (default 60 — each seed starts one
-  * or two real StreamingQuery runs). The standalone campaign
+  * Seed count: GRAFT_STREAMFUZZ_N (default 10 — each seed starts one
+  * or two real StreamingQuery runs, so this is the most expensive
+  * suite per seed; the smoke default keeps `sbt test` inside the
+  * driver's verify window). The standalone campaign
   * (`graft.fuzz.StreamFuzz <sfDir> <n>`) runs the wider sweep
   * recorded in BASELINE. Reproduce one seed with
   * `PipelineGen.stream(seed)`.
@@ -24,7 +26,7 @@ class StreamFuzzSpec extends SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("seeded random streaming pipelines: batch == stream, partitioning-invariant") {
-    val n = sys.env.getOrElse("GRAFT_STREAMFUZZ_N", "60").toInt
+    val n = sys.env.getOrElse("GRAFT_STREAMFUZZ_N", "10").toInt
     val workDir =
       java.nio.file.Files.createTempDirectory("graft_streamfuzz_spec").toString
     StreamFuzz.prepare(spark, sfDir, workDir)
