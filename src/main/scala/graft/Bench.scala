@@ -97,6 +97,18 @@ object Bench {
     val sentinelEnd = sentinelOnce()
     val sentinels = Seq(sentinelStart, sentinelMid, sentinelEnd)
     val degraded = sentinelExpected > 0 && sentinels.exists(_ > 2 * sentinelExpected)
+    // SECOND taint signal (round 20): the r19 record passed the 2×
+    // sentinel gate with a 1.8× drift while individual entries ran
+    // [0.31, 4.05, 4.99] — a 16× within-entry spread manufactured a
+    // phantom regression. After two warm-ups a healthy entry's
+    // max/min run ratio sits well under 2; anything past 3× is a
+    // mid-entry environment stall. Flagged entries are listed (the
+    // medians stay — a single stalled run of three usually leaves the
+    // median honest) so the record self-reports which rows not to
+    // trust even when every sentinel passes.
+    val spreadSuspect = (results ++ opsResults).collect {
+      case (k, Right(v)) if v.min > 0 && v.max / v.min > 3.0 => k
+    }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -124,6 +136,9 @@ object Bench {
     if (degraded) System.err.println(
       s"[bench] DEGRADED ENVIRONMENT: sentinel ${sentinels.map(s => f"$s%.3f").mkString("/")} s " +
         f"vs expected $sentinelExpected%.2f s — treat this record's times as environment noise")
+    if (spreadSuspect.nonEmpty) System.err.println(
+      s"[bench] SPREAD SUSPECT (within-entry max/min > 3x — mid-entry environment " +
+        s"stall even though sentinels pass): ${spreadSuspect.mkString(", ")}")
     // stop Spark BEFORE printing so the JSON line is the last stdout
     // line of the run (shutdown logging lands above it, not after) —
     // robust whether the driver scans lines or takes the last one.
@@ -134,10 +149,11 @@ object Bench {
     // STDERR under a distinct metric name — stdout carries exactly ONE
     // "metric":"total" record, so a consumer that takes the first match
     // and one that takes the last agree.
+    val spreadJson = spreadSuspect.map(jstr).mkString("[", ",", "]")
     System.err.println(
       s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"ops":$os,"runs":$runs,""" +
         s""""sentinel":${jarr(sentinels)},"sentinel_expected":$sentinelExpected,"degraded":$degraded,""" +
-        s""""errors":$es,"sf":${jstr(sfDir)}}"""
+        s""""spread_suspect":$spreadJson,"errors":$es,"sf":${jstr(sfDir)}}"""
     )
     // … then a COMPACT medians-only record as the FINAL stdout line.
     // The driver keeps only a bounded tail of stdout; through round 10
@@ -150,7 +166,7 @@ object Bench {
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"ops":$os,""" +
         s""""sentinel":${sentinels.map(jnum).mkString("[", ",", "]")},""" +
         s""""sentinel_expected":$sentinelExpected,"degraded":$degraded,""" +
-        s""""errors":$es,"sf":${jstr(sfDir)}}"""
+        s""""spread_suspect":$spreadJson,"errors":$es,"sf":${jstr(sfDir)}}"""
     )
     System.out.flush()
   }

@@ -599,11 +599,22 @@ object NearDup {
     * instead of the `k` hops plain propagation reaches — the
     * long-chain shape that a fixed hop-only count silently splits.
     *
-    * `iterations` stays a FIXED count (not run-to-convergence) so the
-    * result is exactly reproducible by an unrolled SQL oracle; the
-    * label frame is checkpointed once per round, which both
-    * truncates the otherwise-exponential self-join lineage and bounds
-    * per-round work to one pass over the (id, label) frame.
+    * `iterations` is a FIXED CAP (so the result is exactly
+    * reproducible by an unrolled SQL oracle even on a pathological
+    * chain), but rounds STOP EARLY at the first round that changes no
+    * label (round 20): per-vertex labels only ever decrease and a
+    * round is a deterministic function of the label frame, so a no-op
+    * round is a fixed point — every remaining round is also a no-op
+    * and the early-terminated output is bit-identical to the full
+    * `iterations` unroll. Real near-dup graphs are overwhelmingly
+    * cliques/stars that settle in 1–2 rounds; the cap only bites on
+    * diameter->2^k chains, where the unrolled-oracle contract needs
+    * it. The change test is one tiny job per round (`isEmpty` over the
+    * checkpointed O(pairs) frame — the hop aggregate already carries
+    * each vertex's previous root, so no extra join). The label frame
+    * is checkpointed once per round, which both truncates the
+    * otherwise-exponential self-join lineage and bounds per-round work
+    * to one pass over the (id, label) frame.
     *
     * Fault tolerance: the default `localCheckpoint` stores blocks on
     * executors — fast, but a lost executor on a real cluster kills the
@@ -650,7 +661,10 @@ object NearDup {
     var labels = edges.select(col("u")).distinct()
       .join(df.select(col(idCol).as("u")), Seq("u"), "left_semi")
       .withColumn("root", col("u"))
-    (1 to iterations).foreach { _ =>
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
+      round += 1
       // hop: smallest among the vertex's own label and its labeled
       // neighbours' labels. ONE aggregate over a tagged union (round
       // 19) instead of the former join → groupBy → join-back chain:
@@ -665,7 +679,9 @@ object NearDup {
       // dropped, and every labels-vertex has a self row, so none are.
       // Checkpointed because the jump self-join references it twice —
       // without it the plan (and the recompute cost) doubles every
-      // round.
+      // round. `__prev` (the vertex's pre-round root — exactly its one
+      // self row's cand) rides the same aggregate so the convergence
+      // test below needs no join back to the previous label frame.
       val nbrRows = edges
         .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")
         .select(col("u"), col("nroot").as("cand"), lit(0).as("__self"))
@@ -673,16 +689,27 @@ object NearDup {
         .select(col("u"), col("root").as("cand"), lit(1).as("__self"))
         .unionByName(nbrRows)
         .groupBy("u")
-        .agg(min(col("cand")).as("root"), max(col("__self")).as("__s"))
+        .agg(min(col("cand")).as("root"),
+          max(when(col("__self") === 1, col("cand"))).as("__prev"),
+          max(col("__self")).as("__s"))
         .filter(col("__s") === 1)
-        .select(col("u"), col("root")))
+        .select(col("u"), col("root"), col("__prev")))
       // jump: root ← root(root). A label is always the id of a node in
       // the same component (inductively: own id, a neighbour's label,
       // or a label's label), so chasing it stays in-component and only
       // ever decreases toward the component minimum.
-      labels = hopped
+      val jumped = hopped
         .join(hopped.select(col("u").as("__r"), col("root").as("__rr")), col("root") === col("__r"), "left")
-        .select(col("u"), least(col("root"), coalesce(col("__rr"), col("root"))).as("root"))
+        .select(col("u"),
+          least(col("root"), coalesce(col("__rr"), col("root"))).as("root"),
+          col("__prev"))
+      // early termination: a round that changed nothing is a fixed
+      // point (labels only decrease; rounds are deterministic), so the
+      // remaining rounds are no-ops — skip them. Not checked on the
+      // last permitted round (nothing left to skip).
+      if (round < iterations)
+        converged = jumped.filter(col("root") =!= col("__prev")).isEmpty
+      labels = jumped.select(col("u"), col("root"))
     }
     // internal names must not collide with an arbitrary idCol
     val lab = labels.select(col("u").as("__cc_u"), col("root").as("__cc_root"))

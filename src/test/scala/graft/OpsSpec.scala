@@ -198,6 +198,37 @@ class OpsSpec extends SparkTestBase {
     assert(out.values.forall(_ == 1L), s"unconverged labels: ${out.filter(_._2 != 1L)}")
   }
 
+  test("clusters stops at the first no-op round; early stop is output-identical (round 20)") {
+    // a triangle + singleton settles in round 1 (round 2 detects the
+    // no-op and skips rounds 3-6); the 40-node chain keeps changing
+    // labels through the cap. Same session, same code path — the
+    // clique run must submit strictly fewer Spark jobs.
+    val sc = spark.sparkContext
+    def jobsFor(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val cliqueIds = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val cliquePairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    var clique: Map[Long, Long] = null
+    val cliqueJobs = jobsFor("cc-clique") {
+      clique = NearDup.clusters(cliqueIds, cliquePairs, "doc_id", iterations = 6)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(clique == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    val chainIds = (1L to 40L).toDF("doc_id")
+    val chainPairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    var chain: Map[Long, Long] = null
+    val chainJobs = jobsFor("cc-chain") {
+      chain = NearDup.clusters(chainIds, chainPairs, "doc_id", iterations = 6)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(chain.values.forall(_ == 1L))
+    assert(cliqueJobs < chainJobs,
+      s"early termination did not cut rounds: clique=$cliqueJobs chain=$chainJobs jobs")
+  }
+
   test("clusters keeps string ids intact (labels propagate in the id's own type)") {
     val ids = Seq("doc-b", "doc-a", "doc-c", "doc-z").toDF("doc_id")
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
