@@ -40,29 +40,49 @@ object Sketch {
     */
   def distinctTokensKmv(df: DataFrame, textCol: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    // ONE distinct-token subtree feeds both the exact count and the
-    // sketch (round 19): the two sides previously tokenized the corpus
-    // independently (a second full Generate + normalize pass) — the
-    // exact side's countDistinct IS a count over the distinct-token
-    // set, and the sketch's distinct hashes over the VOCABULARY equal
-    // its distinct hashes over the corpus, so both consumers now hang
-    // off the same vocabulary exchange (reused, computed once) and the
-    // hash distinct runs over vocab-sized input instead of every token
-    // occurrence.
-    val vocab = df
+    // ONE corpus pass feeds BOTH outputs (round 20). The round-19
+    // attempt hung two consumers off a shared vocabulary distinct, but
+    // RemoveRedundantAggregates (correctly) deleted the inner
+    // token-distinct under the sketch side's hash-distinct — the two
+    // sides diverged below any shareable exchange and the corpus was
+    // tokenized twice. This form has no redundant aggregate to remove:
+    // `perHash` groups the token stream by hash once, its KEYS are
+    // exactly the distinct hash values (the sketch side's input) and
+    // `countDistinct(tok)` partitions the vocabulary by hash, so
+    // `sum(__ntok)` is the exact distinct-token count (a collision
+    // conflates nothing — the colliding tokens stay distinct tok
+    // values inside their h group). Neither consumer can be collapsed
+    // into perHash, so both physical subtrees are identical up to the
+    // aggregation and ReuseExchange dedups the corpus-scale exchange:
+    // ONE Generate, ONE map-side distinct pass, where round 19 ran a
+    // full second tokenize of the corpus.
+    val perHash = df
       .select(explode(NearDup.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .distinct()
-    val kth = vocab
-      .select(NearDup.hash32(col("tok")).as("h"))
-      .distinct()
+      .select(NearDup.hash32(col("tok")).as("h"), col("tok"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("tok")).as("__ntok"))
+    val kth = perHash
       .orderBy(col("h"))
       .limit(k)
       // n_in_k counts the rows the limit actually produced: < k means
       // the corpus has fewer than k distinct hashes and max(h) is NOT
       // the k-th minimum — the estimate would be biased low.
-      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("__n_in_k"))
-    val exact = vocab.agg(count(lit(1)).as("exact_distinct"))
+      // max(when(__ntok >= 1, h)) == max(h): every h group holds at
+      // least one token, so countDistinct(tok) ≥ 1 — but the guard
+      // keeps __ntok ALIVE on this side in a form the optimizer cannot
+      // constant-fold away (a bare count(__ntok) normalizes to
+      // count(1) on the non-null column and is then pruned). Without
+      // it, column pruning drops __ntok below the limit, the
+      // countDistinct collapses back to a plain hash-distinct, the two
+      // sides stop sharing a subtree, and the corpus is tokenized
+      // twice — exactly the round-19 failure mode. Pinned by the
+      // ReusedExchange assertion in OpsSpec.
+      .agg(max(when(col("__ntok") >= 1, col("h"))).as("kth_hash"),
+        count(lit(1)).as("__n_in_k"))
+    // coalesce keeps the column non-nullable like the old count(1)
+    // (sum() is nullable; the empty-corpus row must still read 0)
+    val exact = perHash.agg(coalesce(sum(col("__ntok")), lit(0L)).as("exact_distinct"))
     kth.crossJoin(exact).select(
       lit(k).as("k"),
       col("kth_hash"),

@@ -457,6 +457,22 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(r._3 - 5000.0) / 5000.0 < 0.3, r)
   }
 
+  test("KMV sketch tokenizes the corpus ONCE: exact and sketch sides reuse one exchange (round 20)") {
+    // both outputs hang off the same groupBy(h).agg(countDistinct(tok))
+    // frame; the guarded max keeps the optimizer from specializing the
+    // sketch side (see Sketch.scala). At runtime AQE must reuse the
+    // corpus-scale shuffle — the executed plan carries a reused stage
+    // and only ONE Generate (tokenize) executes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_plan").toString
+    (0L until 20000L).map(i => (i, s"tok${i % 5000}")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val pdocs = spark.read.parquet(dir)
+    val df = Sketch.distinctTokensKmv(pdocs, "text", k = 256)
+    val plan = executedPlan(df)
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"exact/sketch sides do not share the tokenize subtree:\n$plan")
+  }
+
   test("KMV sketch reports NULL, not a biased number, below k distinct hashes") {
     // 10 distinct tokens < k=256: max(h) is the 10th minimum, not the
     // 256th — the estimate would be wildly biased low-cardinality-high.
