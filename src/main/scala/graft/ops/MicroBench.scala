@@ -412,6 +412,171 @@ object MicroBench {
       return
     }
 
+    if (args.contains("embback")) {
+      // Round-20 adjudication (VERDICT item 5): embedCosinePairs' band
+      // rows carry (id, v, nrm, sig) — the dim-double vector rides the
+      // banded exchange dim·8 bytes × nBands times per corpus row so
+      // the cosine can be a join conjunct. The alternative ships only
+      // (id, sig) band rows [16 B], emits first-collision survivors,
+      // and joins v/nrm back for the rescore — two extra joins, but the
+      // heavy payload crosses the band exchange zero times. Same
+      // geometry, same first-collision dedup, row-diff asserted 0.
+      // Interleaved 3 rounds × 3 reps so VM weather hits both arms.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      val vecs = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
+      val dim = 64; val planes = 32; val bandBits = 8; val minCos = 0.4
+      val nBands = planes / bandBits
+      def carried(): DataFrame = NearDup.embedCosinePairs(
+        vecs, "embedding", "vec_id", dim, planes, bandBits, minCos)
+      def joinBack(): DataFrame = {
+        val sigs = NearDup.signSigs(vecs, "embedding", "vec_id", dim, planes)
+        val bands = NearDup.signBandKeys(col("sig"), nBands, bandBits)
+        val bandRows = sigs.select(col("vec_id"), col("sig"),
+          posexplode(bands).as(Seq("band_idx", "band_key")))
+        def firstCollision(x: org.apache.spark.sql.Column) =
+          (0 until nBands).foldRight(lit(nBands)) { (i, rest) =>
+            when(shiftrightunsigned(x, i * bandBits) % (1L << bandBits) === 0L, lit(i))
+              .otherwise(rest)
+          }
+        val cand = bandRows.as("a")
+          .join(
+            bandRows.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.vec_id") < col("b.vec_id") &&
+              firstCollision(col("a.sig").bitwiseXOR(col("b.sig"))) === col("a.band_idx"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        val cos = NearDup.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        cand
+          .join(sigs.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+          .join(sigs.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), cos.as("cos_sim"))
+          .filter(col("cos_sim") >= minCos)
+      }
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-20s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      val a = carried(); val b = joinBack()
+      println(s"pairs: ${a.count()}  row diff: ${a.exceptAll(b).count() + b.exceptAll(a).count()}")
+      for (round <- 1 to 3) {
+        rep(s"r$round carried ")(carried())
+        rep(s"r$round joinback")(joinBack())
+      }
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
+    if (args.contains("clusab")) {
+      // Round-20 checkpoint-placement A/B for NearDup.clusters: the
+      // shipped form checkpoints HOPPED and leaves the jump join lazy —
+      // so the jump join executes once for the convergence isEmpty and
+      // again (twice — `labels` is referenced by both hop arms) inside
+      // the next round's checkpoint. Arm B checkpoints JUMPED instead
+      // (the hop aggregate then runs twice inside that one job, its
+      // exchange deduped by ReuseExchange); arm C checkpoints both.
+      // Pairs come from parquet so the timed region is the clustering
+      // machinery, not minhashPairs. Row diff asserted 0.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      NearDup.minhashPairs(docs, "text", "doc_id")
+        .write.mode("overwrite").parquet("/tmp/graft_clusab_pairs")
+      val pairs = spark.read.parquet("/tmp/graft_clusab_pairs")
+
+      def variant(ckptJumped: Boolean, ckptHopped: Boolean): DataFrame = {
+        val ckpt: DataFrame => DataFrame = d => d.localCheckpoint(eager = true)
+        val edges = ckpt(
+          pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+            .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+        var labels = edges.select(col("u")).distinct()
+          .join(docs.select(col("doc_id").as("u")), Seq("u"), "left_semi")
+          .withColumn("root", col("u"))
+        var round = 0
+        var converged = false
+        val iterations = 6
+        while (round < iterations && !converged) {
+          round += 1
+          val nbrRows = edges
+            .join(labels.select(col("u").as("v"), col("root").as("nroot")), "v")
+            .select(col("u"), col("nroot").as("cand"), lit(0).as("__self"))
+          val hopped0 = labels
+            .select(col("u"), col("root").as("cand"), lit(1).as("__self"))
+            .unionByName(nbrRows)
+            .groupBy("u")
+            .agg(min(col("cand")).as("root"),
+              max(when(col("__self") === 1, col("cand"))).as("__prev"),
+              max(col("__self")).as("__s"))
+            .filter(col("__s") === 1)
+            .select(col("u"), col("root"), col("__prev"))
+          val hopped = if (ckptHopped) ckpt(hopped0) else hopped0
+          val jumped0 = hopped
+            .join(hopped.select(col("u").as("__r"), col("root").as("__rr")), col("root") === col("__r"), "left")
+            .select(col("u"),
+              least(col("root"), coalesce(col("__rr"), col("root"))).as("root"),
+              col("__prev"))
+          val jumped = if (ckptJumped) ckpt(jumped0) else jumped0
+          if (round < iterations)
+            converged = jumped.filter(col("root") =!= col("__prev")).isEmpty
+          labels = jumped.select(col("u"), col("root"))
+        }
+        val lab = labels.select(col("u").as("__cc_u"), col("root").as("__cc_root"))
+        docs.select(col("doc_id"))
+          .join(lab, col("doc_id") === col("__cc_u"), "left")
+          .select(col("doc_id"), coalesce(col("__cc_root"), col("doc_id")).as("cluster_id"))
+      }
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-24s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      val ref = NearDup.clusters(docs, pairs, "doc_id")
+      val b = variant(ckptJumped = true, ckptHopped = false)
+      val c = variant(ckptJumped = true, ckptHopped = true)
+      println(s"row diff A/B: ${ref.exceptAll(b).count() + b.exceptAll(ref).count()}" +
+        s"  A/C: ${ref.exceptAll(c).count() + c.exceptAll(ref).count()}")
+      for (round <- 1 to 3) {
+        rep(s"r$round A ckpt-hopped")(NearDup.clusters(docs, pairs, "doc_id"))
+        rep(s"r$round B ckpt-jumped")(variant(ckptJumped = true, ckptHopped = false))
+        rep(s"r$round C ckpt-both  ")(variant(ckptJumped = true, ckptHopped = true))
+      }
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("decontamab")) {
       // Round-20 adjudication: the baked row-local overlap (one
       // codegen projection against a plan-time EvalShingleModel) vs

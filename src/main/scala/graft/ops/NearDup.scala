@@ -698,11 +698,22 @@ object NearDup {
       // the same component (inductively: own id, a neighbour's label,
       // or a label's label), so chasing it stays in-component and only
       // ever decreases toward the component minimum.
-      val jumped = hopped
+      //
+      // Checkpointed TOO (round 20, `MicroBench clusab`): left lazy,
+      // this join re-executed once for the convergence test and twice
+      // more inside the next round's hop materialization (`labels` is
+      // referenced by both hop arms) — 3 executions of an O(pairs)
+      // join per round for one round's worth of work. Materializing it
+      // costs one more tiny-frame checkpoint job and makes the
+      // convergence isEmpty a scan of stored blocks. Measured (pairs
+      // pre-materialized so only the clustering machinery is timed):
+      // medians 1.01/0.88/0.81 s → 0.79/0.77/0.77 s at sf0.1,
+      // 1.93/1.43/2.09 → 1.51/1.51/1.60 at sf1; row diff 0.
+      val jumped = ckpt(hopped
         .join(hopped.select(col("u").as("__r"), col("root").as("__rr")), col("root") === col("__r"), "left")
         .select(col("u"),
           least(col("root"), coalesce(col("__rr"), col("root"))).as("root"),
-          col("__prev"))
+          col("__prev")))
       // early termination: a round that changed nothing is a fixed
       // point (labels only decrease; rounds are deterministic), so the
       // remaining rounds are no-ops — skip them. Not checked on the
