@@ -144,6 +144,12 @@ object Ann {
     * TakeOrderedAndProject: O(nCells) heap per partition, merged on the
     * driver side of the exchange).
     * Output: `query_id, <idCol>, cos_sim, rank` (≤ k rows per query).
+    *
+    * PLAN-TIME BAKE CONTRACT (every ivf/lsh `*Auto`/seeded form):
+    * construction eagerly runs the sizing count and/or the seed
+    * collect, and the centroid matrix / band geometry ride the plan as
+    * constants — a snapshot of the corpus at construction. Rebuild the
+    * frame to re-index after the source changes.
     */
   def ivfTopKSeeded(
       corpus: DataFrame,

@@ -51,6 +51,17 @@ object AsOf {
     *
     * Output: every `left` column, plus `valueCols` from the matched
     * right row.
+    *
+    * PLAN-TIME BAKE (round 19): with `timeBuckets > 1`, constructing
+    * the returned DataFrame EAGERLY runs one Spark job — a 1-row
+    * min/max aggregate of the right side — and bakes the bounds into
+    * the bucket expression as literals (replacing two broadcast
+    * nested-loop cross joins). The bounds are a snapshot: re-executing
+    * the returned frame after the underlying right-side SOURCE changes
+    * keeps the construction-time bucket bounds (results stay correct —
+    * out-of-range timestamps clamp to the edge buckets, only the skew
+    * split degrades); rebuild the frame to refresh them. Callers that
+    * need a fully lazy plan can pass `timeBuckets = 1`.
     */
   def joinAsOf(
       left: DataFrame,

@@ -36,14 +36,30 @@ import org.apache.spark.sql.functions._
   * broadcast pack, no per-row interpreted `zip_with` lambda, no
   * shuffle. Each update pass is one map-side-combined `(cell,
   * dim)`-keyed aggregate of long partials whose `nCells·dim` result
-  * rows (bounded like the IVF centroid matrix — tens of MB at the
-  * 65536-cell cap) come back to the driver, where the division back
+  * rows come back to the driver, where the division back
   * to double means runs with the exact IEEE ops the old in-plan
   * `coalesce((s/n)/Scale, w)` performed. Total: `iters + 1` corpus
   * scans, the textbook distributed-Lloyd lower bound — now with zero
   * exchanges outside the update aggregates (was: a 1-row aggregate +
   * broadcast + interpreted per-row lambdas per pass, and an eager
   * lineage checkpoint per iteration).
+  *
+  * DRIVER-MEMORY BOUND of the update collect (advice, r19): the
+  * `nCells·dim` result comes back as boxed `Row`s — roughly 150–200 B
+  * each with the four boxed fields, NOT the 16 B of the raw payload.
+  * At the 65536-cell cap with dim 128 that is ~8.4M rows ≈ 1.5–2 GB of
+  * transient driver heap per update pass (the raw payload is ~130 MB).
+  * Size the driver for `nCells·dim·~200 B`, or keep `nCells·dim`
+  * under ~10M; beyond that the pre-round-19 distributed join-based
+  * update is the right shape again. The default geometries (≤ 65536
+  * cells, dim ≤ a few hundred) stay comfortably inside one driver.
+  *
+  * PLAN-TIME BAKE CONTRACT: constructing the [[assignCells]] frame
+  * eagerly runs `iters + 1` Spark jobs (seed collect + one update
+  * aggregate per iteration); the final centroids are baked into the
+  * returned plan as literals. They are a snapshot — re-executing the
+  * frame after the source data changes reuses the construction-time
+  * centroids; rebuild the frame to re-fit.
   */
 object Kmeans {
 

@@ -762,8 +762,16 @@ object NearDup {
     // string form — it is part of the streaming gate entries' declared
     // output — but are now built from fixed `concat_ws`/`element_at`
     // trees (codegen) instead of interpreted array_join(transform(…)).
-    // A null signature (null text) nulls the band array, so explode
-    // drops the row — exactly the old null-chain behavior.
+    // NULL-TEXT DOCS EMIT NO BAND ROWS — an INTENTIONAL round-19
+    // behavior change (advice r19): the pre-codegen interpreted chain
+    // produced a non-null signature of k NULL components for null text
+    // (transform over sequence(1,k)), and array_join skips nulls, so
+    // such docs emitted nBands rows keyed "" — colliding with every
+    // other null-text doc. The codegen signature is NULL for null
+    // text, the band array nulls, and explode drops the row: null-text
+    // docs now collide with nothing (pinned in RowBandSpec). All
+    // declared streaming-gate outputs are oracle-exact under the new
+    // behavior (their corpora carry no null texts).
     val sig = graft.functions.MinhashSig(
       graft.functions.TextHash.shingleHashes(tokens(col(textCol))), k)
     val bands = when(
@@ -970,7 +978,10 @@ object NearDup {
     * runtime-statistics trade AQE makes, and noise next to the LSH
     * join it sizes. Pass `knownCount` when the caller already has the
     * figure (a catalog estimate is fine: one bit of error
-    * halves/doubles occupancy, nothing breaks).
+    * halves/doubles occupancy, nothing breaks). The count runs
+    * EAGERLY at construction and the geometry rides the plan as a
+    * constant — a snapshot; rebuild the frame to re-size after the
+    * corpus changes.
     */
   def embedCosinePairsAuto(
       df: DataFrame,

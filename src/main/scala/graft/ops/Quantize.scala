@@ -68,6 +68,13 @@ object Quantize {
     * `(idCol, pos, code)` with `code ∈ [0, 2^bits - 1]`. The exploded
     * shape is the oracle-friendly projection of [[quantizeVectors]];
     * both share the same two-pass plan.
+    *
+    * PLAN-TIME BAKE CONTRACT (both public forms): constructing the
+    * frame eagerly runs one Spark job — the per-dimension extrema
+    * aggregate — and bakes the codebook as literals. The codebook is a
+    * snapshot: re-executing the frame after the source data changes
+    * quantizes against the construction-time extrema; rebuild the
+    * frame to re-fit them.
     */
   def quantizeCodes(df: DataFrame, vecCol: String, idCol: String, bits: Int = 8): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")

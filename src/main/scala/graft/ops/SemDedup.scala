@@ -54,6 +54,12 @@ object SemDedup {
     * and sf10 measured the old fixed-32 default at 22.0 s vs 4.94 s
     * sized). Pass an explicit count for a fixed index (regression
     * sentry path); `knownCount` skips the plan-time count.
+    *
+    * PLAN-TIME BAKE CONTRACT: construction eagerly runs the sizing
+    * count (adaptive path) plus the seed-collect job, and bakes the
+    * centroid matrix as plan constants. Centroids are a snapshot of
+    * the corpus at construction; rebuild the frame to re-seed after
+    * the source changes.
     */
   def pairs(
       df: DataFrame,

@@ -387,6 +387,11 @@ object TextOps {
     * is scan → shingle projection → broadcast left join → ONE
     * map-side-combined per-doc aggregate. The ref frame is the small
     * curated domain sample (CCNet's Wikipedia), never the corpus.
+    *
+    * PLAN-TIME BAKE CONTRACT: construction eagerly runs one Spark job
+    * (the topK model cut over `ref`) and bakes the bigram model into
+    * the returned plan. The model is a snapshot of `ref` at
+    * construction; rebuild the frame to re-fit after `ref` changes.
     */
   def lmScore(
       df: DataFrame,

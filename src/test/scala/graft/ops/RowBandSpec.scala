@@ -51,6 +51,21 @@ class RowBandSpec extends SparkTestBase {
     }
   }
 
+  test("null-text docs emit NO band rows (intentional round-19 change)") {
+    // The pre-codegen interpreted chain gave null-text docs a k-NULL
+    // signature whose array_join produced nBands rows with band_key ""
+    // — colliding with every other null-text doc. The codegen
+    // signature is NULL for null text, so such docs produce no band
+    // rows at all (they collide with nothing). This pins the new
+    // contract; non-null docs are unaffected.
+    val withNull = docs.unionByName(Seq((6L, null: String)).toDF("doc_id", "text"))
+    val bands = NearDup.rowBandRows(withNull, "text", 32, 2)
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+      .as[(Long, Int, String)].collect()
+    assert(!bands.exists(_._1 == 6L), s"null-text doc emitted band rows: ${bands.filter(_._1 == 6L).toSeq}")
+    assert(bands.count(_._1 == 1L) == 16) // non-null docs keep all k/r bands
+  }
+
   test("near-identical docs share bands; unrelated docs share none") {
     val bands = NearDup.rowBandRows(docs, "text", 32, 2)
       .select(col("doc_id"), col("band_idx"), col("band_key"))
