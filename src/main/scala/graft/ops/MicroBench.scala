@@ -485,6 +485,89 @@ object MicroBench {
       return
     }
 
+    if (args.contains("streambench")) {
+      // Round-20 (VERDICT item 8): timing visibility for the streaming
+      // dedup paths — three rounds of streaming optimization (r13-r19)
+      // landed with zero before/after numbers because the gate only
+      // checks output sets. Splits the current SF's documents /
+      // embeddings into N parquet files, streams them through the REAL
+      // stateful pipelines (watermark + dropDuplicatesWithinWatermark)
+      // with maxFilesPerTrigger=1 — N micro-batches through the memory
+      // sink, state accumulating across batches exactly like
+      // production — and reports each run's wall time from query start
+      // to processAllAvailable (a fresh query + sink per run: state
+      // never carries over between runs). 1 warm-up + 3 timed runs.
+      // Usage: MicroBench streambench [nFiles]   (default 8)
+      val rest = args.dropWhile(_ != "streambench").drop(1)
+      val nFiles = rest.headOption.flatMap(_.toIntOption).getOrElse(8)
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      val base = "/tmp/graft_streambench"
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/docs")
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(nFiles).write.mode("overwrite").parquet(s"$base/emb")
+      val docsSchema = spark.read.parquet(s"$base/docs").schema
+      val embSchema = spark.read.parquet(s"$base/emb").schema
+
+      def stream(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(path)
+
+      def timeStream(name: String)(mk: String => DataFrame): Unit = {
+        def runOnce(): (Double, Int) = {
+          val sink = "sb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          val t0 = System.nanoTime()
+          val q = graft.streaming.Streaming.runToMemory(mk(sink), sink, "append")
+          try q.processAllAvailable()
+          finally q.stop()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.dropTempView(sink)
+          (dt, q.recentProgress.count(_.numInputRows > 0))
+        }
+        runOnce() // warm-up (codegen + file listing)
+        val rs = Seq.fill(3)(runOnce())
+        val ts = rs.map(_._1)
+        println(f"$name%-24s med=${ts.sorted.apply(1)}%.3f s  runs ${ts.map(t => f"$t%.3f").mkString(" ")}  batches=${rs.head._2}")
+      }
+
+      timeStream("stream_dedup_exact") { _ =>
+        graft.streaming.Streaming.dedupExact(
+          stream(s"$base/docs", docsSchema)
+            .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)")),
+          "text", "ts", "1 hour"
+        ).select(md5(TextOps.normalize(col("text")).cast("binary")).as("digest"))
+      }
+      timeStream("stream_dedup_minhash") { _ =>
+        graft.streaming.Streaming.dedupMinhashBands(
+          stream(s"$base/docs", docsSchema)
+            .withColumn("ts", expr("timestamp_micros(doc_id * 1000000 + 1700000000000000)")),
+          "text", "ts", "1 hour"
+        ).select(col("band_idx"), col("band_key"))
+      }
+      timeStream("stream_dedup_embed") { _ =>
+        graft.streaming.Streaming.dedupEmbedBands(
+          stream(s"$base/emb", embSchema)
+            .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)")),
+          "embedding", "ts", "1 hour", dim = 64
+        ).select(col("band_idx"), col("band_key"))
+      }
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("clusab")) {
       // Round-20 checkpoint-placement A/B for NearDup.clusters: the
       // shipped form checkpoints HOPPED and leaves the jump join lazy —
