@@ -485,6 +485,31 @@ object MicroBench {
       return
     }
 
+    if (args.contains("finalplan")) {
+      // MicroBench finalplan <name>... — the POST-execution final AQE
+      // plan's node counts (ReusedQueryStage / ReusedExchange /
+      // Exchange / scans / joins). `.explain` before execution shows
+      // isFinalPlan=false and hides runtime stage reuse, so plan-reuse
+      // claims (is a twice-referenced subtree computed once?) need
+      // this view, not PlanDump's.
+      val full = args.contains("full")
+      args.dropWhile(_ != "finalplan").drop(1).filterNot(_ == "full").foreach { k =>
+        val df = graft.SparkEntry.queries(k)(spark, sfDir)
+        // collect(), NOT a noop write: df.write builds a NEW
+        // QueryExecution for the write command, leaving df's own plan
+        // unexecuted (isFinalPlan=false, runtime reuse invisible)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).length
+        println(f"$k%-24s ReusedQueryStage=${n("ReusedQueryStage")} ReusedExchange=${n("ReusedExchange")} " +
+          s"Exchange=${n("Exchange")} scans=${n("Scan parquet")} smj=${n("SortMergeJoin")} " +
+          s"shj=${n("ShuffledHashJoin")} bhj=${n("BroadcastHashJoin")} sortAgg=${n("SortAggregate")}")
+        if (full) println(p)
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("streambench")) {
       // Round-20 (VERDICT item 8): timing visibility for the streaming
       // dedup paths — three rounds of streaming optimization (r13-r19)
@@ -559,6 +584,121 @@ object MicroBench {
             .withColumn("ts", expr("timestamp_micros(vec_id * 1000000 + 1700000000000000)")),
           "embedding", "ts", "1 hour", dim = 64
         ).select(col("band_idx"), col("band_key"))
+      }
+
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
+    if (args.contains("asofab")) {
+      // Round-20 adjudication: joinAsOf's bucketed path computes the
+      // right side TWICE from source (union branch + carry summary;
+      // finalplan shows 0 ReusedQueryStage — InferFiltersFromConstraints
+      // pushes an isnotnull(key) into the summary branch only, so the
+      // two subtrees never canonicalize equal). Arm B buckets and
+      // REPARTITIONS the right side by (key, bucket) once: the summary
+      // aggregates in place on that partitioning (no exchange of its
+      // own) and the union branch consumes the same reused exchange —
+      // cost: the right side rides one extra shuffle into the union's
+      // (key, bucket) exchange; saved: a full recompute of the right
+      // subtree (scan + filter + caller aggregate + its exchange).
+      // Row diff asserted 0. Sentinel-bracketed, interleaved.
+      import org.apache.spark.sql.Column
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+
+      val events = graft.sources.Tables.parquetDir(spark, sfDir)("events")
+      def purchases = events.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("last_purchase"))
+      def armA(): DataFrame =
+        AsOf.joinAsOf(events, purchases, Seq("user_id"), "ts", Seq("last_purchase"))
+
+      def armB(): DataFrame = {
+        val left = events; val right = purchases
+        val keyCols = Seq("user_id"); val tsCol = "ts"
+        val valueCols = Seq("last_purchase"); val timeBuckets = 32
+        val leftCols = left.columns.toSeq
+        val rWithVals = right
+          .filter(col(tsCol).isNotNull)
+          .withColumn("__vals", struct(valueCols.map(col): _*))
+        val valsType = rWithVals.schema("__vals").dataType
+        val boundsRow = rWithVals.agg(
+          min(col(tsCol).cast("double")).as("__tmin"),
+          max(col(tsCol).cast("double")).as("__tmax")).collect()(0)
+        val tminLit =
+          if (boundsRow.isNullAt(0)) lit(null).cast("double") else lit(boundsRow.getDouble(0))
+        val tmaxLit =
+          if (boundsRow.isNullAt(1)) lit(null).cast("double") else lit(boundsRow.getDouble(1))
+        val span = tmaxLit - tminLit
+        val tnum = col(tsCol).cast("double")
+        val bucketExpr = when(tminLit.isNull || tnum.isNull || span <= 0, lit(0L))
+          .otherwise(least(lit(timeBuckets - 1L),
+            greatest(lit(0L), floor((tnum - tminLit) / (span / timeBuckets)))))
+        // the ONE materialization of the right side: bucketed and
+        // hash-partitioned on the window/join keys
+        val rBucketed = rWithVals
+          .withColumn("__bucket", bucketExpr)
+          .repartition((keyCols.map(col) :+ col("__bucket")): _*)
+        val l = left
+          .withColumn("__side", lit(1))
+          .withColumn("__vals", lit(null).cast(valsType))
+          .withColumn("__bucket", bucketExpr)
+        val r = leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
+          .foldLeft(rBucketed.withColumn("__side", lit(0)))((df, c) =>
+            df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+        val shared = leftCols :+ "__vals" :+ "__side" :+ "__bucket"
+        val bucketed = l.select(shared.map(col): _*).unionByName(r.select(shared.map(col): _*))
+        val win1 = org.apache.spark.sql.expressions.Window
+          .partitionBy((keyCols :+ "__bucket").map(col): _*)
+          .orderBy(col(tsCol).asc, col("__side").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val filled1 = bucketed.withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(win1))
+        val keyCs: Seq[Column] = keyCols.map(col)
+        val summary = rBucketed
+          .groupBy((keyCols :+ "__bucket").map(col): _*)
+          .agg(max_by(col("__vals"), col(tsCol)).as("__carry"))
+        val nextB = lead(col("__bucket"), 1)
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(keyCs: _*).orderBy(col("__bucket")))
+        val carries = summary
+          .withColumn("__upto", coalesce(nextB, lit(timeBuckets - 1L)))
+          .filter(col("__bucket") + 1 <= col("__upto"))
+          .select((keyCs :+
+            explode(sequence(col("__bucket") + 1, col("__upto"))).as("__bucket") :+
+            col("__carry")): _*)
+        val filled = filled1
+          .join(carries.hint("shuffle_hash"), keyCols :+ "__bucket", "left")
+          .withColumn("__vals", coalesce(col("__vals"), col("__carry")))
+          .filter(col("__side") === 1)
+          .drop("__bucket", "__carry")
+        valueCols.foldLeft(filled)((df, c) =>
+          df.withColumn(c, col("__vals").getField(c))).drop("__vals", "__side")
+      }
+
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-16s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      val a = armA(); val b = armB()
+      println(s"rows: ${a.count()}  row diff: ${a.exceptAll(b).count() + b.exceptAll(a).count()}")
+      for (round <- 1 to 3) {
+        rep(s"r$round A current")(armA())
+        rep(s"r$round B shared ")(armB())
       }
 
       val s1 = sentinelOnce()

@@ -58,6 +58,29 @@ class AsOfSpec extends SparkTestBase {
     assert(out.values.forall(_.isEmpty))
   }
 
+  test("null-KEY right rows match nothing — ASOF joins on key equality (round 20)") {
+    // The declared oracle is a native ASOF JOIN `ON l.key = r.key AND
+    // l.ts >= r.ts`: an equality with NULL is false, so a null-key
+    // right row can match nothing — including a null-key LEFT row.
+    // (The pre-round-20 keyed window grouped null-key right rows WITH
+    // null-key left rows and filled them — a divergence from the
+    // oracle in this corner; the left row still survives with a NULL
+    // value, left-outer semantics.) Both bucket paths pinned.
+    val tradesN = trades.unionByName(
+      Seq((null.asInstanceOf[String], ts(6), 400L)).toDF("sym", "ts", "trade_id"))
+    val qs = Seq(
+      ("A", ts(0), 10.0),
+      (null.asInstanceOf[String], ts(2), 99.0)
+    ).toDF("sym", "ts", "px")
+    for (buckets <- Seq(1, 32)) {
+      val out = AsOf.joinAsOf(tradesN, qs, Seq("sym"), "ts", Seq("px"), timeBuckets = buckets)
+        .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+      assert(out(400L).isEmpty, s"buckets=$buckets: null-key left row matched a null-key right row")
+      assert(out(100L) == Some(10.0), s"buckets=$buckets")
+      assert(out.size == tradesN.count())
+    }
+  }
+
   test("multi-value fill takes the whole matched row, even when a value is NULL") {
     // DuckDB/kdb ASOF: the most recent right row wins ATOMICALLY — a
     // NULL field in the matched row stays NULL, it is not backfilled
