@@ -315,6 +315,69 @@ object MicroBench {
       return
     }
 
+    if (args.contains("kmvshare")) {
+      // Round-20: which SHARED-subtree kmv formulation is cheaper?
+      // (a) occurrence-hash: project (h, tok) per token occurrence →
+      //     groupBy(h).countDistinct(tok) — md5 per OCCURRENCE, the
+      //     (h, tok) pair rides the corpus exchange;
+      // (b) vocab-first: distinct(tok) → project h → groupBy(h).count
+      //     — md5 per DISTINCT token, bare tok rides the exchange.
+      // Same outputs by construction; row diff asserted. Interleaved.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+      val k = 256
+      def finish(perHash: DataFrame): DataFrame = {
+        val kth = perHash.orderBy(col("h")).limit(k)
+          .agg(max(when(col("__ntok") >= 1, col("h"))).as("kth_hash"),
+            count(lit(1)).as("__n_in_k"))
+        val exact = perHash.agg(coalesce(sum(col("__ntok")), lit(0L)).as("exact_distinct"))
+        kth.crossJoin(exact).select(
+          lit(k).as("k"), col("kth_hash"),
+          when(col("__n_in_k") === k && col("kth_hash") > 0,
+            lit((k - 1).toDouble) * lit(4294967296.0) / col("kth_hash").cast("double"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+      }
+      def occHash(): DataFrame = finish(
+        docs.select(explode(NearDup.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .select(NearDup.hash32(col("tok")).as("h"), col("tok"))
+          .groupBy(col("h")).agg(countDistinct(col("tok")).as("__ntok")))
+      def vocabFirst(): DataFrame = finish(
+        docs.select(explode(NearDup.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .distinct()
+          .select(NearDup.hash32(col("tok")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("__ntok")))
+      val a = occHash(); val b = vocabFirst()
+      println(s"row diff: ${a.exceptAll(b).count() + b.exceptAll(a).count()}")
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-16s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      for (round <- 1 to 3) {
+        rep(s"r$round occ-hash  ")(occHash())
+        rep(s"r$round vocab-first")(vocabFirst())
+      }
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("kmvab")) {
       // KMV estimator A/B: full-distinct shuffle + TakeOrdered vs the
       // per-partition bottom-k cut (round-12 verdict item 4). Both

@@ -46,22 +46,29 @@ object Sketch {
     // token-distinct under the sketch side's hash-distinct — the two
     // sides diverged below any shareable exchange and the corpus was
     // tokenized twice. This form has no redundant aggregate to remove:
-    // `perHash` groups the token stream by hash once, its KEYS are
+    // the vocabulary distinct runs FIRST (the only corpus-scale
+    // exchange, token strings partial-deduped map-side), the md5 runs
+    // on DISTINCT tokens only (corpus-to-vocabulary fewer digests than
+    // hashing per occurrence — the first shared form of this round
+    // paid one md5 per token and shuffled (h, tok) pairs, measured
+    // ~20% slower than even the unshared r19 form at sf0.1), and
+    // `perHash` counts each hash's vocabulary slice: its KEYS are
     // exactly the distinct hash values (the sketch side's input) and
-    // `countDistinct(tok)` partitions the vocabulary by hash, so
     // `sum(__ntok)` is the exact distinct-token count (a collision
-    // conflates nothing — the colliding tokens stay distinct tok
-    // values inside their h group). Neither consumer can be collapsed
-    // into perHash, so both physical subtrees are identical up to the
+    // conflates nothing — colliding tokens stay distinct rows of the
+    // vocab frame). `count(1)` over the inner distinct cannot be
+    // collapsed (removing the distinct would change the counts), so
+    // both consumers' physical subtrees stay identical up to the final
     // aggregation and ReuseExchange dedups the corpus-scale exchange:
-    // ONE Generate, ONE map-side distinct pass, where round 19 ran a
-    // full second tokenize of the corpus.
+    // ONE Generate, ONE map-side distinct pass, vocabulary-scale
+    // digests.
     val perHash = df
       .select(explode(NearDup.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(NearDup.hash32(col("tok")).as("h"), col("tok"))
+      .distinct()
+      .select(NearDup.hash32(col("tok")).as("h"))
       .groupBy(col("h"))
-      .agg(countDistinct(col("tok")).as("__ntok"))
+      .agg(count(lit(1)).as("__ntok"))
     val kth = perHash
       .orderBy(col("h"))
       .limit(k)
