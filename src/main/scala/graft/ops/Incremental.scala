@@ -67,7 +67,16 @@ object Incremental {
       bandRows: Int = 2,
       minEstSim: Double = 0.25
   ): DataFrame = {
-    val newSig = signatures(newDf, textCol, idCol, k)
+    // The explicit repartition(id) is a REUSE POINT (round 20, the
+    // minhashPairs precedent): the rowwise signature projection feeds
+    // THREE consumers inside dropIds (digest semi-join, band rows,
+    // sig join-back) and with no exchange of its own, each consumer
+    // re-ran the md5 shingle hashing over the new batch. One narrow
+    // (id, digest, sig) exchange pins the hashing to a single pass.
+    // Interleaved A/B (`MicroBench incab`): 0.92/0.62/0.57 →
+    // 0.61/0.52/0.44 s at sf0.1; never worse at sf1 (1.81/1.94/3.53 →
+    // 1.82/1.67/1.52). Oracle-exact (the exchange changes no values).
+    val newSig = signatures(newDf, textCol, idCol, k).repartition(col(idCol))
     newDf.join(dropIds(newSig, snapshot, idCol, k, bandRows, minEstSim), Seq(idCol), "left_anti")
   }
 
@@ -92,7 +101,9 @@ object Incremental {
       bandRows: Int = 2,
       minEstSim: Double = 0.25
   ): DataFrame = {
-    val newSig = signatures(newDf, textCol, idCol, k)
+    // same reuse point as dedupAgainst — here newSig has FOUR
+    // consumers (the three in dropIds plus the emitted survivor rows)
+    val newSig = signatures(newDf, textCol, idCol, k).repartition(col(idCol))
     val drops = dropIds(newSig, snapshot, idCol, k, bandRows, minEstSim)
     snapshot
       .select(col(idCol), col("digest"), col("sig"))
