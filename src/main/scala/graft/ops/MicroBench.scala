@@ -378,6 +378,73 @@ object MicroBench {
       return
     }
 
+    if (args.contains("simhab")) {
+      // Round-20: simhashPairs' band self-join consumes the signature
+      // frame on BOTH sides with no exchange below it — the per-token
+      // md5 SimhashSig loop (the op's dominant cost) runs twice per
+      // execution. Three arms, interleaved, row diff asserted:
+      //   A current (no reuse point),
+      //   B sims.repartition(id) — narrow 16 B rows, md5 once, band
+      //     sides still exchange/broadcast above the reused exchange,
+      //   C bandRows.repartition(band_idx, band_key) — one band-row
+      //     exchange, join runs in place on both sides.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+      val SimBandBits = 15
+      def variant(arm: Char): DataFrame = {
+        val sims0 = NearDup.simhashSigs(docs, "text", "doc_id")
+        val sims = if (arm == 'B') sims0.repartition(col("doc_id")) else sims0
+        val bands = array((0 until 4).map { j =>
+          shiftrightunsigned(col("sim"), j * SimBandBits) % (1 << SimBandBits)
+        }: _*)
+        val bandRows0 = sims.select(col("doc_id"), col("sim"), posexplode(bands).as(Seq("band_idx", "band_key")))
+        val bandRows = if (arm == 'C') bandRows0.repartition(col("band_idx"), col("band_key")) else bandRows0
+        val a = bandRows.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("band_idx"), col("band_key"))
+        val b = bandRows.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band_idx"), col("band_key"))
+        val firstMatch = (0 until 4).foldRight(lit(4)) { (i, rest) =>
+          when(shiftrightunsigned(col("sim_a").bitwiseXOR(col("sim_b")), i * SimBandBits)
+            % (1 << SimBandBits) === 0L, lit(i)).otherwise(rest)
+        }
+        a.as("a").join(b.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("id_a") < col("id_b") &&
+              firstMatch === col("a.band_idx"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+          .filter(col("hamming") <= 3)
+      }
+      val ref = variant('A'); val vb = variant('B'); val vc = variant('C')
+      println(s"pairs: ${ref.count()}  diff A/B: ${ref.exceptAll(vb).count() + vb.exceptAll(ref).count()}" +
+        s"  A/C: ${ref.exceptAll(vc).count() + vc.exceptAll(ref).count()}")
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-16s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      for (round <- 1 to 3) {
+        rep(s"r$round A current")(variant('A'))
+        rep(s"r$round B rep-id ")(variant('B'))
+        rep(s"r$round C rep-band")(variant('C'))
+      }
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("kmvab")) {
       // KMV estimator A/B: full-distinct shuffle + TakeOrdered vs the
       // per-partition bottom-k cut (round-12 verdict item 4). Both
