@@ -378,6 +378,70 @@ object MicroBench {
       return
     }
 
+    if (args.contains("embrep")) {
+      // Round-20: does a repartition(band_idx, band_key) reuse point on
+      // embedCosinePairs' band rows (sig computed once, one heavy
+      // exchange) beat the current shape (sig computed once per join
+      // side, AQE free to broadcast one side)? The simhash twin showed
+      // a scale-INVERTING trade; embed's per-row signature is ~30×
+      // heavier (32×64 dot loop) and its band rows ~20× wider (the
+      // 64-double vector rides them). Row diff asserted 0.
+      val sentinelExpected = graft.Sentinel.expectedFor(sfDir)
+      val sentinelDf = graft.sources.Tables.parquetDir(spark, sfDir)("lineitem")
+      def sentinelOnce(): Double = {
+        val t0 = System.nanoTime()
+        sentinelDf.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      sentinelOnce(); sentinelOnce()
+      val s0 = sentinelOnce()
+      val vecs = graft.sources.Tables.parquetDir(spark, sfDir)("embeddings")
+      val dim = 64; val planes = 32; val bandBits = 8; val minCos = 0.4
+      val nBands = planes / bandBits
+      def variant(repart: Boolean): DataFrame = {
+        val sigs = NearDup.signSigs(vecs, "embedding", "vec_id", dim, planes)
+        val bands = NearDup.signBandKeys(col("sig"), nBands, bandBits)
+        val bandRows0 = sigs.select(
+          col("vec_id"), col("v"), col("nrm"), col("sig"),
+          posexplode(bands).as(Seq("band_idx", "band_key")))
+        val bandRows =
+          if (repart) bandRows0.repartition(col("band_idx"), col("band_key")) else bandRows0
+        def firstCollision(x: org.apache.spark.sql.Column) =
+          (0 until nBands).foldRight(lit(nBands)) { (i, rest) =>
+            when(shiftrightunsigned(x, i * bandBits) % (1L << bandBits) === 0L, lit(i)).otherwise(rest)
+          }
+        val cos = NearDup.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+        bandRows.as("a")
+          .join(bandRows.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.vec_id") < col("b.vec_id") &&
+              firstCollision(col("a.sig").bitwiseXOR(col("b.sig"))) === col("a.band_idx") &&
+              cos >= minCos)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cos.as("cos_sim"))
+      }
+      val a = variant(false); val c = variant(true)
+      println(s"pairs: ${a.count()}  row diff: ${a.exceptAll(c).count() + c.exceptAll(a).count()}")
+      val reps = 3
+      def rep(name: String)(df: => DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); run()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name%-16s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f max=${ts.max}%.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      }
+      for (round <- 1 to 3) {
+        rep(s"r$round A current")(variant(false))
+        rep(s"r$round C rep-band")(variant(true))
+      }
+      val s1 = sentinelOnce()
+      val degraded = sentinelExpected > 0 && Seq(s0, s1).exists(_ > 2 * sentinelExpected)
+      println(f"sentinel $s0%.3f/$s1%.3f s (expected $sentinelExpected%.2f) degraded=$degraded")
+      spark.stop()
+      return
+    }
+
     if (args.contains("simhab")) {
       // Round-20: simhashPairs' band self-join consumes the signature
       // frame on BOTH sides with no exchange below it — the per-token
